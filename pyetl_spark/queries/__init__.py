@@ -1,0 +1,31 @@
+"""Query modules, one per SURVEY.md §2 family. ``load()`` imports them all so
+their ``@query`` decorators populate the registry."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "scans",
+    "etl",
+    "aggs",
+    "joins",
+    "windows",
+    "sorts_sets",
+    "scalar_fns",
+    "events_windows",
+    "llm_text",
+    "llm_vec",
+    "udfs",
+    "sinks",
+]
+
+
+def load() -> None:
+    for mod in _MODULES:
+        try:
+            importlib.import_module(f"pyetl_spark.queries.{mod}")
+        except ModuleNotFoundError as exc:
+            # allow partial builds while modules land incrementally
+            if f"pyetl_spark.queries.{mod}" not in str(exc):
+                raise

@@ -1,0 +1,106 @@
+"""Shared test fixtures: one SparkSession per test run, a DuckDB oracle
+connection per scale factor, and the parity comparator that mirrors the
+driver's t2 gate (row-count + schema + order-insensitive value compare)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyetl_spark.session import get_session
+from pyetl_spark.tables import TABLE_NAMES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("PYETL_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("pyetl-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_value(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # queries round explicitly; quantize here only to absorb float repr
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_value(x)) for k, x in v.items()))
+    # duckdb may hand back Decimal for some exprs
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return _norm_value(float(v))
+    except ImportError:
+        pass
+    return v
+
+
+def _normalize(cols, rows):
+    """Sort columns by name (driver behavior), then sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted_cols, out
+
+
+def assert_parity(spark, duck, key: str, sf_dir: str = SF_ORACLE):
+    """Run engine query + DuckDB oracle, compare like the driver does."""
+    from pyetl_spark import registry
+
+    registry.load_all()
+    sdf = registry.QUERIES[key](spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(registry.ORACLE[key])
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+
+    assert len(s_rows) == len(d_rows), (
+        f"{key}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
+    )
+    ns_cols, ns_rows = _normalize(s_cols, s_rows)
+    nd_cols, nd_rows = _normalize(d_cols, d_rows)
+    assert ns_cols == nd_cols, f"{key}: columns {ns_cols} != {nd_cols}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(ns_rows, nd_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{key}: {len(mismatches)}/{len(ns_rows)} rows differ; first 3: "
+        f"{mismatches[:3]}"
+    )
