@@ -1,0 +1,292 @@
+"""Join operators (SURVEY.md §2.3, all Tier A).
+
+Scale posture: every equi-join here is declared via the DataFrame API so
+Catalyst picks broadcast / shuffled-hash / sort-merge by size, and AQE can
+demote or promote at runtime. Dimension tables (region, nation, supplier,
+customer at small SF) sit under the 10 MB autoBroadcastJoinThreshold; at
+100 TB the same plans broadcast dims and sort-merge the fact-fact joins,
+with AQE skew-splitting on hot keys. `join_broadcast_hint` proves the
+explicit-hint plumbing. The as-of join is the one genuinely custom operator
+(no Spark primitive) — see pyetl_spark.operators.asof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.operators.asof import asof_join
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join orders⋈customer (SURVEY §2.3 `join_inner_equi` [S])."""
+    t = load_tables(spark, sf_dir)
+    orders, customer = t.orders, t.customer
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_multi_3way",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def join_multi_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem + filter + agg
+    (SURVEY §2.3 `join_multi_3way` [S][T]).
+
+    Filters sit on each base table *before* the joins so pushdown prunes
+    scans; customer (selective dim) broadcasts, orders⋈lineitem shuffles
+    on the order key.
+    """
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t.orders.filter(F.col("o_orderdate") < cutoff)
+    lineitem = t.lineitem.filter(F.col("l_shipdate") > cutoff)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping unmatched customers (SURVEY §2.3
+    `join_left_outer` [S]); the extra ON-clause predicate exercises the
+    outer-join (non-pushable) filter placement both engines must agree on."""
+    t = load_tables(spark, sf_dir)
+    customer, orders = t.customer, t.orders
+    cond = (customer.c_custkey == orders.o_custkey) & (
+        orders.o_totalprice > 450000
+    )
+    return customer.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT s_suppkey, s_name, n_nationkey, n_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (SURVEY §2.3 `join_right_outer` [S]) — nations with
+    no supplier survive with null supplier columns."""
+    t = load_tables(spark, sf_dir)
+    supplier, nation = t.supplier, t.nation
+    return supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey, "right"
+    ).select("s_suppkey", "s_name", "n_nationkey", "n_name")
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH big_cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    ), big_orders AS (
+      SELECT o_custkey, count(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, o_custkey, n_big
+    FROM big_cust FULL JOIN big_orders ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two filtered sides (SURVEY §2.3 `join_full_outer`
+    [S]) — unmatched rows from both sides survive."""
+    t = load_tables(spark, sf_dir)
+    big_cust = t.customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name"
+    )
+    big_orders = (
+        t.orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return big_cust.join(
+        big_orders, big_cust.c_custkey == big_orders.o_custkey, "full"
+    ).select("c_custkey", "c_name", "o_custkey", "n_big")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≙ EXISTS (SURVEY §2.3 `join_semi` [S]): customers with
+    at least one urgent order, no right-side columns, no duplication."""
+    t = load_tables(spark, sf_dir)
+    customer = t.customer
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≙ NOT EXISTS (SURVEY §2.3 `join_anti` [S]): customers
+    with no orders at all."""
+    t = load_tables(spark, sf_dir)
+    customer, orders = t.customer, t.orders
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (SURVEY §2.3 `join_cross`
+    [S]); physically a BroadcastNestedLoopJoin."""
+    t = load_tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi interval condition (SURVEY §2.3 `join_theta_range`
+    [S]). The equi part keeps this a hash join with the range as a post-join
+    filter — NOT a nested loop; that's the property that survives 100 TB."""
+    t = load_tables(spark, sf_dir)
+    orders = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    lineitem = t.lineitem
+    cond = (
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return orders.join(lineitem, cond).select(
+        "o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"
+    )
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 150000
+    """,
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as `join_inner_equi` but with an explicit broadcast hint
+    (SURVEY §2.3 `join_broadcast_hint` [S]) — proves hint plumbing; the
+    result hash must be identical to the unhinted plan."""
+    t = load_tables(spark, sf_dir)
+    orders, customer = t.orders, t.customer
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 `join_asof` [M][S]): for each error event, the
+    most recent prior-or-equal purchase by the same user. No native Spark
+    as-of → custom operator (pyetl_spark.operators.asof) verified against
+    DuckDB's native ASOF JOIN."""
+    ev = load_tables(spark, sf_dir).events
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+    ).select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
