@@ -3,7 +3,11 @@
 Spark plans every groupBy().agg() as partial (map-side) + final HashAggregate
 automatically — at 100 TB the partial combine is what keeps the shuffle small,
 and nothing here defeats it (no Python in the hot path, no collect loops).
-Float outputs are rounded identically on both engines (SURVEY §5.3).
+
+Float discipline: all rounded outputs go through pyetl_spark.parity — money
+sums use exact fixed-point integer summation (order-free, bit-identical
+across engines and partitionings); see parity.py for why native round() is
+banned.
 """
 
 from __future__ import annotations
@@ -11,21 +15,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyetl_spark.parity import FXP, MAVG, MSUM, R, fxp, mavg, msum, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
 
 @query(
     "agg_groupby_pricing",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           {MSUM('l_quantity', 100)}                                    AS sum_qty,
+           {MSUM('l_extendedprice', 100)}                               AS sum_base_price,
+           {MSUM('l_extendedprice * (1 - l_discount)', 10**4)}          AS sum_disc_price,
+           {MSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 10**6)} AS sum_charge,
+           {MAVG('l_quantity', 100)}                                    AS avg_qty,
+           {MAVG('l_extendedprice', 100)}                               AS avg_price,
+           {MAVG('l_discount', 100)}                                    AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -41,26 +46,19 @@ def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate predicate reaches the parquet row-group stats.
     """
     li = load_tables(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            msum(F.col("l_quantity"), 100).alias("sum_qty"),
+            msum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            msum(disc_price, 10**4).alias("sum_disc_price"),
+            msum(charge, 10**6).alias("sum_charge"),
+            mavg(F.col("l_quantity"), 100).alias("avg_qty"),
+            mavg(F.col("l_extendedprice"), 100).alias("avg_price"),
+            mavg(F.col("l_discount"), 100).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -69,25 +67,26 @@ def agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_global",
-    oracle="""
+    oracle=f"""
     SELECT count(*) AS n_rows,
-           round(sum(l_quantity), 2) AS total_qty,
-           round(min(l_extendedprice), 2) AS min_price,
-           round(max(l_extendedprice), 2) AS max_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           {MSUM('l_quantity', 100)} AS total_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           {MAVG('l_discount', 100)} AS avg_disc,
            count(DISTINCT l_orderkey) AS n_orders
     FROM lineitem
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-table aggregate, no grouping (SURVEY §2.4 `agg_global` [S])."""
+    """Whole-table aggregate, no grouping (SURVEY §2.4 `agg_global` [S]).
+    min/max need no rounding — they return bit-identical input values."""
     li = load_tables(spark, sf_dir).lineitem
     return li.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        msum(F.col("l_quantity"), 100).alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        mavg(F.col("l_discount"), 100).alias("avg_disc"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -131,41 +130,42 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_having",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_spend
+           {MSUM('o_totalprice', 100)} AS total_spend
     FROM orders
     GROUP BY o_custkey
-    HAVING count(*) >= 12 AND sum(o_totalprice) > 1000000
+    HAVING count(*) >= 12 AND sum({FXP('o_totalprice', 100)}) > 100000000
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (SURVEY §2.4 `agg_having` [S]). The filter on
-    the un-rounded sum stays identical on both engines; only output rounds."""
+    """Post-aggregation filter (SURVEY §2.4 `agg_having` [S]). The HAVING
+    threshold compares in the exact scaled-integer domain so the predicate
+    decides identically on both engines."""
     o = load_tables(spark, sf_dir).orders
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum("o_totalprice").alias("_spend"),
+            F.sum(fxp(F.col("o_totalprice"), 100)).alias("_spend_c"),
         )
-        .filter((F.col("n_orders") >= 12) & (F.col("_spend") > 1000000))
+        .filter((F.col("n_orders") >= 12) & (F.col("_spend_c") > 100000000))
         .select(
             "o_custkey",
             "n_orders",
-            F.round("_spend", 2).alias("total_spend"),
+            rnd(F.col("_spend_c").cast("double") / F.lit(100.0), 2).alias(
+                "total_spend"
+            ),
         )
     )
 
 
 @query(
     "agg_conditional",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_discount > 0.05
-                          THEN l_extendedprice ELSE 0 END), 2) AS hi_disc_rev,
-           round(sum(CASE WHEN l_discount <= 0.05
-                          THEN l_extendedprice ELSE 0 END), 2) AS lo_disc_rev,
+           {MSUM("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END", 100)} AS hi_disc_rev,
+           {MSUM("CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END", 100)} AS lo_disc_rev,
            count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
            count(*) FILTER (WHERE l_tax = 0) AS n_taxfree
     FROM lineitem
@@ -175,21 +175,17 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style conditional aggregation (SURVEY §2.4 `agg_conditional`)."""
     li = load_tables(spark, sf_dir).lineitem
+    hi = (
+        F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+        .otherwise(0.0)
+    )
+    lo = (
+        F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice"))
+        .otherwise(0.0)
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
-                .otherwise(0.0)
-            ),
-            2,
-        ).alias("hi_disc_rev"),
-        F.round(
-            F.sum(
-                F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice"))
-                .otherwise(0.0)
-            ),
-            2,
-        ).alias("lo_disc_rev"),
+        msum(hi, 100).alias("hi_disc_rev"),
+        msum(lo, 100).alias("lo_disc_rev"),
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
         F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
     )
@@ -197,35 +193,37 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_stats",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 4) AS sd_price,
-           round(var_samp(l_quantity), 4)         AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_discount, l_tax), 4)     AS cov_disc_tax
+           {R('stddev_samp(l_extendedprice)', 4)} AS sd_price,
+           {R('var_samp(l_quantity)', 4)}         AS var_qty,
+           {R('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
+           {R('covar_samp(l_discount, l_tax)', 4)}     AS cov_disc_tax
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates, rounded 4dp (SURVEY §2.4 `agg_stats` [S])."""
+    """Statistical aggregates, rounded 4dp (SURVEY §2.4 `agg_stats` [S]).
+    These aren't on a decimal grid, so tie-risk is measure-zero; the parity
+    round only normalizes the final bits."""
     li = load_tables(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+        rnd(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        rnd(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        rnd(F.corr("l_quantity", "l_extendedprice"), 4).alias(
             "corr_qty_price"
         ),
-        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
+        rnd(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
     )
 
 
 @query(
     "agg_percentile",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+           {R('quantile_cont(o_totalprice, 0.5)', 4)} AS median_price,
+           {R('quantile_cont(o_totalprice, 0.9)', 4)} AS p90_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -233,14 +231,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (SURVEY §2.4 `agg_percentile` [S]).
 
-    Spark `percentile` == DuckDB `quantile_cont` (linear interpolation).
-    At 100 TB the approx_percentile sketch is the right tool; exact kept
-    here because the oracle demands determinism.
+    Spark `percentile` == DuckDB `quantile_cont` (linear interpolation);
+    results land on a ~3dp grid (interpolating 2dp data at 0.1 fractions),
+    so the 4dp parity round is tie-free. At 100 TB approx_percentile is the
+    right tool; exact kept because the oracle demands determinism.
     """
     o = load_tables(spark, sf_dir).orders
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 2).alias("median_price"),
-        F.round(F.percentile("o_totalprice", 0.9), 2).alias("p90_price"),
+        rnd(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        rnd(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
     )
 
 
@@ -250,7 +249,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey,
            max(struct_pack(p := o_totalprice, k := o_orderkey))['k'] AS best_order,
            min(struct_pack(p := o_totalprice, k := o_orderkey))['k'] AS worst_order,
-           round(max(o_totalprice), 2) AS best_price
+           max(o_totalprice) AS best_price
     FROM orders
     GROUP BY o_custkey
     """,
@@ -269,17 +268,17 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").agg(
         F.max(pair)["k"].alias("best_order"),
         F.min(pair)["k"].alias("worst_order"),
-        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        F.max("o_totalprice").alias("best_price"),
     )
 
 
 @query(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
            grouping(r_name)::INT AS g_region,
            grouping(n_name)::INT AS g_nation,
-           round(sum(c_acctbal), 2) AS total_bal,
+           {MSUM('c_acctbal', 100)} AS total_bal,
            count(*) AS n_cust
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -297,7 +296,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(
         F.grouping("r_name").cast("int").alias("g_region"),
         F.grouping("n_name").cast("int").alias("g_nation"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        msum(F.col("c_acctbal"), 100).alias("total_bal"),
         F.count("*").alias("n_cust"),
     ).select(
         "r_name", "n_name", "g_region", "g_nation", "total_bal", "n_cust"
@@ -306,12 +305,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
            grouping(o_orderstatus)::INT AS g_status,
            grouping(o_orderpriority)::INT AS g_prio,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           {MSUM('o_totalprice', 100)} AS revenue
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -323,7 +322,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        msum(F.col("o_totalprice"), 100).alias("revenue"),
     ).select(
         "o_orderstatus", "o_orderpriority", "g_status", "g_prio",
         "n_orders", "revenue",
@@ -332,12 +331,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, c_nationkey,
            grouping(c_mktsegment)::INT AS g_seg,
            grouping(c_nationkey)::INT  AS g_nat,
            count(*) AS n_cust,
-           round(avg(c_acctbal), 4) AS avg_bal
+           {MAVG('c_acctbal', 100)} AS avg_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     """,
@@ -346,16 +345,17 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping-set list (SURVEY §2.4 `agg_grouping_sets` [S]).
 
     Uses the SQL entry point (DataFrame API has no groupingSets pre-4.x
-    parity) — same Catalyst plan as rollup/cube's Expand node.
+    parity) — same Catalyst plan as rollup/cube's Expand node. The Spark SQL
+    text mirrors parity.MAVG's arithmetic exactly.
     """
     load_tables(spark, sf_dir).register_views()
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment, c_nationkey,
                CAST(grouping(c_mktsegment) AS INT) AS g_seg,
                CAST(grouping(c_nationkey) AS INT)  AS g_nat,
                count(*) AS n_cust,
-               round(avg(c_acctbal), 4) AS avg_bal
+               {MAVG('c_acctbal', 100)} AS avg_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """

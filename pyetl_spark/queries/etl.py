@@ -1,0 +1,175 @@
+"""Projection / filter / ETL-hygiene operators (SURVEY.md §2.2, Tier A).
+
+These are the reference's per-record cleanup steps (rename, drop, default,
+cast, derive partition keys — SURVEY §3.1) re-expressed as declarative column
+expressions so they fuse into the scan's WholeStageCodegen pipeline instead
+of running row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import FXP, R, fxp, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+@query(
+    "proj_expr",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R('l_extendedprice * (1 - l_discount)', 2)} AS revenue,
+           {R('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS charge,
+           {R('l_quantity * l_extendedprice', 2)} AS gross,
+           CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+)
+def proj_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns + aliases (SURVEY §2.2 `proj_expr` [S])."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        rnd(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            2,
+        ).alias("charge"),
+        rnd(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias(
+            "gross"
+        ),
+        F.when(F.col("l_discount") > 0.05, "HI").otherwise("LO").alias(
+            "disc_band"
+        ),
+    )
+
+
+@query(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus IN ('F', 'P') OR o_orderpriority = '1-URGENT')
+      AND o_totalprice BETWEEN 100000 AND 300000
+      AND NOT (o_orderpriority = '5-LOW' AND o_orderstatus = 'O')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT, IN-list, BETWEEN, IS NOT NULL (SURVEY §2.2
+    `filter_compound` [S])."""
+    o = load_tables(spark, sf_dir).orders
+    return o.filter(
+        (
+            F.col("o_orderstatus").isin("F", "P")
+            | (F.col("o_orderpriority") == "1-URGENT")
+        )
+        & F.col("o_totalprice").between(100000, 300000)
+        & ~(
+            (F.col("o_orderpriority") == "5-LOW")
+            & (F.col("o_orderstatus") == "O")
+        )
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@query(
+    "filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_brand
+    FROM part
+    WHERE p_type LIKE '%BRASS%'
+       OR regexp_matches(p_brand, '^Brand#[12][0-9]$')
+    """,
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + RLIKE predicates (SURVEY §2.2 `filter_like_regex` [S])."""
+    p = load_tables(spark, sf_dir).part
+    return p.filter(
+        F.col("p_type").like("%BRASS%")
+        | F.col("p_brand").rlike("^Brand#[12][0-9]$")
+    ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+@query(
+    "etl_field_cleanup",
+    oracle="""
+    SELECT s_suppkey AS suppkey,
+           lower(s_name) AS name,
+           coalesce(s_acctbal, 0.0) AS acctbal,
+           CASE WHEN s_acctbal < 0 THEN 'DEBT' ELSE 'OK' END AS status
+    FROM supplier
+    """,
+)
+def etl_field_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename / lowercase / default-missing hygiene (SURVEY §2.2
+    `etl_field_cleanup` [P:med]) — the reference's per-record field cleanup
+    as pure column expressions."""
+    s = load_tables(spark, sf_dir).supplier
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.lower("s_name").alias("name"),
+        F.coalesce(F.col("s_acctbal"), F.lit(0.0)).alias("acctbal"),
+        F.when(F.col("s_acctbal") < 0, "DEBT").otherwise("OK").alias("status"),
+    )
+
+
+@query(
+    "etl_type_cast",
+    oracle=f"""
+    SELECT event_id,
+           CAST(event_id AS VARCHAR) AS id_str,
+           {FXP('value', 1)} AS value_int,
+           TRY_CAST(event_type AS DOUBLE) AS bad_cast,
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+           CAST(ts AS DATE) AS event_date
+    FROM events
+    """,
+)
+def etl_type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts incl. try_cast on dirty data (SURVEY §2.2 `etl_type_cast`):
+    `bad_cast` is always NULL (letters → DOUBLE fails softly on both
+    engines), `k_typed` goes string→int."""
+    ev = load_tables(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("id_str"),
+        fxp(F.col("value"), 1).alias("value_int"),
+        F.col("event_type").try_cast("double").alias("bad_cast"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_typed"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
+@query(
+    "etl_enrich_partition_cols",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(ts AS DATE) AS dt,
+           CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS dt_str,
+           CAST(extract(hour FROM ts) AS INT) AS event_hour,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def etl_enrich_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive Hive-partition fields from the event timestamp (SURVEY §2.2
+    `etl_enrich_partition_cols`) — the reference's enrichment step that
+    feeds its date-partitioned output layout."""
+    ev = load_tables(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("dt"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dt_str"),
+        F.hour("ts").alias("event_hour"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.asof import asof_join
+from pyetl_spark.parity import MSUM, msum
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -44,9 +45,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_multi_3way",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {MSUM('l_extendedprice * (1 - l_discount)', 10**4)} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -75,8 +76,8 @@ def join_multi_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

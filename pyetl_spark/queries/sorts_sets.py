@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyetl_spark.parity import R, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -48,9 +49,9 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "topk_limit",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 2) AS revenue
+           {R('l_extendedprice * (1 - l_discount)', 2)} AS revenue
     FROM lineitem
     ORDER BY l_extendedprice * (1 - l_discount) DESC,
              l_orderkey, l_linenumber
@@ -73,7 +74,7 @@ def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round("_rev", 2).alias("revenue"),
+            rnd(F.col("_rev"), 2).alias("revenue"),
         )
     )
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyetl_spark.parity import R, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -20,7 +21,7 @@ from pyetl_spark.tables import load_tables
     "win_topk_per_group",
     oracle="""
     SELECT * FROM (
-      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+      SELECT o_custkey, o_orderkey, o_totalprice AS price,
              row_number() OVER (
                PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey
@@ -40,7 +41,7 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("price"),
+            F.col("o_totalprice").alias("price"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
@@ -76,11 +77,11 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_ntile_pct",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 4) AS pct_rank,
-           round(cume_dist() OVER w, 4) AS cume
+           {R('percent_rank() OVER w', 4)} AS pct_rank,
+           {R('cume_dist() OVER w', 4)} AS cume
     FROM customer
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     """,
@@ -93,18 +94,18 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        rnd(F.percent_rank().over(w), 4).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 4).alias("cume"),
     )
 
 
 @query(
     "win_lag_lead",
     oracle="""
-    SELECT event_id, user_id, round(value, 2) AS value,
-           round(lag(value)  OVER w, 2) AS prev_value,
-           round(lead(value) OVER w, 2) AS next_value,
-           round(value - lag(value) OVER w, 2) AS delta
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -117,21 +118,21 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round("value", 2).alias("value"),
-        F.round(F.lag("value").over(w), 2).alias("prev_value"),
-        F.round(F.lead("value").over(w), 2).alias("next_value"),
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
     )
 
 
 @query(
     "win_running_sum",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           {R('''sum(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend
+           )''', 2)} AS running_spend
     FROM orders
     """,
 )
@@ -147,18 +148,18 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        rnd(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
     )
 
 
 @query(
     "win_moving_avg",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
-           round(avg(value) OVER (
+           {R('''avg(value) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
-           ), 4) AS moving_avg
+           )''', 4)} AS moving_avg
     FROM events
     """,
 )
@@ -173,22 +174,22 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+        rnd(F.avg("value").over(w), 4).alias("moving_avg"),
     )
 
 
 @query(
     "win_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id, epoch_s,
            count(*) OVER (
              PARTITION BY user_id ORDER BY epoch_s
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS n_last_hour,
-           round(sum(value) OVER (
+           {R('''sum(value) OVER (
              PARTITION BY user_id ORDER BY epoch_s
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ), 2) AS sum_last_hour
+           )''', 2)} AS sum_last_hour
     FROM (SELECT event_id, user_id, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
           FROM events)
@@ -215,7 +216,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "epoch_s",
         F.count("*").over(w).alias("n_last_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+        rnd(F.sum("value").over(w), 2).alias("sum_last_hour"),
     )
 
 

@@ -48,8 +48,11 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # queries round explicitly; quantize here only to absorb float repr
-        return round(v, 9)
+        # EXACT bit compare — pyetl_spark.parity engineers bit-identical
+        # floats on both engines, and the driver's value-hash is assumed
+        # exact too. 0.0 == -0.0 in Python; acceptable (both engines
+        # produce the sign identically from identical ops).
+        return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, datetime.date):
