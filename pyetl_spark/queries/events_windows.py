@@ -1,0 +1,144 @@
+"""Batch analogs of the streaming window operators (SURVEY.md §2.9 Tier A).
+
+The reference is fundamentally a streaming consumer; these queries pin the
+*aggregation semantics* of each stateful shape against the DuckDB oracle on
+the static events table, while the true Structured Streaming versions (same
+logic, incremental state) live in pyetl_spark/streaming/ with Tier-C pytest
+coverage (tests/test_streaming.py).
+
+Window-boundary math happens on integer epoch microseconds on both engines —
+never on interval arithmetic, whose dialects differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import MSUM, msum
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+_US_15MIN = 15 * 60 * 1_000_000
+_US_30MIN = 30 * 60 * 1_000_000
+
+
+@query(
+    "stream_tumbling_1h",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           {MSUM('value', 100)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event_type (SURVEY §2.9
+    `stream_tumbling_1h`). Streaming twin: groupBy(window(ts, '1 hour'))
+    with a watermark — see pyetl_spark/streaming/windows.py."""
+    ev = load_tables(spark, sf_dir).events
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        msum(F.col("value"), 100).alias("total_value"),
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events,
+           {MSUM('value', 100)} AS total_value
+    FROM (
+      SELECT event_type, value,
+             unnest([
+               make_timestamp((epoch_us(ts) // {_US_15MIN}) * {_US_15MIN}),
+               make_timestamp((epoch_us(ts) // {_US_15MIN} - 1) * {_US_15MIN})
+             ]) AS ws
+      FROM events
+    )
+    GROUP BY ws, event_type
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min windows sliding every 15 min — every event lands in exactly 2
+    windows (SURVEY §2.9 `stream_sliding`). Spark's window() generates the
+    window set; the oracle reconstructs it by exploding the two aligned
+    starts per event on integer-µs arithmetic."""
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            msum(F.col("value"), 100).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_US_30MIN}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           {MSUM('value', 100)} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-min inactivity gap (SURVEY §2.9
+    `stream_session`), as classic gaps-and-islands: lag → new-session flag →
+    running sum = session id. Streaming twin uses session_window(ts, '30
+    minutes'). Gap math on integer epoch-µs, identical on both engines."""
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > _US_30MIN),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        msum(F.col("value"), 100).alias("total_value"),
+    )
