@@ -1,0 +1,113 @@
+"""Sinks (SURVEY.md §2.1, Tier B — rows-only checks).
+
+The reference's signature capability is one input → multiple destinations
+with date-partitioned file layout (SURVEY §0 driver characterization, §3.1).
+Here each sink writes to a scratch dir and *re-reads* the result, so the
+rows-only check still validates the full write→read round trip, layout
+included. The streaming multi-sink twin (foreachBatch) is Tier C in
+pyetl_spark/streaming/.
+
+Scale posture: writes go through `partitionBy` (Hive layout, partition
+pruning on read-back) with `mode("overwrite")` idempotency — the same call
+shape a 1000-executor job uses; only the scratch path is fixture-local.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+_SCRATCH = os.environ.get("PYETL_SCRATCH", tempfile.gettempdir())
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(_SCRATCH, "pyetl_spark_sinks", name)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+def _events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's enrich-then-land shape: events + derived dt key."""
+    ev = load_tables(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date("ts").alias("dt"),
+    )
+
+
+@query("sink_parquet_partitioned")  # Tier B
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned Parquet sink + read-back (SURVEY §2.1
+    `sink_parquet_partitioned`): Hive `dt=YYYY-MM-DD/` layout, the
+    reference's output-directory convention."""
+    path = _scratch("parquet_partitioned")
+    df = _events_enriched(spark, sf_dir)
+    df.write.partitionBy("dt").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    # partition pruning check-friendly shape: one partition's rows
+    return back.select(
+        "event_id", "user_id", "event_type", "value", "dt"
+    ).orderBy("event_id")
+
+
+@query("sink_json_lines")  # Tier B
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON sink + read-back (SURVEY §2.1
+    `sink_json_lines`) — the reference's native record format."""
+    path = _scratch("json_lines")
+    df = _events_enriched(spark, sf_dir)
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema(df.schema).json(path)
+    return back.orderBy("event_id")
+
+
+@query("sink_csv")  # Tier B
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink with header + schema-pinned read-back (SURVEY §2.1
+    `sink_csv`)."""
+    path = _scratch("csv")
+    df = _events_enriched(spark, sf_dir)
+    df.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(df.schema).option("header", True).csv(path)
+    return back.orderBy("event_id")
+
+
+@query("sink_multi")  # Tier B
+def sink_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One input → multiple destinations (SURVEY §2.1 `sink_multi`) — the
+    reference's signature move. Same DataFrame lands in Parquet AND JSON;
+    returns the union of both read-backs tagged by sink (so row count =
+    2× input proves both destinations committed).
+
+    Batch fan-out writes the input once per sink; the streaming version
+    (foreachBatch, Tier C) shares one materialization per micro-batch —
+    at scale, cache the input before fan-out to avoid recomputing the
+    upstream pipeline per destination.
+    """
+    pq_path = _scratch("multi_parquet")
+    js_path = _scratch("multi_json")
+    df = _events_enriched(spark, sf_dir)
+    cached = df.cache()
+    try:
+        cached.write.mode("overwrite").parquet(pq_path)
+        cached.write.mode("overwrite").json(js_path)
+        pq_back = spark.read.parquet(pq_path).withColumn(
+            "sink", F.lit("parquet")
+        )
+        js_back = (
+            spark.read.schema(df.schema)
+            .json(js_path)
+            .withColumn("sink", F.lit("json"))
+        )
+        return pq_back.unionByName(js_back).orderBy("sink", "event_id")
+    finally:
+        cached.unpersist()
