@@ -1,0 +1,180 @@
+"""LLM-data-pipeline text operators (SURVEY.md §2.10, mandated extension).
+
+Deduplication + text analysis over the documents table — the operations a
+large-scale training-data pipeline runs at 100 TB. Everything Tier A here is
+pure DataFrame algebra (hash-groupBy dedup, blocked pair-join near-dup,
+explode-count term stats); the approximate scale paths (MinHash/LSH, SimHash)
+live in pyetl_spark/operators/ with Tier-C tolerance tests against these
+exact versions.
+
+Scale notes per operator are on the docstrings; the common theme: dedup is
+one shuffle on the hash/blocking key, never a global collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import R, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup (SURVEY §2.10 `dedup_exact`): md5-groupBy,
+    keep lowest doc_id. One shuffle on the 128-bit hash — uniform keys, no
+    skew, the canonical 100 TB exact-dedup plan."""
+    d = load_tables(spark, sf_dir).documents
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_near_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           {R('''CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)''', 4)}
+             AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard >= 0.8 within a language
+    blocking key (SURVEY §2.10 `dedup_near_jaccard`).
+
+    The threshold predicate evaluates on the exact integer set sizes (same
+    division both engines) — deterministic pair membership. Blocking on
+    `lang` bounds the quadratic term; the 100 TB path replaces the blocked
+    pair join with MinHashLSH banding (operators/minhash.py, Tier C).
+    """
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t"))).cast("double")
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            rnd(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           {R('CAST(sum(n_chars) AS DOUBLE) / count(*)', 4)} AS avg_chars,
+           count(*) FILTER (WHERE n_chars = length(text)) AS n_chars_ok
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang/source corpus stats + n_chars integrity check (SURVEY §2.10
+    `text_stats`). Integer sums are exact; avg derives from them."""
+    d = load_tables(spark, sf_dir).documents
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        rnd(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_chars"),
+        F.count_if(F.col("n_chars") == F.length("text")).alias("n_chars_ok"),
+    )
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+    SELECT tok AS term, count(*) AS tf
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 terms by frequency, term tiebreak (SURVEY §2.10
+    `text_top_terms`). explode → partial-agg counts → TakeOrdered(20):
+    only 20 rows per partition survive to the final merge."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "text_lang_filter_pipeline",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr', 'es')
+      AND n_chars BETWEEN 50 AND 900
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      AND substring(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')
+    ORDER BY doc_id
+    """,
+)
+def text_lang_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite cleaning pipeline (SURVEY §2.10 `text_lang_filter_pipeline`):
+    language whitelist → length bounds → exact-dedup (keep lowest doc_id) →
+    deterministic 50% "sample" by first md5 hex digit. Every stage is a
+    narrow transformation or one hash shuffle; the md5-digit sample replaces
+    rand() so the pipeline is replayable (SURVEY §5.3 bans rand)."""
+    d = load_tables(spark, sf_dir).documents
+    filtered = d.filter(
+        F.col("lang").isin("en", "fr", "es")
+        & F.col("n_chars").between(50, 900)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & F.substring(F.md5("text"), 1, 1).isin(list("01234567"))
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,175 @@
+"""LLM-pipeline vector operators (SURVEY.md §2.10): norms, centroids,
+brute-force cosine top-k over the embeddings table.
+
+Float discipline: every reduction over an embedding is an explicit
+left-fold with a double zero, written identically in Spark (aggregate) and
+DuckDB (list_reduce + list_prepend) so partial results are bit-identical —
+rankings then compare identical doubles and need only the vec_id tiebreak.
+float32 → float64 casts are lossless.
+
+Scale path: brute-force kNN is O(probes × corpus) — fine for a fixed probe
+set, fatal for all-pairs at 100 TB; the LSH-bucketed variant lives in
+operators/knn.py + operators/minhash.py (Tier C, recall-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import R, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+#: DuckDB twin of the explicit-zero left fold used below.
+_SQL_FOLD_SQ = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    (a, x) -> a + x)"""
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm_sq(col: Column) -> Column:
+    """Sum of squares via explicit left fold (zero-seeded)."""
+    return F.aggregate(
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@query(
+    "vec_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           {R('sqrt(' + _SQL_FOLD_SQ.format(e='embedding') + ')', 4)} AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding (SURVEY §2.10 `vec_norm`): JVM-side higher-order
+    fold, no Python, no shuffle — a pure narrow map at any scale."""
+    e = load_tables(spark, sf_dir).embeddings
+    return e.select(
+        "vec_id",
+        "label",
+        rnd(F.sqrt(_norm_sq(_to_double(F.col("embedding")))), 4).alias(
+            "l2_norm"
+        ),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@query(
+    "vec_centroid",
+    oracle=f"""
+    WITH exploded AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), means AS (
+      SELECT label, pos, {R('sum(x) / count(*)', 4)} AS m
+      FROM exploded GROUP BY label, pos
+    )
+    SELECT label, list(m ORDER BY pos) AS centroid, count(*) AS dim
+    FROM means GROUP BY label
+    """,
+)
+def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vector per label (SURVEY §2.10 `vec_centroid`): posexplode →
+    per-(label, position) mean → reassemble position-sorted.
+
+    Two shuffles on (label,pos) then (label) — both tiny key spaces; at
+    100 TB the partial aggregate does almost all the work map-side. The
+    4dp round happens per element *before* reassembly so the array
+    compares deterministically.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "x32")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x32").cast("double").alias("x"),
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        rnd(F.sum("x") / F.count(F.lit(1)), 4).alias("m")
+    )
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("centroid"),
+        F.count("*").alias("dim"),
+    )
+
+
+@query(
+    "vec_cosine_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), sims AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.e)),
+                              i -> p.e[i] * c.e[i])), (a, x) -> a + x)
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(p.e, x -> x * x)), (a, x) -> a + x))
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(c.e, x -> x * x)), (a, x) -> a + x))
+               AS sim
+      FROM v p JOIN v c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+    )
+    SELECT probe_id, cand_id, {R('sim', 4)} AS cosine_sim, rn AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine kNN for a fixed probe set (SURVEY §2.10
+    `vec_cosine_topk`): top-5 neighbors of each vec_id<10.
+
+    The probe side broadcasts (10 rows), so the "cross" join is a single
+    broadcast nested loop over one corpus pass; ranking uses the UNROUNDED
+    sim (bit-identical on both engines by fold construction) + vec_id
+    tiebreak, so the selected row set is deterministic.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+    probes = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    cands = v.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"))
+    pairs = F.broadcast(probes).crossJoin(cands).filter(
+        F.col("cand_id") != F.col("probe_id")
+    )
+    sim = (
+        _dot(F.col("pe"), F.col("ce"))
+        / F.sqrt(_norm_sq(F.col("pe")))
+        / F.sqrt(_norm_sq(F.col("ce")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.select("probe_id", "cand_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "probe_id", "cand_id", rnd(F.col("sim"), 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
