@@ -1,0 +1,228 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+Python is the slow path (SURVEY §0 north star): row-at-a-time UDFs pay
+pickle per row, pandas UDFs move Arrow batches. Both are declared here with
+*arithmetic* bodies so the DuckDB oracle is plain SQL — the point is proving
+the boundary plumbing (types, nulls, batching), not hiding logic in Python.
+
+Float note: Python floats are IEEE doubles, so `p * (1 - d)` computes the
+same bits as the JVM expression; numpy reductions (grouped UDAF) may reorder
+— their outputs get the 4dp parity round where ties are measure-zero.
+
+Scale: pandas UDFs (Arrow, vectorized) are the only Python form allowed in a
+100 TB hot path; udf_scalar_python exists for parity, not for scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from pyetl_spark.parity import R, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+def _py_net_revenue_udf():
+    """Row-at-a-time Python UDF (pickled scalars per row). Built lazily —
+    UDF/UDTF decorators parse DDL types and need an active session."""
+
+    @udf("double")
+    def _py_net_revenue(price: float, discount: float, tax: float) -> float:
+        if price is None:
+            return None
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    return _py_net_revenue
+
+
+def _pd_net_revenue_udf():
+    """Vectorized Arrow UDF — same contract, batch at a time."""
+
+    @pandas_udf("double")
+    def _pd_net_revenue(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    return _pd_net_revenue
+
+
+def _pd_weighted_mean_udf():
+    """Grouped-agg pandas UDF: quantity-weighted mean price."""
+
+    @pandas_udf("double")
+    def _pd_weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return _pd_weighted_mean
+
+
+def _token_explode_udtf():
+    """Python UDTF: one row in → N (pos, token) rows out (Spark 4 @udtf)."""
+
+    @udtf(returnType="pos int, tok string")
+    class _TokenExplode:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" ")):
+                    yield i + 1, tok
+
+    return _TokenExplode
+
+
+@query(
+    "udf_scalar_python",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)}
+             AS net_revenue
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey < 3000
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF (SURVEY §2.11 `udf_scalar_python`): the classic
+    pickle-per-row boundary; Python doubles compute the same IEEE bits as
+    the SQL twin."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 3000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd(
+                _py_net_revenue_udf()("l_extendedprice", "l_discount", "l_tax"), 2
+            ).alias("net_revenue"),
+        )
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)}
+             AS net_revenue
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey < 3000
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF, same contract as the row UDF
+    (SURVEY §2.11 `udf_pandas_scalar`) — identical result hash proves the
+    two boundaries agree."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 3000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd(
+                _pd_net_revenue_udf()("l_extendedprice", "l_discount", "l_tax"), 2
+            ).alias("net_revenue"),
+        )
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    oracle=f"""
+    SELECT l_returnflag,
+           {R('sum(l_extendedprice * l_quantity) / sum(l_quantity)', 4)}
+             AS wmean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (SURVEY §2.11 `udaf_pandas_grouped`):
+    weighted mean per group, 4dp parity-rounded (pandas/DuckDB summation
+    orders differ; off-grid ties are measure-zero)."""
+    li = load_tables(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        rnd(_pd_weighted_mean_udf()("l_extendedprice", "l_quantity"), 4).alias(
+            "wmean_price"
+        )
+    )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.11 `udtf_python`): token exploder via Spark 4
+    @udtf + SQL LATERAL join."""
+    load_tables(spark, sf_dir).register_views()
+    spark.udtf.register("token_explode", _token_explode_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM documents d, LATERAL token_explode(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )
+
+
+@query("grouped_map_applyInPandas")  # Tier B: float-chain too fragile to hash
+def grouped_map_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DataFrame→DataFrame transform (SURVEY §2.11
+    `grouped_map_applyInPandas`): z-score normalize order totals within each
+    priority class. Arrow both ways; each group must fit one executor —
+    partition keys at 100 TB need bounded group sizes."""
+    o = load_tables(spark, sf_dir).orders
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "price_z": (pdf["o_totalprice"] - mu) / sd,
+            }
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInPandas(
+            zscore, "o_orderkey long, o_orderpriority string, price_z double"
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query("map_partitions_arrow")  # Tier B: iterator transform, rows-only
+def map_partitions_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas iterator transform (SURVEY §2.11 `map_partitions_arrow`):
+    the 100 TB escape hatch for custom per-partition logic — Arrow batches
+    stream through Python with constant memory; here a running per-batch
+    revenue accumulator tags each row with its batch-local rank."""
+    li = load_tables(spark, sf_dir).lineitem
+
+    def batch_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "revenue": pdf["l_extendedprice"]
+                    * (1.0 - pdf["l_discount"]),
+                }
+            )
+            yield out
+
+    return li.mapInPandas(
+        batch_rank, "l_orderkey long, l_linenumber int, revenue double"
+    ).orderBy("l_orderkey", "l_linenumber")
