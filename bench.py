@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md comparison).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {"agg_groupby_pricing": s, ...}, "sf": 0.1}
+
+The query set mirrors BASELINE.md's measured suite (Q1 shape, Q3 shape,
+window top-k, JSON extract, tumbling window) plus this engine's LLM-pipeline
+headliners, so BENCH_r{N}.json is directly comparable to both.
+
+Methodology mirrors BASELINE.md's advice: ONE SparkSession for the whole
+suite, a small warm-up to amortize codegen, per-query wall time around a
+count()-style action (results are consumed, not collected to driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyetl_spark import registry
+from pyetl_spark.session import get_session
+
+HEADLINE = [
+    # BASELINE.md suite
+    "agg_groupby_pricing",
+    "join_multi_3way",
+    "win_topk_per_group",
+    "fn_json",
+    "stream_tumbling_1h",
+    # engine headliners (LLM pipeline + join surface)
+    "dedup_exact",
+    "text_top_terms",
+    "vec_cosine_topk",
+    "join_asof",
+    "source_json_parse",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    spark = get_session("pyetl-spark-bench")
+    registry.load_all()
+
+    # warm-up: trigger codegen/classloading on a tiny slice of the plans
+    registry.QUERIES["agg_groupby_pricing"](spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = registry.QUERIES[key]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: computes every output column (count() would let
+        # Catalyst prune unprojected work), materializes nothing
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
