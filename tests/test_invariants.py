@@ -1,0 +1,89 @@
+"""Cross-query invariants (SURVEY.md §5.2 layer 3) + tolerance tests for
+approximate operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyetl_spark import registry
+from pyetl_spark.tables import load_tables
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def _q(spark, key):
+    return registry.QUERIES[key](spark, SF_ORACLE)
+
+
+def test_semi_anti_partition_left_table(spark):
+    """join_semi ∪ join_anti over the same predicate partitions customer."""
+    semi = _q(spark, "join_semi").select("c_custkey")
+    # join_semi filters on urgent orders; rebuild its complement directly
+    t = load_tables(spark, SF_ORACLE)
+    customer, orders = t.customer, t.orders
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    anti = customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey")
+    n_total = customer.count()
+    assert semi.count() + anti.count() == n_total
+    assert semi.intersect(anti).count() == 0
+
+
+def test_union_distinct_equals_distinct_of_union_all(spark):
+    ua = _q(spark, "set_union_all").distinct()
+    ud = _q(spark, "set_union_distinct")
+    assert ua.exceptAll(ud).count() == 0
+    assert ud.exceptAll(ua).count() == 0
+
+
+def test_rollup_grand_total_matches_direct_count(spark):
+    rollup = _q(spark, "agg_rollup")
+    grand = rollup.filter((F.col("g_region") == 1) & (F.col("g_nation") == 1))
+    n_cust = load_tables(spark, SF_ORACLE).customer.count()
+    assert grand.count() == 1
+    assert grand.collect()[0]["n_cust"] == n_cust
+
+
+def test_row_number_bijection_per_partition(spark):
+    df = _q(spark, "win_rank_dense")
+    per = df.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rn").alias("n_rn"),
+        F.max("rn").alias("max_rn"),
+    )
+    bad = per.filter(
+        (F.col("n") != F.col("n_rn")) | (F.col("n") != F.col("max_rn"))
+    )
+    assert bad.count() == 0
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """agg_approx_distinct (HLL++, rsd=2%) vs exact (SURVEY §2.4)."""
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in _q(spark, "agg_approx_distinct").collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n_customers"]
+        for r in _q(spark, "agg_count_distinct").collect()
+    }
+    for k, ev in exact.items():
+        assert abs(approx[k] - ev) / ev <= 0.05, (k, approx[k], ev)
+
+
+def test_broadcast_hint_same_result_as_unhinted(spark):
+    a = _q(spark, "join_inner_equi")
+    b = _q(spark, "join_broadcast_hint")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_udf_boundaries_agree(spark):
+    """Row UDF, pandas UDF, and the JVM expression must produce identical
+    rounded results."""
+    py = _q(spark, "udf_scalar_python")
+    pdf = _q(spark, "udf_pandas_scalar")
+    assert py.exceptAll(pdf).count() == 0
+    assert pdf.exceptAll(py).count() == 0

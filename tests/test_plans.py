@@ -1,0 +1,97 @@
+"""Physical-plan quality gates (SURVEY.md §4, north-star scale posture).
+
+Correctness tests prove the answer is right; these prove the *plan* is the
+one you'd want at 100 TB: filters reach the parquet scan, projections prune
+the read schema, small dims broadcast, aggregates split partial/final, and
+nothing silently degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyetl_spark import registry
+from tests.conftest import SF_ORACLE
+
+registry.load_all()
+
+
+def plan_of(spark, key: str, mode: str = "formatted") -> str:
+    df = registry.QUERIES[key](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "scan_pushdown_filter")
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_quantity,49.0)" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    plan = plan_of(spark, "scan_parquet_project")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 3 projected columns leave the file (orders has 6)
+    assert "o_orderkey" in read_schema
+    assert "o_totalprice" not in read_schema
+    assert "o_orderdate" not in read_schema
+
+
+def test_q1_aggregate_is_partial_final(spark):
+    plan = plan_of(spark, "agg_groupby_pricing")
+    # map-side combine: two HashAggregate nodes around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+
+
+def test_broadcast_hint_plumbing(spark):
+    plan = plan_of(spark, "join_broadcast_hint")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q3_no_cartesian_and_filters_pushed(spark):
+    plan = plan_of(spark, "join_multi_3way")
+    assert "CartesianProduct" not in plan
+    # every base table's filter reached its scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_theta_range_join_stays_hash(spark):
+    """The equi conjunct must keep this a hash join (range as post-filter),
+    never a nested loop over the whole fact table."""
+    plan = plan_of(spark, "join_theta_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "topk_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_q1(spark):
+    plan = plan_of(spark, "agg_groupby_pricing", mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of rewrite must cost ONE exchange on the key (union + window),
+    not a pair join."""
+    plan = plan_of(spark, "join_asof", mode="simple")
+    assert "Join" not in plan.replace("SortMergeJoin", "")  # no join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("key", ["dedup_exact", "text_top_terms"])
+def test_llm_aggs_have_partial_combine(spark, key):
+    plan = plan_of(spark, key)
+    assert plan.count("HashAggregate") >= 2
