@@ -78,9 +78,16 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_whole_stage_codegen_covers_q1(spark):
-    plan = plan_of(spark, "agg_groupby_pricing", mode="codegen")
-    assert "WholeStageCodegen subtrees" in plan
-    assert "Found 0 WholeStageCodegen" not in plan
+    """AQE finalizes the plan only on execution; the executed plan must show
+    fused codegen stages (`*(n)` markers)."""
+    df = registry.QUERIES["agg_groupby_pricing"](spark, SF_ORACLE)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
 
 
 def test_asof_join_single_shuffle(spark):
