@@ -1,0 +1,196 @@
+"""Streaming pipeline builders (SURVEY.md §2.9 Tier C operators).
+
+Each builder takes a *streaming* DataFrame and returns the transformed
+streaming DataFrame (or, for sinks, starts the query). All are pure plan
+constructors — tests own trigger/checkpoint lifecycle so micro-batch
+boundaries stay deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: JSON-lines schema for file-fed event streams (ts as ISO-8601 string in
+#: the files, parsed to TimestampType here — FIXTURES.md Tier-C note).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-arrival source ≙ Kafka topic (SURVEY §2.9 `stream_source_files`).
+
+    ``maxFilesPerTrigger`` pins micro-batch boundaries for deterministic
+    tests; production Kafka swaps this reader only.
+    """
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour tumbling count+sum per event_type with event-time watermark
+    (SURVEY §2.9 `stream_tumbling_1h` / `stream_watermark_late`). Late rows
+    beyond the watermark are dropped by the state store GC."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """30-min windows sliding every 15 min (SURVEY §2.9 `stream_sliding`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user with inactivity gap (SURVEY §2.9
+    `stream_session`) — the built-in session_window operator; its batch
+    gaps-and-islands twin is Tier-A oracle-checked."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once-style dedup of replayed event_ids (SURVEY §2.9
+    `stream_dedup`): state keeps one entry per event_id until the watermark
+    passes — bounded state, unlike a global dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_ANOMALY_STATE_SCHEMA = "n_errors long"
+_ANOMALY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_errors_total", LongType()),
+        StructField("batch_errors", IntegerType()),
+    ]
+)
+
+
+def stateful_anomaly_counter(events: DataFrame) -> DataFrame:
+    """Arbitrary per-key state (SURVEY §2.9 `stream_stateful_custom`):
+    running error-event counter per user via applyInPandasWithState.
+
+    State is one long per user — executor-local, checkpointed, no driver
+    involvement; the pattern generalizes to any per-key accumulator the
+    built-in aggregates can't express.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch_errors = 0
+        for pdf in pdfs:
+            batch_errors += int((pdf["event_type"] == "error").sum())
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + batch_errors
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_errors_total": [total],
+                "batch_errors": [batch_errors],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_ANOMALY_OUT_SCHEMA,
+            stateStructType=_ANOMALY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def foreach_batch_multi_sink(
+    stream: DataFrame,
+    parquet_path: str,
+    json_path: str,
+    checkpoint: str,
+):
+    """Per-micro-batch fan-out to two sinks (SURVEY §2.9
+    `stream_foreachbatch_multisink`) — the streaming version of the
+    reference's signature multi-destination write.
+
+    Idempotency: each batch lands under ``batch_id=N`` partitions with
+    overwrite, so replays after failure rewrite the same paths instead of
+    duplicating — the engine-managed analog of the reference's temp-file +
+    atomic-rename dance.
+    """
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn("batch_id", F.lit(batch_id))
+        for fmt, path in (("parquet", parquet_path), ("json", json_path)):
+            (
+                batch.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .format(fmt)
+                .save(path)
+            )
+
+    return (
+        stream.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

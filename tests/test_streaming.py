@@ -1,0 +1,246 @@
+"""Tier-C Structured Streaming tests (SURVEY.md §2.9, §5.2 layer 2).
+
+Deterministic by construction: file-fed micro-batches (one file per
+trigger run via availableNow + sequential restarts on one checkpoint),
+never wall-clock triggers. Covers: file source, tumbling agg parity with
+the batch analog, watermark late-row drop, within-watermark dedup,
+session windows, custom per-key state, and foreachBatch multi-sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyetl_spark.streaming import (
+    dedup_within_watermark,
+    foreach_batch_multi_sink,
+    read_events_stream,
+    session_agg,
+    stateful_anomaly_counter,
+    tumbling_agg,
+)
+
+BASE = "2024-01-01T{h:02d}:{m:02d}:00.000Z"
+
+
+def _row(eid, h, m, user=1, etype="click", value=1.0):
+    return {
+        "event_id": eid,
+        "ts": BASE.format(h=h, m=m),
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": '{"k": 1}',
+    }
+
+
+def _write_batch(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def scratch(tmp_path):
+    yield str(tmp_path)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _run_available_now(sdf, checkpoint, out_name, spark, mode="append"):
+    """Drain all currently-available files into a memory sink, then stop."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {out_name}")
+
+
+def _start_memory_query(sdf, checkpoint, out_name, mode="append"):
+    """Long-lived memory-sink query; tests drive micro-batches by writing
+    files then calling processAllAvailable() — state lives across batches
+    inside the one run (memory sink cannot recover a checkpoint)."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def test_file_source_tumbling_matches_batch(spark, scratch):
+    """Streaming tumbling agg == batch groupBy(date_trunc) on same rows."""
+    src = os.path.join(scratch, "src")
+    rows = [_row(i, h=9 + i % 2, m=i % 50, value=2.0) for i in range(40)]
+    _write_batch(src, "b1.json", rows)
+
+    stream = read_events_stream(spark, src)
+    out = _run_available_now(
+        tumbling_agg(stream),
+        os.path.join(scratch, "ck1"),
+        "tumbling_out",
+        spark,
+    )
+    # append mode emits only windows sealed by the watermark; drain once
+    # more from a complete-history rerun using update-free comparison:
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in out.collect()
+    }
+    batch = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    ).withColumn("ts", F.to_timestamp("ts"))
+    expect = {
+        (r["h"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.hour("ts").alias("h"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # sealed windows in the stream must match the batch truth exactly
+    for k, v in got.items():
+        assert expect[k] == v
+
+
+def test_watermark_drops_late_rows(spark, scratch):
+    """Rows older than watermark (10 min) behind max event time are dropped
+    from already-advanced state on the next batch."""
+    src = os.path.join(scratch, "src")
+    ck = os.path.join(scratch, "ck")
+
+    # batch 1: events up to 12:59 → watermark advances to 12:49
+    _write_batch(
+        src, "b1.json", [_row(i, h=12, m=50 + i % 10) for i in range(20)]
+    )
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    q = _start_memory_query(
+        tumbling_agg(stream, watermark="10 minutes"), ck, "wm_out"
+    )
+    q.processAllAvailable()
+
+    # batch 2: one very late row (hour 10, > watermark behind) + on-time
+    # rows far ahead (hour 14) that seal the hour-12 window
+    _write_batch(
+        src,
+        "b2.json",
+        [_row(100, h=10, m=0)] + [_row(101 + i, h=14, m=i) for i in range(3)],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    sealed = spark.sql("SELECT * FROM wm_out").collect()
+    by_hour = {r["window_start"].hour: r["n_events"] for r in sealed}
+    # hour-12 window sealed with its 20 on-time rows; the late hour-10 row
+    # must NOT have created or joined any window
+    assert by_hour.get(12) == 20
+    assert 10 not in by_hour
+
+
+def test_dedup_within_watermark(spark, scratch):
+    """Replayed event_ids inside the watermark are emitted exactly once."""
+    src = os.path.join(scratch, "src")
+    rows = [_row(i % 5, h=9, m=i) for i in range(15)]  # ids 0-4 replayed 3x
+    _write_batch(src, "b1.json", rows)
+    out = _run_available_now(
+        dedup_within_watermark(read_events_stream(spark, src)),
+        os.path.join(scratch, "ck"),
+        "dedup_out",
+        spark,
+    )
+    ids = [r["event_id"] for r in out.collect()]
+    assert sorted(ids) == [0, 1, 2, 3, 4]
+
+
+def test_session_window_stream(spark, scratch):
+    """Two bursts 40 min apart → two sessions for the user."""
+    src = os.path.join(scratch, "src")
+    rows = [_row(i, h=9, m=i) for i in range(5)] + [
+        _row(10 + i, h=10, m=i) for i in range(3)
+    ]
+    # close sessions: push watermark far forward with a sentinel user
+    rows += [_row(99, h=13, m=0, user=2)]
+    _write_batch(src, "b1.json", rows)
+    out = _run_available_now(
+        session_agg(read_events_stream(spark, src)),
+        os.path.join(scratch, "ck"),
+        "sess_out",
+        spark,
+    )
+    sessions = [r for r in out.collect() if r["user_id"] == 1]
+    assert len(sessions) == 2
+    assert sorted(s["n_events"] for s in sessions) == [3, 5]
+
+
+def test_stateful_custom_counter(spark, scratch):
+    """Per-user error counter accumulates across micro-batches via
+    applyInPandasWithState."""
+    src = os.path.join(scratch, "src")
+    ck = os.path.join(scratch, "ck")
+    _write_batch(
+        src,
+        "b1.json",
+        [_row(i, h=9, m=i, user=7, etype="error") for i in range(4)]
+        + [_row(10, h=9, m=30, user=7, etype="click")],
+    )
+    q = _start_memory_query(
+        stateful_anomaly_counter(
+            read_events_stream(spark, src, max_files_per_trigger=1)
+        ),
+        ck,
+        "state_out",
+        mode="update",
+    )
+    q.processAllAvailable()
+    r1 = {
+        r["user_id"]: r["n_errors_total"]
+        for r in spark.sql("SELECT * FROM state_out").collect()
+    }
+    assert r1[7] == 4
+
+    _write_batch(
+        src,
+        "b2.json",
+        [_row(20 + i, h=10, m=i, user=7, etype="error") for i in range(2)],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM state_out").collect()
+    # update mode appends one row per batch; the latest total must be 6
+    assert max(r["n_errors_total"] for r in rows if r["user_id"] == 7) == 6
+
+
+def test_foreachbatch_multi_sink(spark, scratch):
+    """One stream lands in parquet AND json with batch_id idempotency keys
+    — the streaming version of the reference's multi-destination write."""
+    src = os.path.join(scratch, "src")
+    pq = os.path.join(scratch, "pq")
+    js = os.path.join(scratch, "js")
+    rows = [_row(i, h=9, m=i % 60) for i in range(25)]
+    _write_batch(src, "b1.json", rows)
+
+    q = foreach_batch_multi_sink(
+        read_events_stream(spark, src),
+        pq,
+        js,
+        os.path.join(scratch, "ck"),
+    )
+    q.awaitTermination(120)
+
+    pq_back = spark.read.parquet(pq)
+    js_back = spark.read.json(js)
+    assert pq_back.count() == 25
+    assert js_back.count() == 25
+    assert "batch_id" in pq_back.columns
