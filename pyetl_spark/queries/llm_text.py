@@ -178,3 +178,147 @@ def text_lang_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ----- text analysis operators (north-star extension; operators/text.py) ---
+
+from pyetl_spark.operators import text as TX  # noqa: E402
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           {TX.lang_id_sql('toks')} AS predicted_lang,
+           {TX._stopword_hits_sql('toks', 'en')} AS en_hits
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (north star: text analysis): stopword-overlap
+    argmax with a fixed preference chain — pure JVM expressions, fuses into
+    the scan. Capability basis: SURVEY §2.10 [M] + north-star text ops."""
+    d = load_tables(spark, sf_dir).documents
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(toks).alias("predicted_lang"),
+        TX.stopword_hits(toks, "en").alias("en_hits"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                      n_chars FROM documents)
+    SELECT doc_id,
+           {R(TX.quality_score_sql('text', 'toks'), 4)} AS quality,
+           len({TX.bpe_ish_tokens_sql('text')}) AS n_bpe_tokens,
+           len(toks) AS n_ws_tokens
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring + token counting (north star: quality
+    filtering for training data): length saturation, stopword density,
+    punctuation penalty; whitespace and BPE-ish token counts."""
+    d = load_tables(spark, sf_dir).documents
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        rnd(TX.quality_score(F.col("text"), toks), 4).alias("quality"),
+        F.size(TX.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.size(toks).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           {TX.fingerprint_sql('toks')} AS fingerprint,
+           {TX.token_hash_sql("toks[1]")} AS first_tok_hash
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (north star: near-dup / replay
+    detection): Karp-Rabin-style polynomial rolling hash over the token
+    sequence, exact integer arithmetic on both engines."""
+    d = load_tables(spark, sf_dir).documents
+    toks = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.fingerprint(toks).alias("fingerprint"),
+        TX.token_hash(F.element_at(toks, 1)).alias("first_tok_hash"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]
+             )) AS s
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {R('''CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)''', 4)}
+             AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs (north star: n-gram Jaccard
+    dedup). Shingling makes the measure order-sensitive — token-set Jaccard
+    (dedup_near_jaccard) calls reordered docs identical; shingles don't.
+    Same lang-blocked pair join; MinHash banding is the scale path."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    sh = d.filter(F.size(toks) >= 3).select(
+        "doc_id", "lang", shingles.alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s"))).cast("double")
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.35)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            rnd(jac, 4).alias("jaccard"),
+        )
+    )

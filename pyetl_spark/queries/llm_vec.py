@@ -173,3 +173,51 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 150
+    ), pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(a.e)),
+                              i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(a.e, x -> x * x)), (x, y) -> x + y))
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(b.e, x -> x * x)), (x, y) -> x + y)) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {R('sim', 4)} AS cosine_sim
+    FROM pairs WHERE sim >= 0.25
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north star: embedding-based
+    near-dup): all pairs in a bounded id range with cosine >= 0.25.
+
+    The threshold test runs on the unrounded fold-built sim (bit-identical
+    both engines) so pair membership is deterministic. The unbounded
+    all-pairs version is exactly what LSH/IVF blocking replaces at 100 TB
+    (operators/knn.py)."""
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.filter(F.col("vec_id") < 150).select(
+        "vec_id", _to_double(F.col("embedding")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = (
+        _dot(F.col("ea"), F.col("eb"))
+        / F.sqrt(_norm_sq(F.col("ea")))
+        / F.sqrt(_norm_sq(F.col("eb")))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.25)
+        .select("vec_a", "vec_b", rnd(F.col("sim"), 4).alias("cosine_sim"))
+    )
