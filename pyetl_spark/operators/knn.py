@@ -1,0 +1,171 @@
+"""Approximate nearest-neighbor search over embedding columns (north-star
+similarity search).
+
+Two strategies sharing one contract (probe df × corpus df → top-k rows):
+
+- ``cosine_topk_bruteforce``: exact; broadcast the probe set, one corpus
+  pass, per-probe heap via window row_number. Right when |probes| is small.
+- ``cosine_topk_lsh``: random-hyperplane (sign-random-projection) LSH.
+  Signature bit j = sign(v · r_j) with deterministic pseudo-random planes;
+  candidates share a signature band; exact cosine re-rank on candidates.
+  P[bit match] = 1 - angle/π — the classic SRP guarantee.
+
+The plane dot-products are JVM higher-order folds (no Python); planes are
+derived from a splitmix scramble of (seed, j, dim) so signatures are stable
+across runs and cluster topologies — replayability again.
+
+At 100 TB the corpus side is the big relation: both paths scan it once,
+shuffle only (band, signature) keys or nothing at all; an IVF variant
+(cluster-assign via vec_centroid, search nearest cells) drops out of the
+same pieces — centroids from `vec_centroid`, assignment via
+`cosine_topk_bruteforce` against the centroid table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _scramble(x: int) -> int:
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+    return x ^ (x >> 31)
+
+
+def _planes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (Rademacher entries are enough for
+    SRP and keep the fold integer-friendly)."""
+    return [
+        [
+            1.0 if _scramble(seed * 1_000_003 + j * dim + d) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def _dot_lit(vec: Column, plane: list[float]) -> Column:
+    lit_plane = F.array(*[F.lit(p) for p in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit_plane, lambda x, p: x * p),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _norm_sq(col: Column) -> Column:
+    return F.aggregate(
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda a2, x: a2 + x
+    )
+
+
+def srp_signature(
+    vec: Column, n_bits: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Column: bigint sign-random-projection signature of an embedding."""
+    bits = [
+        F.when(_dot_lit(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), j))
+        .otherwise(0)
+        .cast("long")
+        for j, plane in enumerate(_planes(n_bits, dim, seed))
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def cosine_topk_bruteforce(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    probe_id: str = "probe_id",
+    cand_id: str = "cand_id",
+    probe_vec: str = "probe_vec",
+    cand_vec: str = "cand_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast probes × one corpus scan."""
+    pairs = F.broadcast(probes).crossJoin(corpus).filter(
+        F.col(cand_id) != F.col(probe_id)
+    )
+    sim = (
+        _dot(F.col(probe_vec), F.col(cand_vec))
+        / F.sqrt(_norm_sq(F.col(probe_vec)))
+        / F.sqrt(_norm_sq(F.col(cand_vec)))
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("sim").desc(), F.col(cand_id)
+    )
+    return (
+        pairs.select(probe_id, cand_id, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    probe_id: str = "probe_id",
+    cand_id: str = "cand_id",
+    probe_vec: str = "probe_vec",
+    cand_vec: str = "cand_vec",
+) -> DataFrame:
+    """Approximate top-k: SRP signature bands prune the candidate set, then
+    exact cosine re-ranks survivors. Recall rises with bands; cost falls
+    with n_bits/bands (longer band keys → smaller buckets)."""
+    rows = n_bits // bands
+    mask = (1 << rows) - 1
+
+    def banded(df: DataFrame, idc: str, vecc: str, bi: str, bv: str):
+        sig = srp_signature(F.col(vecc), n_bits, dim, seed)
+        return df.withColumn("_sig", sig).select(
+            idc,
+            vecc,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("_sig"), rows * i).bitwiseAND(mask)
+                        for i in range(bands)
+                    ]
+                )
+            ).alias(bi, bv),
+        )
+
+    pb = banded(probes, probe_id, probe_vec, "bi", "bv")
+    cb = banded(corpus, cand_id, cand_vec, "bi2", "bv2")
+    cands = (
+        pb.join(
+            cb,
+            (F.col("bi") == F.col("bi2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col(cand_id) != F.col(probe_id)),
+        )
+        .select(probe_id, probe_vec, cand_id, cand_vec)
+        .distinct()
+    )
+    sim = (
+        _dot(F.col(probe_vec), F.col(cand_vec))
+        / F.sqrt(_norm_sq(F.col(probe_vec)))
+        / F.sqrt(_norm_sq(F.col(cand_vec)))
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("sim").desc(), F.col(cand_id)
+    )
+    return (
+        cands.select(probe_id, cand_id, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

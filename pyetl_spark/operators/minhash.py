@@ -1,0 +1,157 @@
+"""MinHash + LSH banding — the 100 TB near-duplicate path (SURVEY.md §2.10
+`dedup_minhash_lsh`).
+
+Why not the O(n²) pair join of `dedup_near_jaccard`: at 100 TB even a
+lang-blocked quadratic is fatal. MinHash LSH makes the cost
+O(n · signatures) + O(candidate pairs):
+
+1. shingle/tokenize each doc → distinct token set
+2. k minhashes per doc: h_i(doc) = min over tokens of (a_i * xxhash64(tok)
+   + b_i) mod p — a universal hash family; P[h_i(A)=h_i(B)] = Jaccard(A,B)
+3. group the k-signature into b bands of r rows; hash each band
+4. exchange on (band_idx, band_hash): docs sharing any band bucket become
+   candidate pairs — probability 1-(1-J^r)^b (the LSH S-curve)
+5. verify candidates with exact Jaccard (cheap: |candidates| << n²)
+
+Everything is DataFrame algebra: the signature build is one narrow pass
+(higher-order folds over xxhash64 — JVM codegen, no Python), banding is one
+explode + one shuffle, verification joins token sets back by doc_id.
+Implemented directly (not pyspark.ml.MinHashLSH) so the hash family is
+explicit, deterministic, and seed-stable across runs — a requirement for
+replayable training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps (h % p) * a inside int64 (product < 2^62) — a 61-bit
+# prime would overflow JVM long multiplication
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family, derived
+    from a splitmix-style integer scramble of the seed (no RNG state)."""
+
+    def scramble(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        return x ^ (x >> 31)
+
+    params = []
+    for i in range(num_hashes):
+        a = scramble(seed * 2654435761 + 2 * i) % (_MERSENNE_P - 1) + 1
+        b = scramble(seed * 40503 + 2 * i + 1) % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    tokens_col, num_hashes: int = 32, seed: int = 42
+):
+    """Column: array<bigint> of `num_hashes` minhashes over a token array.
+
+    Uses xxhash64(token) (JVM, codegen'd) as the base hash; each h_i is an
+    affine map mod a Mersenne prime, folded with `array_min` — one narrow
+    pass per doc regardless of k.
+    """
+    base = F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+    def affine(a: int, b: int):
+        # PySpark counts lambda parameters — keep exactly one (no
+        # default-arg closures, they read as extra lambda args)
+        return lambda h: ((F.abs(h) % _MERSENNE_P) * a + b) % _MERSENNE_P
+
+    sigs = [
+        F.array_min(F.transform(base, affine(a, b)))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash buckets.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. Cost: one explode to
+    (doc, band) rows, one shuffle on the band bucket, one in-bucket
+    self-join. Bucket skew (giant buckets of identical docs) is the one
+    scale hazard — AQE skew-split handles moderate cases; degenerate
+    corpora should pre-collapse exact dups first (dedup_exact).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(tokens_col), num_hashes, seed)
+    banded = docs.select(
+        F.col(id_col).alias("_id"), sig.alias("_sig")
+    ).select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(i), F.slice(F.col("_sig"), i * rows + 1, rows)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("band_idx").alias("bi"),
+        F.col("band_hash").alias("bh"),
+        F.col("_id").alias("id_a"),
+    )
+    right = banded.select(
+        F.col("band_idx").alias("bi2"),
+        F.col("band_hash").alias("bh2"),
+        F.col("_id").alias("id_b"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("bi") == F.col("bi2"))
+            & (F.col("bh") == F.col("bh2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full LSH near-dup pipeline: candidates → exact-Jaccard verification.
+
+    Output: (id_a, id_b, jaccard) for verified pairs >= threshold — same
+    contract as the exact `dedup_near_jaccard`, sub-quadratic cost.
+    """
+    cands = lsh_candidate_pairs(
+        docs, id_col, tokens_col, num_hashes, bands, seed
+    )
+    tok = docs.select(F.col(id_col).alias("_tid"), F.col(tokens_col).alias("_t"))
+    a = tok.select(F.col("_tid").alias("id_a"), F.col("_t").alias("_ta"))
+    b = tok.select(F.col("_tid").alias("id_b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = F.size(F.array_union("_ta", "_tb")).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
