@@ -1,0 +1,87 @@
+"""Multimodal plumbing tests (north-star extension): the decode step is a
+deterministic stub, but schema, Arrow batch shape, partitioning, and
+determinism of the Spark-side pipeline are real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType
+
+from pyetl_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_media,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from pyetl_spark.tables import load_tables
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_tables(spark, SF_ORACLE).documents.limit(50)
+    return attach_fake_media(docs).cache()
+
+
+def test_media_schema_is_binary_plus_typed_meta(media):
+    schema = dict(media.dtypes)
+    assert schema["payload"] == "binary"
+    assert schema["meta"].startswith("struct<")
+    assert isinstance(media.schema["payload"].dataType, BinaryType)
+
+
+def test_feature_extraction_schema_and_determinism(spark, media):
+    f1 = extract_features(media)
+    assert isinstance(f1.schema["features"].dataType, ArrayType)
+    assert isinstance(f1.schema["features"].dataType.elementType, DoubleType)
+    rows = f1.collect()
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic stub: second run identical
+    f2 = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    for r in rows:
+        assert f2[r["media_id"]] == r["features"]
+
+
+def test_decode_stub_raises_without_fake_flag(spark, media):
+    with pytest.raises(Exception) as exc:
+        extract_features(media, allow_fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_resize_updates_meta_and_payload(spark, media):
+    out = resize_images(media, out_w=4, out_h=4)
+    rows = out.collect()
+    assert all(r["meta"]["width"] == 4 for r in rows)
+    # 4x4 float64 = 128 bytes
+    assert all(len(bytes(r["payload"])) == 128 for r in rows)
+
+
+def test_frame_sampling_explodes_rows(spark, media):
+    n_media = media.count()
+    frames = sample_frames(media, every_nth=2)
+    # 8-row pseudo-image, every 2nd → 4 frames per media
+    assert frames.count() == n_media * 4
+    per = frames.groupBy("media_id").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") != 4).count() == 0
+
+
+def test_feature_pipeline_composes_with_knn(spark, media):
+    """Features flow into the similarity-search operator — multimodal +
+    ANN end to end."""
+    from pyetl_spark.operators.knn import cosine_topk_bruteforce
+
+    feats = extract_features(media)
+    probes = feats.filter(F.col("media_id") < 3).select(
+        F.col("media_id").alias("probe_id"),
+        F.col("features").alias("probe_vec"),
+    )
+    corpus = feats.select(
+        F.col("media_id").alias("cand_id"),
+        F.col("features").alias("cand_vec"),
+    )
+    top = cosine_topk_bruteforce(probes, corpus, k=3)
+    assert top.groupBy("probe_id").count().filter("count != 3").count() == 0
