@@ -16,6 +16,7 @@ _MODULES = [
     "events_windows",
     "llm_text",
     "llm_vec",
+    "llm_scale",
     "udfs",
     "sinks",
 ]

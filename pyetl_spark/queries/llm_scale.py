@@ -1,0 +1,81 @@
+"""Tier-B query surface for the approximate scale-path operators
+(SURVEY.md §2.10 `dedup_minhash_lsh` + north-star SimHash / ANN).
+
+Approximate results never hash-match an oracle (SURVEY §5.3 bans declaring
+them), so these register rows-only; their quality gates are the recall
+tests in tests/test_approx_operators.py against the exact Tier-A twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.operators.knn import cosine_topk_lsh
+from pyetl_spark.operators.minhash import minhash_near_dup_pairs
+from pyetl_spark.operators.simhash import simhash_near_dup_pairs
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir).documents
+    return d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+
+
+@query("dedup_minhash_lsh")  # Tier B — approximate, rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (SURVEY §2.10 `dedup_minhash_lsh`): the
+    sub-quadratic 100 TB replacement for dedup_near_jaccard; exact-Jaccard
+    verification keeps precision at 1.0, banding bounds recall (S-curve).
+    """
+    return minhash_near_dup_pairs(
+        _doc_tokens(spark, sf_dir), threshold=0.8, num_hashes=32, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # Tier B — approximate, rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (north star: SimHash dedup): 64-bit
+    fingerprints, 16-bit-band blocking, hamming <= 3 — linear-cost
+    near-dup sweep for very large corpora."""
+    return simhash_near_dup_pairs(
+        _doc_tokens(spark, sf_dir), max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+@query("vec_ann_lsh")  # Tier B — approximate, rows-only
+def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via sign-random-projection LSH (north
+    star: similarity search scale path); exact re-rank on candidates, so
+    returned sims are true cosines — only the candidate set is approximate.
+    """
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probes = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec")
+    )
+    return cosine_topk_lsh(probes, corpus, k=5).orderBy("probe_id", "rank")
+
+
+@query("multimodal_features")  # Tier B — stubbed decode, rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (north star: multimodal columns):
+    binary payload + typed metadata → feature vectors via Arrow-batched
+    mapInPandas; decode is a deterministic stub in this container
+    (operators/multimodal.py documents the real-decoder swap point)."""
+    from pyetl_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_features,
+    )
+
+    docs = load_tables(spark, sf_dir).documents
+    return extract_features(attach_fake_media(docs)).orderBy("media_id")
