@@ -12,6 +12,7 @@ _MODULES = [
     "joins",
     "windows",
     "sorts_sets",
+    "subqueries",
     "scalar_fns",
     "events_windows",
     "llm_text",

@@ -1,0 +1,144 @@
+"""Subqueries + pivot (relational-surface completion; SURVEY.md §4 lists
+Catalyst's subquery decorrelation as free — these queries prove we use it).
+
+Scalar, IN, and correlated subqueries compile through
+RewriteCorrelatedScalarSubquery / RewritePredicateSubquery into joins —
+no driver-side two-phase execution, so they scale like the joins they
+become. Pivot compiles to a single partial+final aggregate with one output
+column per pivoted value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import FXP, MSUM, msum
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "subq_scalar",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {FXP('o_totalprice', 100)} > (
+      SELECT CAST(avg({FXP('o_totalprice', 100)}) AS BIGINT) * 2 FROM orders
+    )
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 2× the mean price
+    (threshold computed in the exact fixed-point domain so both engines
+    compare against the same integer). Compiles to a one-row broadcast."""
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE {FXP('o_totalprice', 100)} > (
+          SELECT CAST(avg({FXP('o_totalprice', 100)}) AS BIGINT) * 2
+          FROM orders
+        )
+        """
+    )
+
+
+@query(
+    "subq_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey <= 1
+    )
+    """,
+)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join after RewritePredicateSubquery."""
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey <= 1
+        )
+        """
+    )
+
+
+@query(
+    "subq_correlated",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE {FXP('o.o_totalprice', 100)} > (
+      SELECT CAST(avg({FXP('o2.o_totalprice', 100)}) AS BIGINT)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each customer's above-personal-average
+    orders. Catalyst decorrelates into an aggregate + join — one pass over
+    orders, not per-row re-execution (the property that survives scale)."""
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE {FXP('o.o_totalprice', 100)} > (
+          SELECT CAST(avg({FXP('o2.o_totalprice', 100)}) AS BIGINT)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {MSUM("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", 100)} AS rev_F,
+           {MSUM("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END", 100)} AS rev_O,
+           {MSUM("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END", 100)} AS rev_P,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order status → columns, revenue + counts per priority row.
+    Spark's groupBy().pivot(col, values) with explicit values compiles to
+    ONE aggregate pass (no second scan to discover values — always pin the
+    value list at 100 TB). Oracle is the equivalent conditional
+    aggregation."""
+    o = load_tables(spark, sf_dir).orders
+    scaled = o.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("p"),
+    )
+    pivoted = (
+        scaled.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(
+            msum(F.col("p"), 100).alias("rev"),
+            F.count(F.lit(1)).alias("n"),  # "*" is invalid inside pivot
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("F_rev").alias("rev_F"),
+        F.col("O_rev").alias("rev_O"),
+        F.col("P_rev").alias("rev_P"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_P"),
+    )
