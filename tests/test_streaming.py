@@ -244,3 +244,57 @@ def test_foreachbatch_multi_sink(spark, scratch):
     assert pq_back.count() == 25
     assert js_back.count() == 25
     assert "batch_id" in pq_back.columns
+
+
+def test_sliding_window_stream(spark, scratch):
+    """Every event lands in exactly two 30-min/15-min sliding windows
+    (stream twin of the Tier-A `stream_sliding` batch analog)."""
+    from pyetl_spark.streaming import sliding_agg
+
+    src = os.path.join(scratch, "src")
+    rows = [_row(i, h=9, m=i % 60) for i in range(30)]
+    # sentinel far ahead so the watermark seals all hour-9 windows
+    rows += [_row(999, h=13, m=0, user=2)]
+    _write_batch(src, "b1.json", rows)
+    out = _run_available_now(
+        sliding_agg(read_events_stream(spark, src)),
+        os.path.join(scratch, "ck"),
+        "slide_out",
+        spark,
+    )
+    sealed = [r for r in out.collect() if r["window_start"].hour < 13]
+    # 30 events × 2 windows each
+    assert sum(r["n_events"] for r in sealed) == 60
+
+
+def test_foreachbatch_checkpoint_recovery_exactly_once(spark, scratch):
+    """Restarting the foreachBatch query from its checkpoint must process
+    only NEW files — no reprocessing, no duplicate rows (the engine-managed
+    analog of the reference's offset-commit loop)."""
+    src = os.path.join(scratch, "src")
+    pq = os.path.join(scratch, "pq")
+    js = os.path.join(scratch, "js")
+    ck = os.path.join(scratch, "ck")
+
+    _write_batch(src, "b1.json", [_row(i, h=9, m=i % 60) for i in range(10)])
+    q1 = foreach_batch_multi_sink(
+        read_events_stream(spark, src), pq, js, ck
+    )
+    q1.awaitTermination(120)
+    assert spark.read.parquet(pq).count() == 10
+
+    # second run, same checkpoint: only the new file is processed
+    _write_batch(
+        src, "b2.json", [_row(100 + i, h=10, m=i % 60) for i in range(7)]
+    )
+    q2 = foreach_batch_multi_sink(
+        read_events_stream(spark, src), pq, js, ck
+    )
+    q2.awaitTermination(120)
+
+    back = spark.read.parquet(pq)
+    assert back.count() == 17  # 10 + 7, nothing duplicated
+    ids = [r["event_id"] for r in back.select("event_id").collect()]
+    assert len(ids) == len(set(ids))
+    # both batches landed under distinct batch_id partitions
+    assert back.select("batch_id").distinct().count() == 2
