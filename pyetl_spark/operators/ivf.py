@@ -1,0 +1,165 @@
+"""IVF (inverted-file) approximate nearest-neighbor search + the
+deterministic distributed k-means that builds its cells (north-star
+similarity-search scale path, complementing SRP-LSH in knn.py).
+
+IVF beats hash-based LSH when the corpus is clustered: k-means cells adapt
+to the data, so nearest-cell search prunes to the dense regions a probe
+actually lives in. Pipeline:
+
+1. ``kmeans_fit``: Lloyd iterations as pure DataFrame ops —
+   assign = argmin over a broadcast centroid table (k rows), update =
+   posexplode + per-(cell, dim) mean. Deterministic: seeds are the first k
+   vectors by id (no rand()), iteration count fixed.
+2. ``ivf_assign``: tag each corpus vector with its nearest cell id.
+3. ``ivf_topk``: probe → nearest ``nprobe`` cells → exact cosine re-rank
+   within the union of those cells only.
+
+Scale: assignment is a broadcast nested-loop over k centroids (k rows —
+trivially broadcastable); the per-iteration shuffle is the (cell, dim)
+mean, bounded by k×dim. Search touches |corpus| × nprobe / k vectors in
+expectation instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_sq(col):
+    return F.aggregate(
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda a2, x: a2 + x
+    )
+
+
+def _nearest_cell(vec_df: DataFrame, centroids: DataFrame, vec_col: str):
+    """Attach (cell, dist) of the nearest centroid to every row."""
+    paired = vec_df.crossJoin(F.broadcast(centroids))
+    d = _sq_dist(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(*[c for c in vec_df.columns]).orderBy(
+        F.col("_d"), F.col("cell")
+    )
+    return (
+        paired.withColumn("_d", d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "centroid")
+        .withColumnRenamed("_d", "dist")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means → DataFrame(cell int, centroid
+    array<double>). Seeds = the k lowest-id vectors (replayable, no rand).
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn(
+            "cell",
+            F.row_number().over(Window.orderBy(F.lit(1))) - 1,
+        )
+        .select("cell", "centroid")
+    )
+    centroids = seeds
+    for _ in range(iters):
+        assigned = _nearest_cell(
+            corpus.select(id_col, vec_col), centroids, vec_col
+        )
+        exploded = assigned.select(
+            "cell", F.posexplode(vec_col).alias("pos", "x")
+        )
+        means = exploded.groupBy("cell", "pos").agg(
+            (F.sum("x") / F.count(F.lit(1))).alias("m")
+        )
+        centroids = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    return centroids
+
+
+def kmeans_inertia(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str = "e"
+) -> float:
+    """Sum of squared distances to assigned centroids (convergence metric)."""
+    assigned = _nearest_cell(corpus.select(vec_col), centroids, vec_col)
+    return assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+) -> DataFrame:
+    """Tag each corpus vector with its IVF cell (the inverted file)."""
+    return _nearest_cell(
+        corpus.select(id_col, vec_col), centroids, vec_col
+    ).select(id_col, vec_col, "cell")
+
+
+def ivf_topk(
+    probes: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    cand_id: str = "cand_id",
+    cand_vec: str = "cand_vec",
+) -> DataFrame:
+    """Search the nprobe nearest cells per probe; exact cosine re-rank.
+
+    `indexed_corpus` = ivf_assign output with (cand_id, cand_vec, cell).
+    """
+    pc = probes.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", _sq_dist(F.col(probe_vec), F.col("centroid"))
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("_d"), F.col("cell"))
+    probe_cells = (
+        pc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(probe_id, probe_vec, "cell")
+    )
+    cands = probe_cells.join(indexed_corpus, "cell").filter(
+        F.col(cand_id) != F.col(probe_id)
+    )
+    sim = (
+        _dot(F.col(probe_vec), F.col(cand_vec))
+        / F.sqrt(_norm_sq(F.col(probe_vec)))
+        / F.sqrt(_norm_sq(F.col(cand_vec)))
+    )
+    w2 = Window.partitionBy(probe_id).orderBy(
+        F.col("sim").desc(), F.col(cand_id)
+    )
+    return (
+        cands.select(probe_id, cand_id, sim.alias("sim"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
