@@ -371,3 +371,59 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing_field"),
         F.get_json_object(nested, "$.outer.k").cast("int").alias("k_nested"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shifted_up,
+           o_orderkey >> 3 AS shifted_down,
+           bit_count(o_orderkey) AS popcount
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (surface completion): AND/OR/XOR, shifts, popcount —
+    the building blocks the simhash/LSH operators rely on."""
+    o = load_tables(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return o.filter(k < 2000).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_up"),
+        F.shiftright(k, 3).alias("shifted_down"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS h_md5,
+           sha256(text) AS h_sha256,
+           length(md5(text)) AS md5_len,
+           substring(md5(text), 1, 8) AS md5_head
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash family: md5 + sha256 hex digests — the
+    cross-engine content-addressing primitives the dedup operators build
+    on (xxhash64 is Spark-only and stays engine-side)."""
+    d = load_tables(spark, sf_dir).documents
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_head"),
+    )
