@@ -56,12 +56,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for key in HEADLINE:
         fn = registry.QUERIES[key]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: computes every output column (count() would let
-        # Catalyst prune unprojected work), materializes nothing
-        df.write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: measure warm-JVM steady state
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: computes every output column (count() would let
+            # Catalyst prune unprojected work), materializes nothing
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -102,3 +102,28 @@ def test_asof_join_single_shuffle(spark):
 def test_llm_aggs_have_partial_combine(spark, key):
     plan = plan_of(spark, key)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    """Filtering the Hive-layout read-back on the partition key must prune
+    at planning time (PartitionFilters), not scan all dt= dirs."""
+    import os
+    import tempfile
+
+    from pyetl_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tempfile.gettempdir(), "pyetl_prune_check")
+    ev = load_tables(spark, SF_ORACLE).events.select(
+        "event_id", "value", F.to_date("ts").alias("dt")
+    )
+    ev.write.partitionBy("dt").mode("overwrite").parquet(path)
+    one_day = spark.read.parquet(path).filter(
+        F.col("dt") == "2024-01-05"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters", 1)[1][:200]
