@@ -13,6 +13,7 @@ _MODULES = [
     "windows",
     "sorts_sets",
     "subqueries",
+    "extras",
     "scalar_fns",
     "events_windows",
     "llm_text",

@@ -1,0 +1,170 @@
+"""Surface-completion queries beyond SURVEY §2's explicit inventory:
+unpivot/melt, ordered string aggregation, range source, null semantics,
+struct operations. All Tier A (oracle-matched)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import R, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+@query(
+    "etl_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round_val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             l_quantity AS round_val
+      FROM lineitem WHERE l_orderkey < 500
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 500
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax
+      FROM lineitem WHERE l_orderkey < 500
+    )
+    """,
+)
+def etl_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot/melt (ETL reshaping). Spark's native unpivot
+    compiles to an Expand node — one pass, rows×metrics output, no join;
+    the oracle spells it as the equivalent UNION ALL."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "round_val",
+        )
+        .withColumn(
+            "metric", F.regexp_replace(F.col("metric"), "^l_", "")
+        )
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): sorted collect_list joined
+    with a separator ≡ DuckDB string_agg(... ORDER BY) — sort pinned on
+    both sides for hash stability."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("o_orderstatus"))
+            ).alias("statuses"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "source_range",
+    oracle=f"""
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range AS BIGINT) * 3 % 7 AS scrambled,
+           {R('sqrt(CAST(range AS BIGINT))', 4)} AS root
+    FROM range(1000)
+    """,
+)
+def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-sequence source (spark.range): the zero-IO table
+    generator — planning/codegen sanity and synthetic-data entry point."""
+    return spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") * 3 % 7).alias("scrambled"),
+        rnd(F.sqrt("id"), 4).alias("root"),
+    )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           (o_totalprice IS NULL) AS price_is_null,
+           (o_totalprice IS NOT DISTINCT FROM NULL) AS null_safe_eq_null,
+           o_totalprice + 1 IS NULL AS null_arith,
+           coalesce(o_orderpriority, 'NONE') AS prio_or_none,
+           CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END AS has_order
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 460000
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic checkbox over real nulls (outer-join produced):
+    IS NULL, null-safe equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT
+    FROM), null propagation through arithmetic, coalesce defaulting."""
+    t = load_tables(spark, sf_dir)
+    customer, orders = t.customer, t.orders
+    cond = (customer.c_custkey == orders.o_custkey) & (
+        orders.o_totalprice > 460000
+    )
+    return customer.join(orders, cond, "left").select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").isNull().alias("price_is_null"),
+        F.col("o_totalprice").eqNullSafe(F.lit(None).cast("double")).alias(
+            "null_safe_eq_null"
+        ),
+        (F.col("o_totalprice") + 1).isNull().alias("null_arith"),
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("prio_or_none"),
+        F.when(F.col("o_orderkey").isNull(), 0).otherwise(1).alias(
+            "has_order"
+        ),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           (struct_pack(s := o_orderstatus, p := o_orderpriority)).s
+             AS status_field,
+           (struct_pack(s := o_orderstatus, p := o_orderpriority)
+             = struct_pack(s := 'F', p := '1-URGENT')) AS is_urgent_final,
+           (struct_pack(a := o_totalprice, k := o_orderkey)
+             > struct_pack(a := 300000.0, k := CAST(0 AS BIGINT)))
+             AS above_struct_cmp
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct create/access/compare (nested-type checkbox): named_struct
+    field extraction and lexicographic struct comparison — outputs kept
+    flat (bool/string) so cross-engine row encoding stays trivial."""
+    o = load_tables(spark, sf_dir).orders
+    sp = F.struct(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    )
+    target = F.struct(F.lit("F").alias("s"), F.lit("1-URGENT").alias("p"))
+    price_key = F.struct(
+        F.col("o_totalprice").alias("a"), F.col("o_orderkey").alias("k")
+    )
+    threshold = F.struct(
+        F.lit(300000.0).alias("a"), F.lit(0).cast("long").alias("k")
+    )
+    return o.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey",
+        sp.getField("s").alias("status_field"),
+        (sp == target).alias("is_urgent_final"),
+        (price_key > threshold).alias("above_struct_cmp"),
+    )
