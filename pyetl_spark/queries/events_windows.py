@@ -100,10 +100,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, sum(new_session) OVER (
+      SELECT *, CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_seq
+             ) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq,

@@ -100,7 +100,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            {R('CAST(sum(n_chars) AS DOUBLE) / count(*)', 4)} AS avg_chars,
            count(*) FILTER (WHERE n_chars = length(text)) AS n_chars_ok
     FROM documents

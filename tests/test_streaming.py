@@ -298,3 +298,18 @@ def test_foreachbatch_checkpoint_recovery_exactly_once(spark, scratch):
     assert len(ids) == len(set(ids))
     # both batches landed under distinct batch_id partitions
     assert back.select("batch_id").distinct().count() == 2
+
+
+def test_kafka_builder_gated_cleanly(spark):
+    """No broker/connector in this environment: the Kafka builder must
+    fail fast with a clear NotImplementedError, never a classpath blowup."""
+    from pyetl_spark.streaming.kafka import kafka_available, read_events_kafka
+
+    if kafka_available(spark):
+        import pytest
+        pytest.skip("kafka connector present; builder would construct")
+    try:
+        read_events_kafka(spark, "localhost:9092", "events")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError as e:
+        assert "file source" in str(e)
