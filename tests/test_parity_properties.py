@@ -1,0 +1,84 @@
+"""Property tests for the parity helpers (pyetl_spark/parity.py) — the
+foundation every Tier-A hash match rests on. Adversarial values: exact
+decimal ties (the case native round() gets wrong across engines),
+negatives, negative ties, huge/tiny magnitudes, and a seeded random sweep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import FXP, R, fxp, rnd
+
+
+def _values() -> list[float]:
+    vals = []
+    # exact-tie neighborhood: k/100 + 0.005 (2dp ties), 4dp ties
+    for k in range(-50, 50):
+        vals.append(k / 100 + 0.005)
+        vals.append(k / 10000 + 0.00005)
+    # magnitudes + signs
+    vals += [0.0, -0.0, 1e-9, -1e-9, 12345678.905, -12345678.905,
+             1e12 + 0.5, -(1e12 + 0.5), 37704.575, -37704.575]
+    rng = np.random.default_rng(7)
+    vals += list(rng.uniform(-1e6, 1e6, 500))
+    vals += list(rng.uniform(-1, 1, 500))
+    return [float(v) for v in vals]
+
+
+@pytest.mark.parametrize("ndp", [0, 2, 4])
+def test_rnd_matches_duckdb_twin_bitwise(spark, duck, ndp):
+    vals = _values()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", rnd(F.col("x"), ndp).alias("y")).collect()
+    }
+    import pandas as pd
+
+    pv = pd.DataFrame({"i": range(len(vals)), "x": vals})
+    duck.register("_pv", pv)  # exact doubles — SQL text literals with >17
+    # significant digits route through DECIMAL in DuckDB and lose bits
+    want = dict(
+        duck.execute(
+            f"SELECT i, {R('x', ndp)} FROM _pv"
+        ).fetchall()
+    )
+    for i in got:
+        assert got[i] == want[i] or (got[i] == 0 and want[i] == 0), (
+            i, vals[i], got[i], want[i]
+        )
+
+
+def test_fxp_matches_duckdb_twin_exact(spark, duck):
+    vals = _values()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", fxp(F.col("x"), 10**4).alias("y")).collect()
+    }
+    import pandas as pd
+
+    pv2 = pd.DataFrame({"i": range(len(vals)), "x": vals})
+    duck.register("_pv2", pv2)
+    want = dict(
+        duck.execute(f"SELECT i, {FXP('x', 10**4)} FROM _pv2").fetchall()
+    )
+    assert got == want
+
+
+def test_fixed_point_sum_is_partitioning_invariant(spark):
+    """The msum construction must give identical bits regardless of how
+    rows are partitioned (the property plain double sums lack)."""
+    from pyetl_spark.parity import msum
+
+    vals = _values()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    a = df.repartition(1).agg(msum(F.col("x"), 100).alias("s")).collect()[0]["s"]
+    b = df.repartition(37).agg(msum(F.col("x"), 100).alias("s")).collect()[0]["s"]
+    assert a == b
