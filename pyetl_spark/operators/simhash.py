@@ -20,46 +20,74 @@ from pyspark.sql import functions as F
 _BITS = 64
 
 
+_MASKS = [(1 << j) if j < 63 else -(1 << 63) for j in range(_BITS)]
+
+
 def simhash(tokens_col: Column) -> Column:
     """Column: bigint simhash of a token array.
 
-    For bit j: sum over tokens of (hash_bit_j ? +1 : -1); simhash bit j =
-    (sum > 0). The fold builds an array of 64 sums in one pass, then
-    reassembles the sign bits into a single bigint.
-    """
+    Majority form: bit j of the simhash is set iff more than half the
+    tokens have bit j set in their hash (±1 voting ⇔ majority). Computed
+    as one fold carrying 64 set-bit counters + the token count — the
+    counter update is a flat bitwiseAND per bit (no nested 64-wide
+    conditional arrays, which ballooned codegen to 8 MiB task binaries in
+    the first implementation)."""
     hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
-    # bit masks as Python literals (shift counts can't be Columns); the
-    # sign bit's mask is expressed as its negative two's-complement value
-    masks = [
-        (1 << j) if j < 63 else -(1 << 63) for j in range(_BITS)
-    ]
 
-    def vote_array(h):
-        # per-token ±1 votes for all 64 bits — built by a Python loop, so
-        # each element is a plain bitwiseAND against a literal mask
+    def bit_counts(h):
+        # (h & mask) != 0 → 1 else 0, for all 64 literal masks
         return F.array(
             *[
-                F.when(h.bitwiseAND(F.lit(m)) != 0, 1)
-                .otherwise(-1)
-                .cast("long")
-                for m in masks
+                (h.bitwiseAND(F.lit(m)) != 0).cast("long")
+                for m in _MASKS
             ]
         )
 
-    # votes[j] = sum over tokens of ±1 for bit j (one fold, JVM-side)
-    votes = F.aggregate(
+    counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), _BITS),
-        lambda acc, h: F.zip_with(acc, vote_array(h), lambda a, v: a + v),
+        lambda acc, h: F.zip_with(acc, bit_counts(h), lambda a, v: a + v),
     )
+    n = F.size(tokens_col).cast("long")
     out = F.lit(0).cast("long")
-    for j, m in enumerate(masks):
+    for j, m in enumerate(_MASKS):
         out = out.bitwiseOR(
-            F.when(F.element_at(votes, j + 1) > 0, F.lit(m))
+            F.when(F.element_at(counts, j + 1) * 2 > n, F.lit(m))
             .otherwise(0)
             .cast("long")
         )
     return out
+
+
+def simhash_df(
+    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """DataFrame(id, sh): simhash per doc via explode + 64 flat aggregates.
+
+    This is the production path: the Column fold above compiles a 64-wide
+    array op per token (megabytes of codegen, slow to JIT); exploding to
+    (doc, token_hash) rows and aggregating 64 simple bit-count sums keeps
+    codegen flat and gets map-side partial aggregation for free."""
+    exploded = docs.select(
+        F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_t")
+    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum((F.col("_h").bitwiseAND(F.lit(m)) != 0).cast("long")).alias(
+            f"_c{j}"
+        )
+        for j, m in enumerate(_MASKS)
+    ]
+    counted = exploded.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"), *aggs
+    )
+    out = F.lit(0).cast("long")
+    for j, m in enumerate(_MASKS):
+        out = out.bitwiseOR(
+            F.when(F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(m))
+            .otherwise(0)
+            .cast("long")
+        )
+    return counted.select(F.col("_id").alias(id_col), out.alias("sh"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -79,8 +107,8 @@ def simhash_near_dup_pairs(
     One narrow simhash pass, one explode to 4 band rows/doc, one shuffle on
     (band_idx, band_value), in-bucket join + exact hamming verify.
     """
-    sh = docs.select(
-        F.col(id_col).alias("_id"), simhash(F.col(tokens_col)).alias("_sh")
+    sh = simhash_df(docs, id_col, tokens_col).select(
+        F.col(id_col).alias("_id"), F.col("sh").alias("_sh")
     )
     bands = sh.select(
         "_id",

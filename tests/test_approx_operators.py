@@ -161,3 +161,26 @@ def test_lsh_knn_recall_vs_bruteforce(spark, vec_frames):
         key = (r["probe_id"], r["cand_id"])
         if key in e_sims:
             assert abs(e_sims[key] - r["sim"]) < 1e-12
+
+
+def test_simhash_df_equals_column_form(spark):
+    """The explode-based production simhash must equal the Column-fold
+    form exactly (same majority semantics)."""
+    from pyetl_spark.operators.simhash import simhash_df
+
+    df = spark.createDataFrame(
+        [
+            (1, ["alpha", "beta", "gamma", "delta", "epsilon"]),
+            (2, ["data", "engine", "query", "spark"]),
+            (3, ["one"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    col_form = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", simhash(F.col("tokens")).alias("sh")
+        ).collect()
+    }
+    df_form = {r["doc_id"]: r["sh"] for r in simhash_df(df).collect()}
+    assert col_form == df_form
