@@ -36,12 +36,21 @@ def asof_join(
     right_time: str,
     *,
     allow_exact_match: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; right payload columns land on each left row.
+    """As-of join; right payload columns land on each left row.
+
+    ``direction='backward'`` (default): greatest right-time <= left-time
+    (DuckDB ``l.t >= r.t``); ``'forward'``: smallest right-time >=
+    left-time — implemented by reversing the sort order so ``last()``
+    still carries the nearest match. ``allow_exact_match=False`` makes the
+    comparison strict on both directions.
 
     ``right``'s non-key columns (including ``right_time``) must not collide
     with ``left``'s column names — alias them before calling.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
     overlap = set(payload_cols) & set(left.columns)
@@ -73,11 +82,15 @@ def asof_join(
     )
 
     # at equal time: right-before-left makes the match inclusive; flip the
-    # tiebreak for strict (<) semantics
+    # tiebreak for strict semantics. forward = the same scan over
+    # time-DESCENDING order (last-seen right row is the nearest later one).
+    time_order = (
+        F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
+    )
     tag_order = F.col(_TAG).desc() if allow_exact_match else F.col(_TAG).asc()
     win = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_T).asc(), tag_order)
+        .orderBy(time_order, tag_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -87,3 +87,42 @@ def test_udf_boundaries_agree(spark):
     pdf = _q(spark, "udf_pandas_scalar")
     assert py.exceptAll(pdf).count() == 0
     assert pdf.exceptAll(py).count() == 0
+
+
+def test_sessions_are_disjoint_with_min_gaps(spark):
+    """stream_session invariants: per user, sessions don't overlap and
+    consecutive sessions are separated by > 30 minutes."""
+    from pyspark.sql import Window
+
+    s = _q(spark, "stream_session")
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    gaps = s.select(
+        "user_id",
+        "session_seq",
+        (
+            F.unix_micros("session_start")
+            - F.unix_micros(F.lag("session_end").over(w))
+        ).alias("gap_us"),
+        (
+            F.unix_micros("session_end") - F.unix_micros("session_start")
+        ).alias("dur_us"),
+    )
+    assert gaps.filter(F.col("dur_us") < 0).count() == 0
+    bad_gaps = gaps.filter(
+        F.col("gap_us").isNotNull()
+        & (F.col("gap_us") <= 30 * 60 * 1_000_000)
+    )
+    assert bad_gaps.count() == 0
+
+
+def test_cleaning_pipeline_output_is_subset(spark):
+    """text_lang_filter_pipeline rows ⊆ documents, langs respected."""
+    from pyetl_spark.tables import load_tables
+
+    out = _q(spark, "text_lang_filter_pipeline")
+    docs = load_tables(spark, SF_ORACLE).documents
+    assert out.count() <= docs.count()
+    assert out.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+    assert (
+        out.filter(~F.col("lang").isin("en", "fr", "es")).count() == 0
+    )
