@@ -194,3 +194,38 @@ def foreach_batch_multi_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension table
+    (the reference's lookup-table pattern). The static side re-resolves per
+    micro-batch, so slowly-changing dims pick up updates without restart;
+    small dims broadcast into every batch."""
+    return events.join(dim, on, "left")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    interval_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream inner join on user_id within a bounded event-time
+    interval (SURVEY §2.9 family completion).
+
+    Both sides carry watermarks and the join condition bounds right.ts to
+    [left.ts - interval, left.ts] — the bound + watermarks let the state
+    store GC both buffers; an unbounded stream-stream join would retain
+    state forever. Columns must be pre-aliased to avoid collisions.
+    """
+    lw = left.withWatermark("l_ts", watermark)
+    rw = right.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(
+            f"INTERVAL {interval_minutes} MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -313,3 +313,97 @@ def test_kafka_builder_gated_cleanly(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "file source" in str(e)
+
+
+def test_stream_static_enrichment(spark, scratch):
+    """Stream joined with a static dimension — every output row carries the
+    dim attribute."""
+    from pyetl_spark.streaming.pipeline import stream_static_enrich
+
+    src = os.path.join(scratch, "src")
+    _write_batch(src, "b1.json", [_row(i, h=9, m=i, user=i % 3) for i in range(12)])
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro"), (2, "enterprise")], "user_id long, tier string"
+    )
+    out = _run_available_now(
+        stream_static_enrich(read_events_stream(spark, src), dim),
+        os.path.join(scratch, "ck"),
+        "enrich_out",
+        spark,
+    )
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(r["tier"] in ("free", "pro", "enterprise") for r in rows)
+
+
+def test_stream_stream_interval_join(spark, scratch):
+    """Errors join the same user's purchases within the prior 30 minutes;
+    a purchase outside the interval must not match."""
+    from pyspark.sql import functions as F
+    from pyetl_spark.streaming.pipeline import stream_stream_interval_join
+
+    src = os.path.join(scratch, "src")
+    rows = [
+        _row(1, h=9, m=0, user=1, etype="purchase"),
+        _row(2, h=9, m=20, user=1, etype="error"),     # matches (20 min)
+        _row(3, h=10, m=30, user=1, etype="error"),    # no purchase in window
+        _row(4, h=11, m=0, user=2, etype="purchase"),
+        _row(5, h=11, m=40, user=2, etype="error"),    # 40 min → outside
+        _row(9, h=13, m=0, user=3, etype="view"),      # watermark pusher
+    ]
+    _write_batch(src, "b1.json", rows)
+
+    base = read_events_stream(spark, src)
+    errors = base.filter("event_type = 'error'").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = base.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    out = _run_available_now(
+        stream_stream_interval_join(errors, purchases),
+        os.path.join(scratch, "ck"),
+        "ssj_out",
+        spark,
+    )
+    pairs = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert pairs == {(2, 1)}
+
+
+def test_session_agg_with_rocksdb_state_store(spark, scratch):
+    """The 100 TB state story: the same session operator runs on the
+    RocksDB state store provider (disk-backed executor state)."""
+    old = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = os.path.join(scratch, "src")
+        rows = [_row(i, h=9, m=i) for i in range(5)]
+        rows += [_row(99, h=13, m=0, user=2)]
+        _write_batch(src, "b1.json", rows)
+        out = _run_available_now(
+            session_agg(read_events_stream(spark, src)),
+            os.path.join(scratch, "ck"),
+            "rocks_out",
+            spark,
+        )
+        sessions = [r for r in out.collect() if r["user_id"] == 1]
+        assert len(sessions) == 1 and sessions[0]["n_events"] == 5
+    finally:
+        if old:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
