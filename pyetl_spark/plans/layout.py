@@ -97,3 +97,37 @@ def salted_join(
         rsalted[c] for c in right.columns if c != key
     ]
     return out.select(*keep)
+
+
+def compact(
+    spark,
+    path: str,
+    target_files: int,
+    partition_col: str | None = None,
+) -> None:
+    """Small-files compaction: rewrite a directory (optionally keeping its
+    Hive partition layout) into ~target_files files.
+
+    The small-files problem is the classic failure mode of long-running
+    partitioned sinks (the reference lands a file per flush); NameNode/
+    listing pressure and per-file open costs dominate reads at scale.
+    Rewrite via coalesce (no shuffle) when reducing, repartition otherwise.
+    """
+    df = spark.read.parquet(path)
+    current = df.rdd.getNumPartitions()
+    out = (
+        df.coalesce(target_files)
+        if target_files < current
+        else df.repartition(target_files)
+    )
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+    # atomic-ish swap (same-filesystem rename), mirroring the reference's
+    # temp-name-then-move landing protocol
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
