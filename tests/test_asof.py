@@ -119,3 +119,46 @@ def test_column_collision_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "alias" in str(e)
+
+
+def test_multi_key_asof(spark, duck):
+    """Composite join keys: as-of per (user_id, event bucket)."""
+    from pyetl_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_ORACLE).events
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 2).alias("bucket"),
+        "ts",
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("event_id") % 2).alias("bucket"),
+        F.col("ts").alias("p_ts"),
+    )
+    got = {
+        r["event_id"]: (r["p_ts"].replace(tzinfo=None) if r["p_ts"] else None)
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id", "bucket"],
+            left_time="ts",
+            right_time="p_ts",
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            """
+            SELECT e.event_id,
+                   (SELECT max(p.ts) FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = e.user_id
+                      AND p.event_id % 2 = e.event_id % 2
+                      AND e.ts >= p.ts)
+            FROM events e WHERE e.event_type = 'error'
+            """
+        ).fetchall()
+    }
+    assert got == want
