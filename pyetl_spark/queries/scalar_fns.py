@@ -154,15 +154,15 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS abs_centered,
-           ceil(l_extendedprice / 1000.0) AS price_k_ceil,
-           floor(l_extendedprice / 1000.0) AS price_k_floor,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
            {R('sqrt(l_extendedprice)', 4)} AS price_sqrt,
            {R('pow(l_quantity, 2.0)', 4)} AS qty_sq,
            {R('exp(l_discount)', 4)} AS disc_exp,
            {R('ln(l_extendedprice)', 4)} AS price_ln,
            {R('log10(l_extendedprice)', 4)} AS price_log10,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
            greatest(l_quantity, 25.0) AS qty_floor25,
            least(l_tax, 0.04) AS tax_cap4
     FROM lineitem
@@ -187,7 +187,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.log(price), 4).alias("price_ln"),
         rnd(F.log10(price), 4).alias("price_log10"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
         F.greatest(qty, F.lit(25.0)).alias("qty_floor25"),
         F.least(F.col("l_tax"), F.lit(0.04)).alias("tax_cap4"),
     )

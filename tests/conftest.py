@@ -81,6 +81,29 @@ def _normalize(cols, rows):
     return sorted_cols, out
 
 
+def _type_cat(t: str) -> str:
+    """Coarse type category for cross-engine schema comparison — int vs
+    float crossings (e.g. Spark ceil→BIGINT vs DuckDB ceil→DOUBLE) pass a
+    Python == on values (1 == 1.0) but can break a value hash."""
+    t = str(t).lower()
+    if "[]" in t or t.startswith(("array", "list", "struct", "map")):
+        return "nested"
+    if t.startswith(
+        ("tinyint", "smallint", "integer", "bigint", "hugeint", "int",
+         "long", "short", "byte", "ubigint", "uint", "usmallint", "utinyint")
+    ):
+        return "int"
+    if t.startswith(("double", "float", "real", "decimal")):
+        return "float"
+    if t.startswith("bool"):
+        return "bool"
+    if "timestamp" in t:
+        return "ts"
+    if t == "date":
+        return "date"
+    return "str"
+
+
 def assert_parity(spark, duck, key: str, sf_dir: str = SF_ORACLE):
     """Run engine query + DuckDB oracle, compare like the driver does."""
     from pyetl_spark import registry
@@ -89,6 +112,16 @@ def assert_parity(spark, duck, key: str, sf_dir: str = SF_ORACLE):
     sdf = registry.QUERIES[key](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+
+    s_cats = {c: _type_cat(t) for c, t in sdf.dtypes}
+    type_rel = duck.sql(registry.ORACLE[key])
+    d_cats = dict(zip(type_rel.columns, [_type_cat(t) for t in type_rel.types]))
+    cat_mismatch = {
+        c: (s_cats[c], d_cats[c])
+        for c in s_cats
+        if c in d_cats and s_cats[c] != d_cats[c]
+    }
+    assert not cat_mismatch, f"{key}: type-category mismatch {cat_mismatch}"
 
     rel = duck.execute(registry.ORACLE[key])
     d_cols = [d[0] for d in rel.description]
