@@ -168,3 +168,114 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sp == target).alias("is_urgent_final"),
         (price_key > threshold).alias("above_struct_cmp"),
     )
+
+
+@query(
+    "win_locf",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_purchase_value
+    FROM events
+    """,
+)
+def win_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: each event sees the most recent
+    PRIOR purchase value for its user (IGNORE NULLS over a trailing frame)
+    — the classic time-series gap-fill, and the windowed sibling of the
+    as-of join."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_value"),
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           max(struct_pack(c := c, t := event_type))['t'] AS modal_type,
+           max(struct_pack(c := c, t := event_type))['c'] AS modal_count
+    FROM counted
+    GROUP BY user_id
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent event_type per user): count +
+    struct-argmax with the value itself as tiebreak — built-in mode()'s
+    tie behavior is unspecified on both engines, so it's banned for
+    hash-matching (SURVEY §5.3 spirit) and rebuilt deterministically."""
+    ev = load_tables(spark, sf_dir).events
+    counted = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    pair = F.struct(F.col("c").alias("c"), F.col("event_type").alias("t"))
+    return counted.groupBy("user_id").agg(
+        F.max(pair)["t"].alias("modal_type"),
+        F.max(pair)["c"].alias("modal_count"),
+    )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(l_extendedprice AS BIGINT) // CAST(l_quantity AS BIGINT)
+           END AS int_div,
+           l_extendedprice / nullif(l_tax, 0) AS price_per_tax
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey < 2000
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe arithmetic under ANSI semantics: try_divide and
+    nullif-guarded division return NULL instead of erroring on zero
+    denominators (Spark 4 runs ANSI mode by default — unguarded division
+    by zero would kill the job; the oracle guards with CASE/nullif)."""
+    li = load_tables(spark, sf_dir).lineitem
+    ik = F.col("l_extendedprice").cast("long")
+    iq = F.col("l_quantity").cast("long")
+    return li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 2000)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        # exact integer division (DIV), not floor(double/) — double
+        # quotients of large longs can floor across the wrong boundary
+        F.when(iq == 0, None)
+        .otherwise(F.expr(
+            "CAST(l_extendedprice AS BIGINT) DIV CAST(l_quantity AS BIGINT)"
+        ))
+        .alias("int_div"),
+        (
+            F.col("l_extendedprice") / F.nullif(F.col("l_tax"), F.lit(0.0))
+        ).alias("price_per_tax"),
+    )
