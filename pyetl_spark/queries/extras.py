@@ -245,7 +245,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN l_discount = 0 THEN NULL
                 ELSE l_extendedprice / l_discount END AS price_per_disc,
            CASE WHEN l_quantity = 0 THEN NULL
-                ELSE CAST(l_extendedprice AS BIGINT) // CAST(l_quantity AS BIGINT)
+                ELSE CAST(floor(l_extendedprice) AS BIGINT)
+                     // CAST(floor(l_quantity) AS BIGINT)
            END AS int_div,
            l_extendedprice / nullif(l_tax, 0) AS price_per_tax
     FROM lineitem
@@ -258,8 +259,9 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators (Spark 4 runs ANSI mode by default — unguarded division
     by zero would kill the job; the oracle guards with CASE/nullif)."""
     li = load_tables(spark, sf_dir).lineitem
-    ik = F.col("l_extendedprice").cast("long")
-    iq = F.col("l_quantity").cast("long")
+    # floor before the integer cast: bare double→BIGINT casts TRUNCATE in
+    # Spark but ROUND in DuckDB — floor() pins both to the same integer
+    iq = F.floor("l_quantity").cast("long")
     return li.filter(
         (F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 2000)
     ).select(
@@ -272,7 +274,8 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quotients of large longs can floor across the wrong boundary
         F.when(iq == 0, None)
         .otherwise(F.expr(
-            "CAST(l_extendedprice AS BIGINT) DIV CAST(l_quantity AS BIGINT)"
+            "CAST(floor(l_extendedprice) AS BIGINT)"
+            " DIV CAST(floor(l_quantity) AS BIGINT)"
         ))
         .alias("int_div"),
         (
