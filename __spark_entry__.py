@@ -2,6 +2,12 @@
 
 Thin views over :mod:`pyetl_spark.registry` — every operator from
 SURVEY.md §2 registers itself there via the ``@query`` decorator.
+
+Reviewer map: COVERAGE.md (registry vs SURVEY §2 line by line), SCALE.md
+(per-plan-shape 100 TB analysis + measured 10x scaling), PLANS.md (captured
+physical plans), pyetl_spark/parity.py (why float hashes match bit-for-bit
+across engines). Works with any SparkSession — engine confs (UTC,
+nanosAsLong, AQE) are applied at runtime by tune().
 """
 
 from __future__ import annotations
