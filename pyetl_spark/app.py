@@ -167,8 +167,13 @@ def run_streaming(
                 )
                 w.parquet(sink.path)
             elif isinstance(sink, JsonSink):
-                out.write.mode("overwrite").partitionBy("batch_id").json(
-                    sink.path
+                # dynamic partition overwrite here too — plain overwrite
+                # would wipe prior batches' partitions on every new batch
+                (
+                    out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .json(sink.path)
                 )
 
     return (

@@ -87,6 +87,9 @@ def test_streaming_pipeline_same_transforms(spark, tmp_path):
     q2 = run_streaming(spark, _spec(src, pq, js), ck)
     q2.awaitTermination(120)
     assert spark.read.parquet(pq).count() == 40 + 4  # one filtered
+    # BOTH sinks must retain batch-0 rows after batch 1 (dynamic
+    # partition overwrite; plain overwrite would wipe the json side)
+    assert spark.read.json(js).count() == 40 + 4
 
 
 def test_merge_upsert_updates_and_inserts(spark, tmp_path):
