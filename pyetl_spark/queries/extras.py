@@ -282,3 +282,65 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") / F.nullif(F.col("l_tax"), F.lit(0.0))
         ).alias("price_per_tax"),
     )
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT event_id, ts,
+           ts + INTERVAL 90 MINUTE AS plus_90m,
+           ts - INTERVAL 2 HOUR   AS minus_2h,
+           ts + INTERVAL 3 DAY    AS plus_3d,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 12 HOUR
+             AS noon_of_day
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: timestamp ± minute/hour/day intervals,
+    ISO week truncation (Monday-start on both engines), composed
+    truncate+shift. months_between stays banned (SURVEY §5.3 — engine
+    semantics differ)."""
+    ev = load_tables(spark, sf_dir).events
+    ts = F.col("ts")
+    return ev.filter(F.col("event_id") < 2000).select(
+        "event_id",
+        "ts",
+        (ts + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+        (ts - F.expr("INTERVAL 2 HOUR")).alias("minus_2h"),
+        (ts + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),
+        F.date_trunc("week", ts).alias("week_start"),
+        (F.date_trunc("day", ts) + F.expr("INTERVAL 12 HOUR")).alias(
+            "noon_of_day"
+        ),
+    )
+
+
+@query(
+    "fn_array_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x = 'database')
+               AS hits
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS hit
+    FROM t
+    """,
+)
+def fn_array_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: docs with zero matching tokens still emit
+    one NULL row (a plain explode/unnest drops them). The oracle emulates
+    outer-explode by substituting [NULL] for empty lists — the exact
+    definition of the operator."""
+    d = load_tables(spark, sf_dir).documents
+    hits = F.filter(
+        F.split("text", " "), lambda x: x == F.lit("database")
+    )
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.explode_outer(hits).alias("hit")
+    )
