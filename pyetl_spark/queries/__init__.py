@@ -16,6 +16,7 @@ _MODULES = [
     "extras",
     "scalar_fns",
     "events_windows",
+    "analytics",
     "llm_text",
     "llm_vec",
     "llm_scale",

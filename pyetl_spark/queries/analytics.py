@@ -1,0 +1,252 @@
+"""Product-analytics query shapes over the events/orders fixtures: funnel
+conversion, cohort retention, percent-of-total, aggregate-based top-k (the
+skew-robust twin of the window form), fixed-width histograms, boolean
+aggregates. All Tier A (oracle-matched).
+
+Scale notes (local[32] tested, 1000-executor posture):
+- funnel/retention are two-phase self-aggregations on ``user_id`` — both
+  phases shuffle on the SAME key, so Spark reuses the exchange; at 100 TB
+  pre-bucketing events by user_id makes them shuffle-free.
+- topk_per_group_agg keeps top-k selection inside a single hash aggregate
+  (partial lists merged map-side) instead of a full per-partition sort +
+  window — the strategy that survives skewed group sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import FXP, R, fxp, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH first_view AS (
+      SELECT user_id, min(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    first_click AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN first_view f
+        ON e.user_id = f.user_id AND e.ts >= f.v_ts
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN first_click c
+        ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM first_view)     AS n_view,
+           (SELECT count(*) FROM first_click)    AS n_click_after_view,
+           (SELECT count(*) FROM first_purchase) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts at
+    stage N only if the stage-N event happens at-or-after their first
+    stage-(N-1) event. Each stage is min-ts per user joined forward —
+    all equi-joins on user_id, so one shuffle key end-to-end."""
+    ev = load_tables(spark, sf_dir).events
+
+    def first_after(df: DataFrame, etype: str, prev: DataFrame,
+                    prev_ts: str, out_ts: str) -> DataFrame:
+        e = df.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    fv = first_after(ev, "view", None, "", "v_ts")
+    fc = first_after(ev, "click", fv, "v_ts", "c_ts")
+    fp = first_after(ev, "purchase", fc, "c_ts", "p_ts")
+    return spark.range(1).select(
+        F.lit(fv.count()).alias("n_view"),
+        F.lit(fc.count()).alias("n_click_after_view"),
+        F.lit(fp.count()).alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    WHERE date_diff('day', c.cohort_day, a.day) <= 7
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each subsequent active day up to +7. Cohort assignment and
+    the activity dedup both shuffle on user_id (exchange reuse); the final
+    small rollup is the only extra shuffle."""
+    ev = load_tables(spark, sf_dir).events
+    day = F.to_date("ts")
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", off)
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "win_pct_of_total",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name,
+             sum({FXP('s.s_acctbal', 100)}) AS bal_c
+      FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_regionkey, n_name,
+           {R('bal_c / 100.0', 2)} AS nation_bal,
+           {R('CAST(bal_c AS DOUBLE) / sum(bal_c) OVER (PARTITION BY n_regionkey)', 6)}
+             AS share_of_region
+    FROM nat
+    """,
+)
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of its
+    region's supplier balance. The denominator is a window sum over the
+    already-aggregated (tiny) frame — the cheap two-level pattern that
+    avoids re-scanning the fact table. Sums ride exact fixed-point
+    integers (parity.py) so the shares divide identical numerators on
+    both engines (s_acctbal goes negative, so the sign-aware fxp form is
+    mandatory — a bare CAST truncates in Spark but rounds in DuckDB)."""
+    t = load_tables(spark, sf_dir)
+    nation, supplier = t.nation, t.supplier
+    bal_c = F.sum(fxp(F.col("s_acctbal"), 100)).alias("bal_c")
+    nat = (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(bal_c)
+    )
+    w = Window.partitionBy("n_regionkey")
+    return nat.select(
+        "n_regionkey",
+        "n_name",
+        rnd(F.col("bal_c") / 100.0, 2).alias("nation_bal"),
+        rnd(
+            F.col("bal_c").cast("double") / F.sum("bal_c").over(w), 6
+        ).alias("share_of_region"),
+    )
+
+
+@query(
+    "topk_per_group_agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer computed INSIDE a hash aggregate
+    (sort_array(collect_list(struct)) → slice → posexplode) instead of a
+    window: identical result set to win_topk_per_group's row_number form,
+    but no per-partition full sort and partial lists merge map-side — the
+    shape that survives heavily skewed group sizes at 100 TB. (True
+    bounded-state top-k would cap the partial lists too; Spark's built-in
+    collect_list keeps all group rows until the final slice.)"""
+    o = load_tables(spark, sf_dir).orders
+    # ascending struct sort ≡ price DESC (negated) with orderkey tiebreak
+    pair = F.struct(
+        (-F.col("o_totalprice")).alias("neg_price"),
+        F.col("o_orderkey").alias("o_orderkey"),
+    )
+    top3 = (
+        o.groupBy("o_custkey")
+        .agg(F.slice(F.sort_array(F.collect_list(pair)), 1, 3).alias("top"))
+        .select("o_custkey", F.posexplode("top").alias("pos", "p"))
+    )
+    return top3.select(
+        "o_custkey",
+        F.col("p.o_orderkey").alias("o_orderkey"),
+        (-F.col("p.neg_price")).alias("o_totalprice"),
+        (F.col("pos") + 1).alias("rk"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT least(9, CAST(floor(o_totalprice / 60000.0) AS BIGINT)) AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: bucket = floor(x/width)
+    clamped to 10 bins. Pure floor arithmetic (no width_bucket builtin)
+    so the bin edges are bit-identical across engines; min/max per bin
+    are exact doubles. One map-side-combinable aggregate — the 100 TB
+    version is the same plan."""
+    o = load_tables(spark, sf_dir).orders
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("o_totalprice") / 60000.0)
+    ).alias("bucket")
+    return o.groupBy(bucket).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_above_1k,
+           bool_or(o_totalprice > 450000)  AS any_above_450k,
+           bool_and(o_orderstatus <> 'X')  AS never_x,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any): bool_and/bool_or over computed
+    predicates per priority class — the SQL-standard EVERY/ANY checkbox,
+    map-side combinable like any algebraic aggregate."""
+    o = load_tables(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_totalprice") > 450000).alias("any_above_450k"),
+        F.bool_and(F.col("o_orderstatus") != "X").alias("never_x"),
+        F.count("*").alias("n"),
+    )
