@@ -427,3 +427,87 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.md5("text")).alias("md5_len"),
         F.substring(F.md5("text"), 1, 8).alias("md5_head"),
     )
+
+
+@query(
+    "fn_string_parts",
+    oracle="""
+    SELECT c_custkey,
+           split_part(c_name, '#', 1) AS name_prefix,
+           split_part(c_name, '#', 2) AS name_num,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+           repeat(c_mktsegment, 2) AS seg_x2,
+           left(c_name, 5)  AS head5,
+           right(c_name, 5) AS tail5,
+           ascii(c_mktsegment) AS first_cp,
+           chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS letter,
+           contains(c_name, '9') AS has_nine
+    FROM customer
+    WHERE c_custkey < 2000
+    """,
+)
+def fn_string_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: delimiter splitting (split_part), character
+    mapping (translate), repetition, left/right slices, codepoint
+    conversions, substring containment — all JVM built-ins fused into the
+    scan's codegen span, same names on both engines."""
+    c = load_tables(spark, sf_dir).customer
+    return c.filter(F.col("c_custkey") < 2000).select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias(
+            "name_prefix"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias(
+            "name_num"
+        ),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias(
+            "seg_lower_vowels"
+        ),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg_x2"),
+        F.left(F.col("c_name"), F.lit(5)).alias("head5"),
+        F.right(F.col("c_name"), F.lit(5)).alias("tail5"),
+        F.ascii(F.col("c_mktsegment")).alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias(
+            "letter"
+        ),
+        F.contains(F.col("c_name"), F.lit("9")).alias("has_nine"),
+    )
+
+
+@query(
+    "fn_trig",
+    oracle=f"""
+    SELECT angle_deg,
+           {R('sin(radians(angle_deg))', 4)} AS sin_a,
+           {R('cos(radians(angle_deg))', 4)} AS cos_a,
+           {R('tan(radians(angle_deg) / 2.0 + 0.1)', 4)} AS tan_half,
+           {R('atan2(CAST(angle_deg AS DOUBLE), 100.0)', 4)} AS atan2_a,
+           {R('degrees(atan(angle_deg / 360.0))', 4)} AS atan_deg,
+           {R('asin(angle_deg / 360.0)', 4)} AS asin_a,
+           {R('acos(angle_deg / 360.0)', 4)} AS acos_a,
+           {R('cot(radians(angle_deg) + 0.05)', 4)} AS cot_a
+    FROM (SELECT DISTINCT o_orderkey % 360 AS angle_deg FROM orders)
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric + hyperbolic family over a bounded integer angle
+    domain (0–359 — DISTINCT keeps the row set fixed at every sf, so the
+    libm-vs-StrictMath last-ULP question is settled once, not re-rolled
+    per row; 4dp rounding absorbs sub-ULP differences off tie
+    boundaries). tan is shifted off the π/2 pole."""
+    o = load_tables(spark, sf_dir).orders
+    angles = o.select((F.col("o_orderkey") % 360).alias("angle_deg")).distinct()
+    a = F.col("angle_deg")
+    rad = F.radians(a)
+    x = a / F.lit(360.0)
+    return angles.select(
+        "angle_deg",
+        rnd(F.sin(rad), 4).alias("sin_a"),
+        rnd(F.cos(rad), 4).alias("cos_a"),
+        rnd(F.tan(rad / 2.0 + 0.1), 4).alias("tan_half"),
+        rnd(F.atan2(a.cast("double"), F.lit(100.0)), 4).alias("atan2_a"),
+        rnd(F.degrees(F.atan(x)), 4).alias("atan_deg"),
+        rnd(F.asin(x), 4).alias("asin_a"),
+        rnd(F.acos(x), 4).alias("acos_a"),
+        rnd(F.cot(rad + F.lit(0.05)), 4).alias("cot_a"),
+    )

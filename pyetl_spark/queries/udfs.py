@@ -226,3 +226,66 @@ def map_partitions_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInPandas(
         batch_rank, "l_orderkey long, l_linenumber int, revenue double"
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+def _pd_frame_sum_udf():
+    """Bounded-window pandas UDAF: Arrow ships each frame's values to
+    Python; pandas sums left-to-right (same order as the frame), so the
+    4-value sums are bit-identical to the oracle's windowed sum."""
+
+    @pandas_udf("double")
+    def _pd_frame_sum(v: pd.Series) -> float:
+        return v.sum(min_count=1)
+
+    return _pd_frame_sum
+
+
+@query(
+    "win_udaf_pandas",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {R('''sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)''', 4)} AS trail_sum
+    FROM events
+    """,
+)
+def win_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF evaluated over a BOUNDED window frame (trailing 4-row
+    sum per user): Spark slices each frame and feeds it to the Arrow UDF —
+    the escape hatch for windowed aggregations Spark lacks natively
+    (the body here is a plain sum so the oracle stays ANSI SQL)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    frame_sum = _pd_frame_sum_udf()
+    return ev.select(
+        "event_id",
+        "user_id",
+        rnd(frame_sum("value").over(w), 4).alias("trail_sum"),
+    )
+
+
+@query("agg_approx_percentile")  # Tier B: approximate → never hash-declared
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) p50/p90/p99 of order
+    value per priority — the mergeable-sketch path that replaces exact
+    percentile's full sort at 100 TB. Accuracy vs the exact quantile is
+    asserted in tests/test_approx_operators.py."""
+    o = load_tables(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90"
+        ),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias(
+            "p99"
+        ),
+    )

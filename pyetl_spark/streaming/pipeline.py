@@ -229,3 +229,61 @@ def stream_stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def stateful_anomaly_counter_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 state-API twin of :func:`stateful_anomaly_counter`
+    (`transformWithStateInPandas`): same per-user running error counter,
+    rebuilt on the StatefulProcessor lifecycle (init → handleInputRows →
+    close) with a named ValueState cell.
+
+    Why both exist: applyInPandasWithState is the 3.x-era API; the
+    processor form adds named state cells, timers, and TTL — the shape
+    new stateful operators should take. Output parity between the twins
+    is asserted in tests/test_streaming.py.
+
+    Runtime needs: the TWS Python worker speaks protobuf to the JVM and
+    the operator requires the RocksDB state-store provider — both gated
+    at the test layer (protobuf isn't in this container; the operator
+    itself builds fine and runs wherever Spark 4's full streaming deps
+    are installed).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ErrorCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "n_errors", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_errors = 0
+            for pdf in rows:
+                batch_errors += int((pdf["event_type"] == "error").sum())
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + batch_errors
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_errors_total": [total],
+                    "batch_errors": [batch_errors],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=ErrorCounter(),
+            outputStructType=_ANOMALY_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

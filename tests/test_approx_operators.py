@@ -184,3 +184,41 @@ def test_simhash_df_equals_column_form(spark):
     }
     df_form = {r["doc_id"]: r["sh"] for r in simhash_df(df).collect()}
     assert col_form == df_form
+
+
+def test_approx_percentile_accuracy(spark):
+    """GK sketches bound RANK error, not value error (the sketch returns a
+    real sample; exact percentile interpolates between samples). Assert
+    each approx quantile lies between the exact quantiles at q∓0.01 —
+    generous vs the sketch's ~0.01% rank guarantee, robust to value gaps."""
+    from pyetl_spark.registry import QUERIES, load_all
+
+    load_all()
+    approx = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()
+    }
+    o = load_tables(spark, SF_ORACLE).orders
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    bounds = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.percentile("o_totalprice", max(v - 0.01, 0.0)).alias(f"{k}_lo")
+                for k, v in qs.items()
+            ],
+            *[
+                F.percentile("o_totalprice", min(v + 0.01, 1.0)).alias(f"{k}_hi")
+                for k, v in qs.items()
+            ],
+        )
+        .collect()
+    }
+    assert set(approx) == set(bounds)
+    for prio, a in approx.items():
+        b = bounds[prio]
+        for k in qs:
+            assert b[f"{k}_lo"] <= a[k] <= b[f"{k}_hi"], (
+                prio, k, a[k], b[f"{k}_lo"], b[f"{k}_hi"],
+            )

@@ -127,3 +127,21 @@ def test_partitioned_sink_readback_prunes_partitions(spark):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "dt" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_topk_per_group_agg_has_no_window_sort(spark):
+    """The aggregate-form top-k must plan as a hash aggregate with
+    map-side partial lists — no Window operator, no per-partition sort
+    of the full input (that's exactly what it exists to avoid)."""
+    plan = plan_of(spark, "topk_per_group_agg")
+    assert "Window" not in plan
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_reuses_user_id_exchange(spark):
+    """All three funnel stages shuffle on user_id; Catalyst/AQE must not
+    plan a cartesian product and every join stays an equi-join."""
+    plan = plan_of(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -407,3 +407,52 @@ def test_session_agg_with_rocksdb_state_store(spark, scratch):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+def test_stateful_custom_counter_tws(spark, scratch):
+    """transformWithStateInPandas twin accumulates identically across
+    micro-batches (Spark 4 StatefulProcessor + named ValueState).
+
+    The operator's Python worker protocol needs protobuf (not shipped in
+    this container) — skip cleanly where it's absent, like the optional
+    multimodal decoders."""
+    pytest.importorskip("google.protobuf")
+    from pyetl_spark.streaming.pipeline import stateful_anomaly_counter_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    src = os.path.join(scratch, "src")
+    ck = os.path.join(scratch, "ck")
+    _write_batch(
+        src,
+        "b1.json",
+        [_row(i, h=9, m=i, user=7, etype="error") for i in range(4)]
+        + [_row(10, h=9, m=30, user=7, etype="click")],
+    )
+    q = _start_memory_query(
+        stateful_anomaly_counter_tws(
+            read_events_stream(spark, src, max_files_per_trigger=1)
+        ),
+        ck,
+        "tws_out",
+        mode="update",
+    )
+    q.processAllAvailable()
+    r1 = {
+        r["user_id"]: r["n_errors_total"]
+        for r in spark.sql("SELECT * FROM tws_out").collect()
+    }
+    assert r1[7] == 4
+
+    _write_batch(
+        src,
+        "b2.json",
+        [_row(20 + i, h=10, m=i, user=7, etype="error") for i in range(2)],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    assert max(r["n_errors_total"] for r in rows if r["user_id"] == 7) == 6
