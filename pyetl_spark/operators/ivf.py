@@ -62,26 +62,62 @@ def _nearest_cell(vec_df: DataFrame, centroids: DataFrame, vec_col: str):
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    k: int = 8,
+    spread: bool = True,
+) -> DataFrame:
+    """Deterministic seed selection → DataFrame(cell, centroid).
+
+    ``spread=True`` (default): hash-spread seeding — bucket vectors by
+    ``pmod(xxhash64(id), k)`` and take the min-hash vector of each bucket.
+    xxhash64 decorrelates the choice from id order (adjacent ids — often
+    adjacent in insert/time order, hence correlated in vector space — land
+    in different buckets), approximating a uniform corpus sample with ONE
+    aggregation and no rand(). Empty buckets (k close to n) are re-labeled
+    densely so cells stay 0..k'-1.
+
+    ``spread=False``: the k lowest-id vectors — kept for comparison tests;
+    degenerates badly when id order correlates with position.
+    """
+    if not spread:
+        return (
+            corpus.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).alias("centroid"))
+            .withColumn(
+                "cell", F.row_number().over(Window.orderBy(F.lit(1))) - 1
+            )
+            .select("cell", "centroid")
+        )
+    h = F.xxhash64(F.col(id_col))
+    best = F.min(F.struct(h.alias("h"), F.col(vec_col).alias("v")))
+    per_bucket = (
+        corpus.groupBy(F.pmod(h, F.lit(k)).alias("bucket"))
+        .agg(best.alias("b"))
+        .select("bucket", F.col("b.v").alias("centroid"))
+    )
+    # dense re-label in bucket order → stable cell ids even with gaps
+    return per_bucket.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
+        "centroid",
+    )
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
     k: int = 8,
     iters: int = 3,
+    spread_seeds: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means → DataFrame(cell int, centroid
-    array<double>). Seeds = the k lowest-id vectors (replayable, no rand).
-    """
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).alias("centroid"))
-        .withColumn(
-            "cell",
-            F.row_number().over(Window.orderBy(F.lit(1))) - 1,
-        )
-        .select("cell", "centroid")
-    )
+    array<double>). Seeds from :func:`seed_centroids` (hash-spread by
+    default, replayable, no rand)."""
+    seeds = seed_centroids(corpus, id_col, vec_col, k, spread=spread_seeds)
     centroids = seeds
     for _ in range(iters):
         assigned = _nearest_cell(
@@ -120,6 +156,22 @@ def ivf_assign(
     return _nearest_cell(
         corpus.select(id_col, vec_col), centroids, vec_col
     ).select(id_col, vec_col, "cell")
+
+
+def cell_size_stats(indexed_corpus: DataFrame) -> DataFrame:
+    """Cell-population balance report for an inverted file: per-cell count
+    plus min/max/avg over cells (one tiny two-level aggregate). Skewed
+    cells are the IVF failure mode — a hot cell turns nearest-cell search
+    back into brute force — so surface the histogram wherever the index is
+    (re)built; at 100 TB this is the signal to re-fit or split cells."""
+    sizes = indexed_corpus.groupBy("cell").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").alias("n_cells"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        (F.sum("n") / F.count("*")).alias("avg_cell"),
+        (F.max("n") / (F.sum("n") / F.count("*"))).alias("skew_factor"),
+    )
 
 
 def ivf_topk(

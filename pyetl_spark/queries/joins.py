@@ -291,3 +291,36 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="purchase_ts",
     ).select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT n.n_name, top.s_name, top.s_acctbal
+    FROM nation n, LATERAL (
+      SELECT s_name, s_acctbal
+      FROM supplier s
+      WHERE s.s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name
+      LIMIT 2
+    ) top
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 suppliers by balance per nation.
+    Catalyst decorrelates the per-row subquery into a window+filter plan
+    (DecorrelateInnerQuery) — the declarative form survives at scale
+    because it never actually executes once-per-outer-row."""
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT n.n_name, top.s_name, top.s_acctbal
+        FROM nation n, LATERAL (
+          SELECT s_name, s_acctbal
+          FROM supplier s
+          WHERE s.s_nationkey = n.n_nationkey
+          ORDER BY s_acctbal DESC, s_name
+          LIMIT 2
+        ) top
+        """
+    )

@@ -160,3 +160,23 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     `set_intersect_all` [S])."""
     t = load_tables(spark, sf_dir)
     return _proj_a(t).intersectAll(_proj_b(t))
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity-preserving EXCEPT ALL): customers'
+    open-order multiset minus their urgent-order multiset — completes the
+    §2.7 set family's ALL variants alongside set_intersect_all."""
+    o = load_tables(spark, sf_dir).orders
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return open_orders.exceptAll(urgent)
