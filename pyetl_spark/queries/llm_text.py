@@ -322,3 +322,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(jac, 4).alias("jaccard"),
         )
     )
+
+
+@query(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 600
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)
+            >= 0.85
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT reach.n, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    )
+    SELECT n AS doc_id, min(r) AS component_id,
+           (n = min(r)) AS is_canonical
+    FROM reach GROUP BY n
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING (pairs → components): Jaccard-0.85 dup pairs
+    within a lang block, then distributed connected components
+    (operators/components.py, pointer-jumping label propagation); each doc
+    gets its cluster's min doc_id as component_id — the retention rule
+    "keep the canonical, drop the rest" falls out as is_canonical.
+
+    The pair graph is id-bounded for the oracle (DuckDB's recursive
+    closure is quadratic in component size; ROADMAP "bounded quadratic"
+    note) — the Spark operator itself has no bound and at 100 TB consumes
+    MinHashLSH pairs instead of the exact blocked join."""
+    from pyetl_spark.operators.components import connected_components
+
+    d = load_tables(spark, sf_dir).documents
+    toks = d.filter(F.col("doc_id") < 600).select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t"))).cast("double")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter / union >= 0.85)
+        .select(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
