@@ -392,3 +392,106 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("component_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+@query(
+    "text_stratified_cap",
+    oracle="""
+    SELECT doc_id, lang, source, rn
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source ORDER BY md5(text), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def text_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-(lang, source) cap — the data-mixing primitive
+    "at most N docs per stratum": rank docs inside each stratum by md5
+    hash order (a deterministic stand-in for random order — replayable,
+    rand() is banned) and keep the first 5. One window shuffle on the
+    stratum key; at 100 TB the same plan, or topk_per_group_agg's
+    aggregate form for heavily skewed strata."""
+    d = load_tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", "source", "rn")
+    )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(
+             (sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - n_tokens) / 256.0
+           ) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (context-window binning): assign docs to packs of
+    ~256 tokens by exclusive running token count within a lang stream —
+    pack_id = floor(cumsum_before / budget). The shuffle-free
+    approximation of greedy packing (docs may straddle pack boundaries;
+    exact first-fit packing is order-sequential and would need the
+    stateful streaming path). Integer token counts → bit-exact on both
+    engines; one window shuffle on lang."""
+    d = load_tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / 256.0).alias("pack_id"),
+    )
+
+
+@query(
+    "text_mixture_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 <
+          CASE WHEN lang = 'en' THEN 25
+               WHEN lang IN ('de', 'fr') THEN 75
+               ELSE 100 END
+    """,
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling — rebalance the training mix by
+    downsampling over-represented strata (en→25%, de/fr→75%, rest kept):
+    the keep decision hashes the CONTENT (md5 first 8 hex digits →
+    bigint mod 100), so it's deterministic, replayable, and independent
+    of row order/partitioning — the rand()-free form of Bernoulli
+    sampling. Narrow plan: no shuffle at all, filters evaluate in the
+    scan's codegen span."""
+    d = load_tables(spark, sf_dir).documents
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    keep_pct = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang").isin("de", "fr"), 75)
+        .otherwise(100)
+    )
+    return d.filter(bucket < keep_pct).select("doc_id", "lang", "source")
