@@ -79,3 +79,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).documents
     return extract_features(attach_fake_media(docs)).orderBy("media_id")
+
+
+@query("vec_ann_ivf")  # Tier B — approximate candidate set, rows-only
+def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (north star: similarity search,
+    clustered-corpus path): deterministic distributed k-means builds the
+    cells (hash-spread seeds, operators/ivf.py), probes search the
+    nprobe=2 nearest cells, exact cosine re-rank inside. Recall vs the
+    brute-force twin is asserted in tests/test_ivf.py; cell balance is
+    observable via cell_size_stats."""
+    from pyetl_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
+
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = kmeans_fit(v, k=8, iters=2)
+    indexed = ivf_assign(v, cents).select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec"), "cell"
+    )
+    probes = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    return ivf_topk(probes, indexed, cents, k=5, nprobe=2).orderBy(
+        "probe_id", "rank"
+    )

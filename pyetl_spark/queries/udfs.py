@@ -289,3 +289,37 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99"
         ),
     )
+
+
+@query("text_pack_greedy")  # Tier B: order-sequential per-group state
+def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT first-fit sequence packing (grouped-map applyInPandas): docs
+    stream through each lang partition in doc_id order and open a new pack
+    whenever the running token count would exceed the budget — the
+    order-sequential semantics text_pack_sequences approximates shuffle-
+    free. Per-group sequential state is exactly what the grouped-map
+    escape hatch is for: one Arrow batch per lang, a tight numpy-free loop
+    inside, no driver involvement. Deterministic (sort inside the group),
+    but declared rows-only because the oracle would need the same loop."""
+    budget = 256
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, pid, used = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > budget:
+                pid, used = pid + 1, 0
+            used += int(n)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf
+
+    d = load_tables(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("lang").applyInPandas(
+        pack, "doc_id long, lang string, n_tokens long, pack_id long"
+    )

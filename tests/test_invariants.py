@@ -126,3 +126,39 @@ def test_cleaning_pipeline_output_is_subset(spark):
     assert (
         out.filter(~F.col("lang").isin("en", "fr", "es")).count() == 0
     )
+
+
+def test_greedy_packing_respects_budget_and_tracks_approx(spark):
+    """Exact packer: no pack exceeds 256 tokens (except single oversized
+    docs) and pack count per lang is >= the shuffle-free approximation's
+    (first-fit can only open more packs than the ideal running split)."""
+    from pyetl_spark import registry
+    from tests.conftest import SF_ORACLE
+
+    registry.load_all()
+    greedy = registry.QUERIES["text_pack_greedy"](spark, SF_ORACLE)
+    per_pack = (
+        greedy.groupBy("lang", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tok"),
+            F.count("*").alias("n_docs"),
+        )
+        .collect()
+    )
+    for r in per_pack:
+        assert r["tok"] <= 256 or r["n_docs"] == 1, r
+    g_counts = {
+        r["lang"]: r["n"]
+        for r in greedy.groupBy("lang")
+        .agg(F.countDistinct("pack_id").alias("n"))
+        .collect()
+    }
+    approx = registry.QUERIES["text_pack_sequences"](spark, SF_ORACLE)
+    a_counts = {
+        r["lang"]: r["n"]
+        for r in approx.groupBy("lang")
+        .agg(F.countDistinct("pack_id").alias("n"))
+        .collect()
+    }
+    for lang, g in g_counts.items():
+        assert g >= a_counts[lang], (lang, g, a_counts[lang])
