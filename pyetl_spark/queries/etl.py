@@ -173,3 +173,72 @@ def etl_enrich_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("event_hour"),
         F.unix_timestamp("ts").alias("epoch_s"),
     )
+
+
+@query(
+    "etl_scd2_intervals",
+    oracle="""
+    SELECT user_id, value AS attr_value, ts AS valid_from,
+           coalesce(
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             TIMESTAMP '9999-12-31 00:00:00'
+           ) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each attribute change
+    becomes a [valid_from, valid_to) interval via lead() over the per-key
+    change stream; the open interval gets a sentinel end + is_current
+    flag. One window shuffle on the key — the standard warehouse
+    dimension-history pattern, same plan at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("value").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "etl_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def etl_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / upsert-read semantics: latest record per key by
+    event time (event_id tiebreak) — the batch equivalent of "merge
+    updates, keep newest". row_number-filter form; at 100 TB the same
+    semantics ride max_by(struct) in one hash aggregate when the full row
+    is small (agg_minmax_by shows that twin)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
