@@ -142,3 +142,50 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         msum(F.col("value"), 100).alias("total_value"),
     )
+
+
+@query(
+    "events_gapfill_spine",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '2024-01-01'
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE)
+      FROM spine WHERE d < DATE '2024-02-10'
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT spine.d AS day, coalesce(daily.n, 0) AS n_events,
+           (daily.n IS NULL) AS is_gap
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+)
+def events_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily time series via a RECURSIVE CTE date spine
+    (Spark 4 finally has WITH RECURSIVE): generate every calendar day
+    across (and past) the event range, left-join daily counts, zero-fill
+    gaps. The spine is driver-trivial (rows = days); the daily aggregate
+    is the only real shuffle — gap-filling at 100 TB costs the same as
+    the aggregate alone. The same recursion pattern powers hierarchy
+    walks and the DuckDB-side closure oracle of dedup_components."""
+    t = load_tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '2024-01-01'
+          UNION ALL
+          SELECT CAST(d + INTERVAL 1 DAY AS DATE)
+          FROM spine WHERE d < DATE '2024-02-10'
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, count(*) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT spine.d AS day, coalesce(daily.n, 0) AS n_events,
+               (daily.n IS NULL) AS is_gap
+        FROM spine LEFT JOIN daily ON spine.d = daily.d
+        """
+    )
