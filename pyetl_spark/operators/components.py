@@ -72,22 +72,25 @@ def connected_components(
         )
         # 2. jump step: follow the label one hop (label(label(n)))
         s, p = stepped.alias("s"), stepped.alias("p")
-        jumped = (
-            s.join(p, F.col("s.lbl") == F.col("p.n"), "left")
-            .select(
-                F.col("s.n").alias("n"),
-                F.least(
-                    F.col("s.lbl"),
-                    F.coalesce(F.col("p.lbl"), F.col("s.lbl")),
-                ).alias("new_lbl"),
-                F.col("s.lbl").alias("lbl"),
-            )
+        jumped = s.join(p, F.col("s.lbl") == F.col("p.n"), "left").select(
+            F.col("s.n").alias("n"),
+            F.least(
+                F.col("s.lbl"),
+                F.coalesce(F.col("p.lbl"), F.col("s.lbl")),
+            ).alias("lbl"),
         )
-        changed = jumped.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = (
-            jumped.select("n", F.col("new_lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+        new_labels = jumped.localCheckpoint(eager=True)
+        # converged ⟺ NO label moved across the WHOLE round — compare to
+        # the round-START labels (comparing only across the jump step
+        # misses rounds where the neighbor step alone made progress and
+        # stops early with half-merged components)
+        old = labels.select("n", F.col("lbl").alias("old_lbl"))
+        changed = (
+            new_labels.join(old, "n")
+            .filter(F.col("lbl") != F.col("old_lbl"))
+            .count()
         )
+        labels = new_labels
         if changed == 0:
             return labels.select(
                 F.col("n").alias("node"), F.col("lbl").alias("component")

@@ -59,3 +59,42 @@ def test_components_partition_pair_graph(spark):
         members.setdefault(comp, []).append(doc)
     for comp, docs in members.items():
         assert comp == min(docs)
+
+
+def _union_find_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonicalize: component = min member (find gives min because unions
+    # always attach the larger root under the smaller)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_random_graphs_match_union_find(spark, seed):
+    """Distributed CC == sequential union-find on seeded random graphs
+    (mixed topology: sparse edges over a 200-node id space → many small
+    components, chains, and a few larger blobs)."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    expected = _union_find_components(pairs)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(_edges(spark, pairs)).collect()
+    }
+    assert got == expected
