@@ -250,3 +250,110 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_orderstatus") != "X").alias("never_x"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             sum({FXP('value', 100)})                        AS sc,
+             sum({FXP('value', 100)} * {FXP('value', 100)})  AS sc2,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           {R('''(value - (CAST(sc AS DOUBLE) / 100.0) / n)
+              / sqrt(((CAST(sc2 AS DOUBLE) / 10000.0)
+                      - (CAST(sc AS DOUBLE) / 100.0)
+                        * (CAST(sc AS DOUBLE) / 100.0) / n)
+                     / (n - 1))''', 4)} AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((value - (CAST(sc AS DOUBLE) / 100.0) / n)
+           / sqrt(((CAST(sc2 AS DOUBLE) / 10000.0)
+                   - (CAST(sc AS DOUBLE) / 100.0)
+                     * (CAST(sc AS DOUBLE) / 100.0) / n)
+                  / (n - 1))) > 2.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type (|z| > 2): mean and
+    variance ride EXACT integer cent sums (value is a 2dp grid), so both
+    engines derive bit-identical doubles — no summation-order hazard even
+    though the final z is full float arithmetic. Plan: tiny stats
+    aggregate (5 groups) broadcast-joined back onto the stream — no
+    window shuffle of the full table."""
+    ev = load_tables(spark, sf_dir).events
+    c = fxp(F.col("value"), 100)
+    stats = ev.groupBy("event_type").agg(
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"),
+        F.count("*").alias("n"),
+    )
+    mean = (F.col("sc").cast("double") / 100.0) / F.col("n")
+    var = (
+        (F.col("sc2").cast("double") / 10000.0)
+        - (F.col("sc").cast("double") / 100.0)
+        * (F.col("sc").cast("double") / 100.0)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            rnd(z, 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "vec_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 500
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS m
+      FROM base
+    )
+    SELECT vec_id,
+           {R('m', 6)} AS scale,
+           list_transform(
+             v, x -> CAST(sign(x) * floor(abs(x / m * 127.0) + 0.5)
+                          AS INTEGER)
+           ) AS q
+    FROM scaled
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (per-vector max-abs scaling →
+    [-127, 127] grid) — the storage/bandwidth optimization every 100 TB
+    embedding corpus applies before ANN serving (4× smaller than float32,
+    dot products stay proportional). Quantized codes are exact integers
+    on both engines: the float32→double widening is pinned explicitly and
+    rounding is the sign-aware parity form. Narrow plan — pure map over
+    the scan."""
+    e = load_tables(spark, sf_dir).embeddings
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.filter(F.col("vec_id") < 500).select(
+        "vec_id", v.alias("v")
+    )
+    m = F.array_max(F.transform("v", F.abs))
+    scaled = base.select("vec_id", "v", m.alias("m"))
+    quant = F.transform(
+        "v",
+        lambda x: (
+            F.signum(x)
+            * F.floor(F.abs(x / F.col("m") * 127.0) + 0.5)
+        ).cast("int"),
+    )
+    return scaled.select(
+        "vec_id", rnd(F.col("m"), 6).alias("scale"), quant.alias("q")
+    )
