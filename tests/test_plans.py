@@ -145,3 +145,41 @@ def test_funnel_reuses_user_id_exchange(spark):
     plan = plan_of(spark, "events_funnel")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """100 TB posture: a selective dim-side filter must be able to inject
+    a runtime bloom filter into the fact scan (InjectRuntimeFilter →
+    might_contain guard) when broadcast is off the table — the mechanism
+    that prunes shuffle input when the filter itself isn't pushable.
+    Thresholds are production-scale gates, so the test lowers them to
+    demonstrate the rewrite and restores the session confs after."""
+    from pyspark.sql import functions as F
+
+    from pyetl_spark.tables import load_tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF_ORACLE)
+        o, li = t.orders, t.lineitem
+        j = li.join(
+            o.filter(F.col("o_totalprice") > 450000),
+            li.l_orderkey == o.o_orderkey,
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+        assert "bloom_filter_agg" in optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
