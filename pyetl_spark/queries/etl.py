@@ -242,3 +242,73 @@ def etl_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus <> new.o_orderstatus
+                  OR old.o_totalprice <> new.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           old.o_totalprice AS old_price,
+           new.o_totalprice AS new_price
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE NOT (old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+               AND old.o_orderstatus = new.o_orderstatus
+               AND old.o_totalprice = new.o_totalprice)
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC without a changelog): full-outer-join two
+    keyed snapshots and classify rows added / removed / changed —
+    emitting only the delta. The date-sliced orders table stands in for
+    two snapshot epochs. One shuffle on the key for both sides; at
+    100 TB bucket both snapshots on the key and the exchange disappears
+    (plans/bucketed_join pattern)."""
+    o = load_tables(spark, sf_dir).orders
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(cols)
+    new = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select(cols)
+    ol, nw = old.alias("old"), new.alias("new")
+    ok, nk = F.col("old.o_orderkey"), F.col("new.o_orderkey")
+    same = (
+        ok.isNotNull()
+        & nk.isNotNull()
+        & (F.col("old.o_orderstatus") == F.col("new.o_orderstatus"))
+        & (F.col("old.o_totalprice") == F.col("new.o_totalprice"))
+    )
+    change = (
+        F.when(ok.isNull(), "added")
+        .when(nk.isNull(), "removed")
+        .when(
+            (F.col("old.o_orderstatus") != F.col("new.o_orderstatus"))
+            | (F.col("old.o_totalprice") != F.col("new.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        ol.join(nw, ok == nk, "full")
+        .filter(~same)
+        .select(
+            F.coalesce(ok, nk).alias("o_orderkey"),
+            change.alias("change_type"),
+            F.col("old.o_totalprice").alias("old_price"),
+            F.col("new.o_totalprice").alias("new_price"),
+        )
+    )

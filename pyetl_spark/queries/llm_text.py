@@ -495,3 +495,89 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(100)
     )
     return d.filter(bucket < keep_pct).select("doc_id", "lang", "source")
+
+
+@query(
+    "pipeline_training_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             string_split(text, ' ') AS t
+      FROM documents WHERE lang IN ('en', 'de', 'fr')
+    ),
+    deduped AS (
+      SELECT * FROM toks
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, text, t,
+             {TX.quality_score_sql('text', 't')} AS q
+      FROM deduped
+    ),
+    kept AS (
+      SELECT * FROM scored WHERE q >= 0.5
+      QUALIFY row_number() OVER (
+        PARTITION BY lang, source ORDER BY md5(text), doc_id) <= 20
+    )
+    SELECT doc_id, lang, source,
+           {R('q', 4)} AS quality,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(floor(
+             (sum(CAST(len(t) AS BIGINT)) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - len(t)) / 512.0
+           ) AS BIGINT) AS pack_id
+    FROM kept
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composite: the full training-corpus preparation pass in
+    one declarative plan — lang whitelist → exact dedup (min doc_id per
+    content hash) → quality gate (composite heuristic ≥ 0.5) → stratified
+    per-(lang, source) cap of 20 → 512-token sequence packing per lang.
+    Five pipeline stages, three shuffles total (content-hash window,
+    stratum window, lang window) — every stage is a stock operator, so
+    Catalyst pipelines the rest into the scans. The 100 TB corpus run is
+    THIS plan with the cap/pack budgets raised and the exact-dedup window
+    swapped for the minhash path when near-dups matter."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    base = d.filter(F.col("lang").isin("en", "de", "fr")).select(
+        "doc_id", "lang", "source", "text", toks.alias("t")
+    )
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        base.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    scored = deduped.withColumn(
+        "q", TX.quality_score(F.col("text"), F.col("t"))
+    )
+    w_cap = Window.partitionBy("lang", "source").orderBy(
+        F.md5("text"), "doc_id"
+    )
+    kept = (
+        scored.filter(F.col("q") >= 0.5)
+        .withColumn("_rn", F.row_number().over(w_cap))
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    n_tokens = F.size("t").cast("long")
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = kept.withColumn("n_tokens", n_tokens)
+    cum_before = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    return with_tok.select(
+        "doc_id",
+        "lang",
+        "source",
+        rnd(F.col("q"), 4).alias("quality"),
+        "n_tokens",
+        F.floor(cum_before / 512.0).alias("pack_id"),
+    )
