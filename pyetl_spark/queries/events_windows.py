@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import MSUM, msum
+from pyetl_spark.parity import FXP, MSUM, R, fxp, msum, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -188,4 +188,93 @@ def events_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                (daily.n IS NULL) AS is_gap
         FROM spine LEFT JOIN daily ON spine.d = daily.d
         """
+    )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, value,
+             CAST(date_diff('second', ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS BIGINT) AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           {R('''CAST(sum({fxp} * dur_s) AS DOUBLE)
+                 / (100.0 * sum(dur_s))''', 4)} AS twa_value,
+           sum(dur_s) AS total_s
+    FROM spans
+    WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """.replace("{fxp}", FXP("value", 100)),
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — each reading weighted by how long
+    it was 'current' (until the next event): the correct mean for
+    irregularly-sampled series where arithmetic mean over-weights bursts.
+    Weights are integer seconds × integer cents (value is a 2dp grid), so
+    the weighted sum is EXACT on both engines — no float summation-order
+    hazard. One window (lead) + one aggregate, same key."""
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_s = (
+        F.unix_timestamp(F.lead("ts").over(w))
+        - F.unix_timestamp(F.col("ts"))
+    ).cast("long")
+    spans = ev.select(
+        "user_id", "value", dur_s.alias("dur_s")
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    wsum = F.sum(fxp(F.col("value"), 100) * F.col("dur_s"))
+    return spans.groupBy("user_id").agg(
+        rnd(
+            wsum.cast("double") / (100.0 * F.sum("dur_s")), 4
+        ).alias("twa_value"),
+        F.sum("dur_s").alias("total_s"),
+    )
+
+
+@query(
+    "win_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+      SELECT user_id, d,
+             CAST(d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS DATE)
+               AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           max(len) AS longest_streak_days,
+           count(*) AS n_streaks
+    FROM (
+      SELECT user_id, anchor, count(*) AS len
+      FROM grouped GROUP BY user_id, anchor
+    )
+    GROUP BY user_id
+    """,
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user: the
+    date-minus-row_number gaps-and-islands trick (consecutive days share
+    one anchor date), then a count per island and a max per user. Two
+    same-key shuffles; the pattern generalizes to any 'consecutive
+    integers' run-length question."""
+    ev = load_tables(spark, sf_dir).events
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "anchor",
+        F.date_sub(F.col("d"), F.row_number().over(w)),
+    )
+    islands = grouped.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak_days"),
+        F.count("*").alias("n_streaks"),
     )
