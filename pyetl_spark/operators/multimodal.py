@@ -26,6 +26,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _ship_module_by_value() -> None:
+    """Make this module's functions picklable WITHOUT the repo on the
+    executor PYTHONPATH: mapInPandas closures here call module-level
+    helpers (_decode_image_stub, cdc_boundaries, _GEAR), which
+    cloudpickle serializes by REFERENCE to `pyetl_spark...` — importable
+    in pytest runs (cwd = repo) but not when a driver harness imports
+    __spark_entry__ from elsewhere. Registering the module for
+    by-value pickling ships the code inside the task closure instead —
+    self-contained tasks, the same posture a real cluster needs unless
+    the package is installed on every executor."""
+    # NB: must be pyspark's VENDORED cloudpickle — the workers deserialize
+    # with pyspark.serializers, and registrations on the standalone
+    # cloudpickle package are invisible to it
+    from pyspark import cloudpickle
+
+    import pyetl_spark.operators.multimodal as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+
 #: typed metadata struct carried next to every media blob
 MEDIA_META_DDL = (
     "media_id long, kind string, width int, height int,"
@@ -83,6 +103,7 @@ def extract_features(
     time; output yields one DataFrame per input batch (constant memory —
     never accumulate across batches).
     """
+    _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,6 +135,7 @@ def resize_images(
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-emit as binary (float64 LE
     bytes) + updated metadata. Same mapInPandas streaming contract."""
+    _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,6 +168,7 @@ def sample_frames(
     """Video-style frame sampling: explode each blob into (frame_idx,
     frame_payload) rows for every nth frame — the decode stub fakes frames
     as row-slices of the pseudo-image."""
+    _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,4 +185,99 @@ def sample_frames(
 
     return media.mapInPandas(
         run, "media_id long, frame_idx int, frame binary"
+    )
+
+
+# -------------------------------------------------- content-defined chunking
+
+#: Gear table: 256 deterministic 64-bit constants (sha256 of the byte
+#: value) — no RNG, so chunk boundaries are identical on every machine.
+_GEAR = [
+    int.from_bytes(hashlib.sha256(bytes([b])).digest()[:8], "big")
+    for b in range(256)
+]
+_MASK64 = (1 << 64) - 1
+
+
+def cdc_boundaries(
+    payload: bytes,
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+) -> list[int]:
+    """Gear-hash content-defined chunk boundaries (FastCDC-style).
+
+    A rolling hash over the byte stream cuts wherever the top ``avg_bits``
+    bits are zero (expected chunk ≈ 2^avg_bits bytes), clamped to
+    [min_size, max_size]. Because boundaries depend only on LOCAL content,
+    inserting bytes near the front shifts at most the chunks up to the
+    next boundary — every later chunk re-aligns byte-identically. That is
+    the property that makes chunk-hash dedup work on media/video payloads
+    where whole-file hashes never match.
+    """
+    cuts, h, last = [], 0, 0
+    threshold_mask = ((1 << avg_bits) - 1) << (64 - avg_bits)
+    for i, b in enumerate(payload):
+        h = ((h << 1) & _MASK64) ^ _GEAR[b]
+        size = i + 1 - last
+        if size >= max_size or (
+            size >= min_size and (h & threshold_mask) == 0
+        ):
+            cuts.append(i + 1)
+            last = i + 1
+            h = 0
+    if last < len(payload):
+        cuts.append(len(payload))
+    return cuts
+
+
+def chunk_payloads(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    avg_bits: int = 6,
+    min_size: int = 16,
+    max_size: int = 256,
+) -> DataFrame:
+    """binary payload → one row per content-defined chunk
+    (media_id, chunk_idx, offset, n_bytes, chunk_hash).
+
+    The dedup join then runs on chunk_hash — shared runs of bytes across
+    different blobs (re-encoded videos, appended logs) collapse to the
+    same chunk hashes. Same mapInPandas streaming contract as the other
+    operators: per-batch memory only, blobs never enter a shuffle —
+    only the 40-byte chunk records do."""
+    _ship_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, sizes, hashes = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                start = 0
+                for idx, end in enumerate(
+                    cdc_boundaries(data, avg_bits, min_size, max_size)
+                ):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    offs.append(start)
+                    sizes.append(end - start)
+                    hashes.append(
+                        hashlib.sha256(data[start:end]).hexdigest()[:16]
+                    )
+                    start = end
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "chunk_hash": hashes,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, chunk_idx long, offset long, n_bytes long,"
+        " chunk_hash string",
     )

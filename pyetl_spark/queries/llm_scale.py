@@ -106,3 +106,21 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(probes, indexed, cents, k=5, nprobe=2).orderBy(
         "probe_id", "rank"
     )
+
+
+@query("multimodal_cdc_chunks")  # Tier B: binary plumbing, rows-only
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of binary media payloads (Gear rolling
+    hash, FastCDC-style): each blob → (chunk_idx, offset, n_bytes,
+    chunk_hash) rows; dedup then joins on chunk_hash so shared byte runs
+    across different blobs collapse even when whole-file hashes differ.
+    Boundary shift-resistance and exact tiling are engine-tested in
+    tests/test_multimodal.py."""
+    from pyetl_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_payloads,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    media = attach_fake_media(d.filter(F.col("doc_id") < 200))
+    return chunk_payloads(media).orderBy("media_id", "chunk_idx")

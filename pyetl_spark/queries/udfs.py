@@ -323,3 +323,28 @@ def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("lang").applyInPandas(
         pack, "doc_id long, lang string, n_tokens long, pack_id long"
     )
+
+
+@query("agg_hll_sketch_merge")  # Tier B: sketches are approximate
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL):
+    build per-nation customer sketches, then UNION the sketches per
+    market segment and estimate — the two-level pattern that makes
+    100 TB distinct-counts cheap (partial sketches are tiny, merge is
+    associative, pre-aggregated sketches can be stored per partition and
+    re-merged for any rollup without rescanning). Accuracy vs exact is
+    asserted in tests/test_approx_operators.py."""
+    c = load_tables(spark, sf_dir).customer
+    per_nation = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    return (
+        per_nation.groupBy("c_mktsegment")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_customers"
+            ),
+            F.count("*").alias("n_partial_sketches"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -222,3 +222,25 @@ def test_approx_percentile_accuracy(spark):
             assert b[f"{k}_lo"] <= a[k] <= b[f"{k}_hi"], (
                 prio, k, a[k], b[f"{k}_lo"], b[f"{k}_hi"],
             )
+
+
+def test_hll_sketch_merge_accuracy(spark):
+    """Merged per-nation HLL sketches estimate segment-level distinct
+    customers within 3% of exact (HLL lgK default 12 → ~1.6% rse)."""
+    from pyetl_spark.registry import QUERIES, load_all
+
+    load_all()
+    approx = {
+        r["c_mktsegment"]: r["approx_customers"]
+        for r in QUERIES["agg_hll_sketch_merge"](spark, SF_ORACLE).collect()
+    }
+    c = load_tables(spark, SF_ORACLE).customer
+    exact = {
+        r["c_mktsegment"]: r["n"]
+        for r in c.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for seg, a in approx.items():
+        assert abs(a - exact[seg]) / exact[seg] < 0.03, (seg, a, exact[seg])

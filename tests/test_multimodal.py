@@ -85,3 +85,54 @@ def test_feature_pipeline_composes_with_knn(spark, media):
     )
     top = cosine_topk_bruteforce(probes, corpus, k=3)
     assert top.groupBy("probe_id").count().filter("count != 3").count() == 0
+
+
+def test_cdc_chunks_cover_payload_exactly(spark, media):
+    """Chunk (offset, n_bytes) runs tile each payload with no gaps and
+    chunk sizes respect the [min, max] clamp (tail chunk may be short)."""
+    from pyetl_spark.operators.multimodal import chunk_payloads
+
+    chunks = chunk_payloads(media).collect()
+    sizes = {r["media_id"]: 0 for r in chunks}
+    by_media: dict[int, list] = {}
+    for r in chunks:
+        sizes[r["media_id"]] += r["n_bytes"]
+        by_media.setdefault(r["media_id"], []).append(r)
+    payloads = {
+        r["media_id"]: len(bytes(r["payload"])) for r in media.collect()
+    }
+    assert sizes == payloads
+    for rows in by_media.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        pos = 0
+        for r in rows:
+            assert r["offset"] == pos
+            pos += r["n_bytes"]
+            assert r["n_bytes"] <= 256
+        for r in rows[:-1]:
+            assert r["n_bytes"] >= 16
+
+
+def test_cdc_boundaries_shift_resistant():
+    """THE content-defined property: prepending bytes re-aligns — the
+    chunk set of the shifted payload shares most chunk hashes with the
+    original (a fixed-size chunker would share none)."""
+    import hashlib as hl
+    import random
+
+    from pyetl_spark.operators.multimodal import cdc_boundaries
+
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(4000))
+    shifted = b"XYZ" + data
+
+    def chunk_hashes(d):
+        out, start = set(), 0
+        for end in cdc_boundaries(d):
+            out.add(hl.sha256(d[start:end]).hexdigest())
+            start = end
+        return out
+
+    a, b = chunk_hashes(data), chunk_hashes(shifted)
+    shared = len(a & b) / len(a)
+    assert shared > 0.8, f"only {shared:.0%} of chunks survived the shift"
