@@ -324,3 +324,64 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) top
         """
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT e.event_id AS error_id, c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, e.ts) AS BIGINT) AS gap_s
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join — the technique that keeps time-range joins
+    HASH joins at 100 TB: quantize time into 5-minute buckets, explode
+    the probe side to its bucket and the preceding one, equi-join on
+    (user_id, bucket), then apply the exact range predicate. Identical
+    result set to the naive non-equi join (the oracle spells THAT form),
+    but the plan is a shuffled hash/SMJ on a compound key instead of a
+    BroadcastNestedLoopJoin — candidate pairs are bounded per bucket, so
+    cost scales with matches, not with |left|x|right| per user."""
+    ev = load_tables(spark, sf_dir).events
+    bucket = (F.unix_timestamp("ts") / 300).cast("long")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+            bucket.alias("b"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b") - 1, F.col("b"))))
+        .drop("b")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        bucket.alias("bucket"),
+    )
+    in_range = (
+        (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 5 MINUTE"))
+        & (F.col("c_ts") <= F.col("e_ts"))
+    )
+    return (
+        errors.join(
+            clicks,
+            (errors.bucket == clicks.bucket)
+            & (F.col("user_id") == F.col("c_user")),
+            "inner",
+        )
+        .filter(in_range)
+        .select(
+            "error_id",
+            "click_id",
+            (
+                F.unix_timestamp("e_ts") - F.unix_timestamp("c_ts")
+            ).alias("gap_s"),
+        )
+    )

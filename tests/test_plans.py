@@ -183,3 +183,17 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_range_join_stays_hash(spark):
+    """The whole point of join_range_bucketed: the compound equi key
+    (bucket, user) must give a hash-family join — never the
+    BroadcastNestedLoopJoin a bare range predicate degenerates to."""
+    plan = plan_of(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
