@@ -357,3 +357,62 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.select(
         "vec_id", rnd(F.col("m"), 6).alias("scale"), quant.alias("q")
     )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders_together
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥2
+    orders. The self-join is keyed on the basket id, so the quadratic
+    term is bounded by basket SIZE (≤7 lineitems here), never corpus
+    size — pair generation stays linear in rows at 100 TB; the pair
+    aggregate is one uniform-key shuffle."""
+    li = load_tables(spark, sf_dir).lineitem
+    x = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    y = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        x.join(
+            y,
+            (x.l_orderkey == y.o2) & (x.part_a < y.part_b),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 2)
+    )
+
+
+@query(
+    "agg_relational_division",
+    oracle="""
+    SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) = (
+      SELECT count(DISTINCT o_orderpriority) FROM orders
+    )
+    """,
+)
+def agg_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers whose orders span EVERY
+    priority class that exists. The division rewrites to
+    count-distinct-per-group = global count-distinct — two aggregates and
+    a scalar comparison; no double-negated NOT EXISTS correlation
+    needed, so it stays a pair of hash aggregates at any scale."""
+    o = load_tables(spark, sf_dir).orders
+    total = o.select("o_orderpriority").distinct().count()
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
+        .filter(F.col("n_priorities") == total)
+    )
