@@ -278,3 +278,59 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak_days"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@query(
+    "events_session_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           count(DISTINCT CASE WHEN event_type = 'purchase'
+                               THEN session_id END) AS n_converted
+    FROM sess
+    GROUP BY user_id
+    """,
+)
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion: sessionize with the 30-min
+    gaps-and-islands pattern (stream_session's batch analog), then count
+    per user how many sessions contained a purchase. Composite of two
+    same-key windows + one aggregate — all shuffles on user_id."""
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    new_sess = F.when(
+        prev.isNull() | (gap > 1800), 1
+    ).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.select(
+        "user_id", "event_type", sess_id.alias("session_id")
+    )
+    converted = F.when(
+        F.col("event_type") == "purchase", F.col("session_id")
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.countDistinct(converted).alias("n_converted"),
+    )

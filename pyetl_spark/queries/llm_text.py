@@ -581,3 +581,48 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / 512.0).alias("pack_id"),
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 200)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 200)
+    SELECT doc_id, term,
+           {R('tf * ln(CAST(n_docs AS DOUBLE) / df)', 4)} AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, term
+    ) <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document (raw tf ×
+    ln(N/df), term tiebreak). Three aggregates — per-doc tf, corpus df,
+    doc count — then a broadcast-size df join back; the per-doc window
+    ranks only that doc's own terms. The id bound keeps the declared
+    result small; the plan is corpus-size-linear without it."""
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", rnd(tfidf, 4).alias("tfidf"))
+    )
