@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import FXP, R, fxp, rnd
+from pyetl_spark.parity import FXP, MSUM, R, fxp, msum, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -415,4 +415,49 @@ def agg_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
         .filter(F.col("n_priorities") == total)
+    )
+
+
+@query(
+    "customer_rfm",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       TIMESTAMP '1998-12-31 00:00:00') AS recency_days,
+             count(*) AS frequency,
+             {MSUM('o_totalprice', 100)} AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days, o_custkey)      AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey)    AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey)     AS m_quartile
+    FROM base
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency (days since last order, vs a pinned
+    reference date), frequency, monetary (exact fixed-point sum), each
+    quartiled by ntile with custkey tiebreaks. One aggregate then three
+    global windows over the (small) per-customer frame — at 100 TB the
+    windows run on the aggregated table, never the fact table."""
+    o = load_tables(spark, sf_dir).orders
+    ref = F.lit("1998-12-31 00:00:00").cast("timestamp")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(ref, F.max("o_orderdate")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        msum(F.col("o_totalprice"), 100).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
     )

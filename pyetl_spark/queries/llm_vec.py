@@ -221,3 +221,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.25)
         .select("vec_a", "vec_b", rnd(F.col("sim"), 4).alias("cosine_sim"))
     )
+
+
+@query(
+    "dedup_embedding_quantized",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(sign(CAST(x AS DOUBLE))
+                         * floor(abs(CAST(x AS DOUBLE)) * 4.0 + 0.5)
+                         AS INTEGER)) AS code
+      FROM embeddings
+    )
+    SELECT code, min(vec_id) AS keeper_vec_id, count(*) AS n_members
+    FROM q
+    GROUP BY code
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup by quantization bucketing: coarse-quantize each
+    embedding (0.25-wide cells) and group on the integer code — vectors
+    that quantize identically are near-identical and collapse to one
+    keeper. Unlike pairwise cosine dedup this is ONE hash shuffle on the
+    code (exact-dedup plan shape, corpus-linear); the cell width is the
+    similarity knob. The quantized code is exact integer math on both
+    engines, so the grouping key is deterministic."""
+    e = load_tables(spark, sf_dir).embeddings
+    code = F.transform(
+        "embedding",
+        lambda x: (
+            F.signum(x.cast("double"))
+            * F.floor(F.abs(x.cast("double")) * 4.0 + 0.5)
+        ).cast("int"),
+    )
+    return (
+        e.select("vec_id", code.alias("code"))
+        .groupBy("code")
+        .agg(
+            F.min("vec_id").alias("keeper_vec_id"),
+            F.count("*").alias("n_members"),
+        )
+    )
