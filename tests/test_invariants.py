@@ -162,3 +162,62 @@ def test_greedy_packing_respects_budget_and_tracks_approx(spark):
     }
     for lang, g in g_counts.items():
         assert g >= a_counts[lang], (lang, g, a_counts[lang])
+
+
+def test_agg_topk_equals_window_topk(spark):
+    """topk_per_group_agg (hash-aggregate form) must emit the exact row
+    set of win_topk_per_group's row_number form — same semantics, two
+    physical strategies."""
+    agg_rows = {
+        (r["o_custkey"], r["o_orderkey"], r["rk"])
+        for r in _q(spark, "topk_per_group_agg").collect()
+    }
+    win_rows = {
+        (r["o_custkey"], r["o_orderkey"], r["rn"])
+        for r in _q(spark, "win_topk_per_group").collect()
+    }
+    assert agg_rows == win_rows
+
+
+def test_retention_offset_zero_is_cohort_size(spark):
+    """Every user is active on their own cohort day, so the offset-0 row
+    of each cohort equals the number of users first seen that day."""
+    rows = _q(spark, "events_retention").collect()
+    offset0 = {
+        r["cohort_day"]: r["n_users"] for r in rows if r["day_offset"] == 0
+    }
+    ev = load_tables(spark, SF_ORACLE).events
+    cohort_sizes = {
+        r["cohort_day"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert offset0 == cohort_sizes
+
+
+def test_latest_per_key_matches_maxby_twin(spark):
+    """etl_latest_per_key (row_number form) == max_by(struct) aggregate
+    over (ts, event_id) — the two CDC-compaction strategies agree."""
+    win = {
+        (r["user_id"], r["event_id"])
+        for r in _q(spark, "etl_latest_per_key").collect()
+    }
+    ev = load_tables(spark, SF_ORACLE).events
+    pair = F.struct(F.col("ts"), F.col("event_id"))
+    agg = {
+        (r["user_id"], r["event_id"])
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by("event_id", pair).alias("event_id"))
+        .collect()
+    }
+    assert win == agg
+
+
+def test_funnel_counts_monotone(spark):
+    """Funnel stages can only shrink: n_view >= n_click_after_view >=
+    n_purchase_after_click."""
+    r = _q(spark, "events_funnel").collect()[0]
+    assert r["n_view"] >= r["n_click_after_view"] >= r["n_purchase_after_click"]
