@@ -461,3 +461,96 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).alias("f_quartile"),
         F.ntile(4).over(wm).alias("m_quartile"),
     )
+
+
+@query(
+    "revenue_pareto",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, {MSUM('o_totalprice', 100)} AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      FROM cust
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           {R('sum(revenue)', 2)} AS decile_revenue,
+           {R('''sum(sum(revenue)) OVER (
+                 ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / sum(sum(revenue)) OVER ()''', 6)} AS cum_share
+    FROM ranked
+    GROUP BY decile
+    """,
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: customers bucketed into revenue
+    deciles (top decile first), each decile's revenue and the cumulative
+    share — "do 20% of customers drive 80% of revenue". Aggregate →
+    ntile window → re-aggregate → two tiny windows over 10 rows; the
+    money sums ride exact fixed-point so the shares divide identical
+    numerators."""
+    o = load_tables(spark, sf_dir).orders
+    cust = o.groupBy("o_custkey").agg(
+        msum(F.col("o_totalprice"), 100).alias("revenue")
+    )
+    wd = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    ranked = cust.withColumn("decile", F.ntile(10).over(wd))
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("revenue").alias("decile_revenue_raw"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        rnd(F.col("decile_revenue_raw"), 2).alias("decile_revenue"),
+        rnd(
+            F.sum("decile_revenue_raw").over(w_cum)
+            / F.sum("decile_revenue_raw").over(w_all),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+@query(
+    "revenue_yoy",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             {MSUM('o_totalprice', 100)} AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY yr
+    )
+    SELECT yr, revenue, n_orders,
+           {R('''100.0 * (revenue - lag(revenue) OVER (ORDER BY yr))
+              / lag(revenue) OVER (ORDER BY yr)''', 4)} AS yoy_pct
+    FROM yearly
+    """,
+)
+def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: yearly revenue (exact fixed-point sums) +
+    lag window for the growth percentage — the canonical reporting
+    query. The window runs over a handful of year rows; the only real
+    work is the map-side-combinable yearly aggregate."""
+    o = load_tables(spark, sf_dir).orders
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        msum(F.col("o_totalprice"), 100).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        "n_orders",
+        rnd(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
