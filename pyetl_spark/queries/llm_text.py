@@ -626,3 +626,42 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("doc_id", "term", rnd(tfidf, 4).alias("tfidf"))
     )
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-B (rows-only): PageRank authority over the near-dup pair
+    graph — rank docs inside duplication clusters so corpus curation can
+    keep the most "central" representative instead of the min-id one
+    (operators/pagerank.py, power iteration as DataFrame algebra).
+
+    Iterative float fixpoint → summation order varies with partitioning,
+    so never hash-declared (SURVEY §5.3); pytest pins convergence and
+    ordering semantics on known graphs instead. Same id-bounded pair
+    build as dedup_components; at 100 TB the edges come from MinHashLSH
+    and every per-iteration shuffle keys on the node id."""
+    from pyetl_spark.operators.pagerank import pagerank
+
+    d = load_tables(spark, sf_dir).documents
+    toks = d.filter(F.col("doc_id") < 600).select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t"))).cast("double")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter / union >= 0.85)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ranks = pagerank(edges, max_iters=10)
+    return ranks.select(
+        F.col("node").alias("doc_id"), rnd(F.col("rank"), 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "doc_id")
