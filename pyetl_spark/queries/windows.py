@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import R, rnd
+from pyetl_spark.parity import FXP, R, fxp, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -280,4 +280,105 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.nth_value("o_orderkey", 2).over(w).alias("second_best_order"),
+    )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           {R} AS mov_median
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             quantile_cont({CENTS}, 0.5) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) / 100.0 AS mm
+      FROM orders
+    )
+    """.replace("{CENTS}", FXP("o_totalprice", 100)).replace(
+        "{R}", R("mm", 2)
+    ),
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over a 5-row frame per customer — the robust twin of
+    win_moving_avg (a median shrugs off one outlier order; a mean does
+    not). Spark has no percentile-over-window, so the frame's values are
+    collected (bounded: ≤5 per row) and the median computed from the
+    sorted array; the DuckDB oracle is native quantile_cont OVER. Float
+    discipline (parity.py): values go through exact integer CENTS first —
+    the interpolated midpoint of two cent-integers is exactly x.0/x.5, so
+    both engines descale and round identical bits (raw-double
+    interpolation differed by 1 ulp on 12/1500 rows at sf0.01, flipping
+    half-cent rounding ties). Even-count branch mirrors DuckDB's
+    lower + (upper-lower)*0.5 op order. One shuffle on o_custkey; frame
+    buffer is O(5), scale-safe."""
+    o = load_tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    s = F.array_sort(F.collect_list(fxp(F.col("o_totalprice"), 100)).over(w))
+    n = F.size(s)
+    lo = F.element_at(s, F.floor((n + F.lit(1)) / F.lit(2)).cast("int")).cast(
+        "double"
+    )
+    hi = F.element_at(s, (F.floor(n / F.lit(2)) + F.lit(1)).cast("int")).cast(
+        "double"
+    )
+    m_cents = F.when(n % 2 == 1, lo).otherwise(lo + (hi - lo) * F.lit(0.5))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(m_cents / F.lit(100.0), 2).alias("mov_median"),
+    )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           sum(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS distinct_types_so_far
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user over event time — not directly
+    expressible as a window aggregate in either engine (count distinct
+    over a frame is unsupported), so it is rewritten as the classic
+    first-occurrence flag (row_number()=1 inside user×type) + running sum
+    of flags. Two window shuffles, both keyed on user_id (the second
+    reuses the first's partitioning minus the type key); state per task
+    is a running counter — scale-safe at any cardinality."""
+    e = load_tables(spark, sf_dir).events
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_seen = F.when(
+        F.row_number().over(w_first) == 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("first_seen", first_seen)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+        )
     )
