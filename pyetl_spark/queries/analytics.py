@@ -554,3 +554,148 @@ def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         rnd(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
     )
+
+
+@query(
+    "interval_max_concurrent",
+    oracle="""
+    WITH span AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS start_d,
+             CAST(max(l_shipdate) AS DATE) AS close_d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderpriority, o_orderdate
+    ),
+    bounds AS (
+      SELECT o_orderpriority, start_d AS d, 1 AS delta FROM span
+      UNION ALL
+      SELECT o_orderpriority, close_d + 1, -1 FROM span
+    ),
+    net AS (
+      SELECT o_orderpriority, d, sum(delta) AS net
+      FROM bounds GROUP BY o_orderpriority, d
+    )
+    SELECT o_orderpriority, max(run) AS max_concurrent
+    FROM (
+      SELECT o_orderpriority,
+             sum(net) OVER (
+               PARTITION BY o_orderpriority ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run
+      FROM net
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval overlap: peak number of simultaneously open
+    orders per priority class, where an order is open from its order date
+    through its last lineitem ship date (inclusive). The classic
+    O(n log n) sweep — +1/-1 boundary events, collapsed per distinct
+    date (making the running sum order-independent within ties), running
+    prefix sum, max. Beats the naive interval self-join (quadratic) and
+    is how occupancy/concurrency is computed at 100 TB: every shuffle
+    keys on the group, and the window state is one counter."""
+    t = load_tables(spark, sf_dir)
+    span = (
+        t.orders.join(
+            t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .select(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("start_d"),
+            F.to_date("close_ts").alias("close_d"),
+        )
+    )
+    bounds = span.select(
+        "o_orderpriority", F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.select(
+            "o_orderpriority",
+            F.date_add("close_d", 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = bounds.groupBy("o_orderpriority", "d").agg(
+        F.sum("delta").alias("net")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        net.withColumn("run", F.sum("net").over(w))
+        .groupBy("o_orderpriority")
+        .agg(F.max("run").alias("max_concurrent"))
+    )
+
+
+@query(
+    "alloc_largest_remainder",
+    oracle="""
+    WITH rev AS (
+      SELECT n_nationkey, n_name, sum({CENTS}) AS rc
+      FROM nation
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_nationkey, n_name
+    ),
+    sh AS (
+      SELECT n_nationkey, n_name,
+             (CAST(rc AS DOUBLE) / CAST(sum(rc) OVER () AS DOUBLE))
+               * 10000.0 AS ex
+      FROM rev
+    ),
+    fl AS (
+      SELECT n_nationkey, n_name,
+             CAST(floor(ex) AS BIGINT) AS base,
+             ex - floor(ex) AS rem
+      FROM sh
+    )
+    SELECT n_nationkey, n_name,
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC, n_nationkey)
+                            <= 10000 - sum(base) OVER () THEN 1 ELSE 0 END
+             AS units
+    FROM fl
+    """.replace("{CENTS}", FXP("o_totalprice", 100)),
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment: split a fixed budget of 10000
+    units across nations exactly proportional to their customers' order
+    revenue — floor each exact share, then hand the leftover units to the
+    largest fractional remainders (nationkey tiebreak). Sum(units) is
+    exactly 10000 by construction (invariant-tested). Revenue goes
+    through exact integer cents; the share is computed (rc/total)*10000
+    in that op order so the intermediate stays < 2^53 at any SF. The
+    global windows run over ONE 25-row post-agg partition — fine at any
+    scale because the cardinality is the nation dimension, not the
+    fact table."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.nation.join(
+            t.customer, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(t.orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.sum(fxp(F.col("o_totalprice"), 100)).alias("rc"))
+    )
+    w_all = Window.partitionBy()
+    ex = (
+        F.col("rc").cast("double") / F.sum("rc").over(w_all).cast("double")
+    ) * F.lit(10000.0)
+    fl = rev.select(
+        "n_nationkey",
+        "n_name",
+        F.floor(ex).cast("long").alias("base"),
+        (ex - F.floor(ex)).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "n_nationkey")
+    units = F.col("base") + F.when(
+        F.row_number().over(w_rank)
+        <= F.lit(10000) - F.sum("base").over(w_all),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return fl.select("n_nationkey", "n_name", units.alias("units"))

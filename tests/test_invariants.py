@@ -221,3 +221,26 @@ def test_funnel_counts_monotone(spark):
     n_purchase_after_click."""
     r = _q(spark, "events_funnel").collect()[0]
     assert r["n_view"] >= r["n_click_after_view"] >= r["n_purchase_after_click"]
+
+
+def test_largest_remainder_sums_to_budget(spark):
+    """Apportionment invariant: units are non-negative and sum to exactly
+    the 10000-unit budget — the property the largest-remainder method
+    guarantees and naive independent rounding does not."""
+    rows = _q(spark, "alloc_largest_remainder").collect()
+    assert all(r["units"] >= 0 for r in rows)
+    assert sum(r["units"] for r in rows) == 10000
+
+
+def test_sweep_peak_bounds(spark):
+    """Sweep-line peak concurrency per priority is ≥ 1 and ≤ the number
+    of orders in that priority class (sanity bounds of the +1/-1 walk)."""
+    t = load_tables(spark, SF_ORACLE)
+    per_prio = {
+        r["o_orderpriority"]: r["n"]
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in _q(spark, "interval_max_concurrent").collect():
+        assert 1 <= r["max_concurrent"] <= per_prio[r["o_orderpriority"]]
