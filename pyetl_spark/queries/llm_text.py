@@ -665,3 +665,155 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), rnd(F.col("rank"), 6).alias("rank")
     ).orderBy(F.col("rank").desc(), "doc_id")
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(text, ' ')) AS t,
+             substring(text, 1, 40) AS sk
+      FROM documents
+    ),
+    led AS (
+      SELECT doc_id, lang, t,
+             lead(doc_id, 1) OVER w AS id1, lead(t, 1) OVER w AS t1,
+             lead(doc_id, 2) OVER w AS id2, lead(t, 2) OVER w AS t2,
+             lead(doc_id, 3) OVER w AS id3, lead(t, 3) OVER w AS t3
+      FROM base
+      WINDOW w AS (PARTITION BY lang ORDER BY sk, doc_id)
+    ),
+    cand AS (
+      SELECT doc_id AS a, id1 AS b, t, t1 AS tb FROM led WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, id2, t, t2 FROM led WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, id3, t, t3 FROM led WHERE id3 IS NOT NULL
+    )
+    SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b,
+           {R} AS jaccard
+    FROM (
+      SELECT a, b,
+             CAST(len(list_intersect(t, tb)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(t, tb))) AS DOUBLE)
+               AS jac
+      FROM cand
+    )
+    WHERE jac >= 0.5
+    """.replace("{R}", R("jac", 4)),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: sort docs per lang by a
+    40-char text prefix (the blocking sort key), then compare each doc
+    only against its next 3 neighbors in that order — O(n log n) sort +
+    O(n·w) comparisons instead of the quadratic blocked self-join of
+    dedup_near_jaccard. The classic SNM trade: recall drops for dups
+    whose prefixes diverge, cost becomes sort-bounded — THE practical
+    sliding-window dedup at 100 TB (one range-partitioned sort, no
+    pair explosion). Window w=3, token-set Jaccard ≥ 0.5, pairs
+    normalized least/greatest so output ordering is canonical."""
+    d = load_tables(spark, sf_dir).documents
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split("text", " ")).alias("t"),
+        F.substring("text", 1, 40).alias("sk"),
+    )
+    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
+    led = base.select(
+        "doc_id",
+        "t",
+        *[
+            c
+            for i in (1, 2, 3)
+            for c in (
+                F.lead("doc_id", i).over(w).alias(f"id{i}"),
+                F.lead("t", i).over(w).alias(f"t{i}"),
+            )
+        ],
+    )
+    cand = None
+    for i in (1, 2, 3):
+        part = led.filter(F.col(f"id{i}").isNotNull()).select(
+            F.col("doc_id").alias("a"),
+            F.col(f"id{i}").alias("b"),
+            F.col("t"),
+            F.col(f"t{i}").alias("tb"),
+        )
+        cand = part if cand is None else cand.unionAll(part)
+    jac = F.size(F.array_intersect("t", "tb")).cast("double") / F.size(
+        F.array_union("t", "tb")
+    ).cast("double")
+    return (
+        cand.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            rnd(F.col("jac"), 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 600
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)
+            >= 0.85
+    )
+    SELECT p1.u AS t_a, p1.v AS t_b, p2.v AS t_c
+    FROM pairs p1
+    JOIN pairs p2 ON p2.u = p1.v
+    JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the near-dup pair graph — the graph-side
+    quality signal for dedup clusters (a triangle-dense component is a
+    true duplicate cluster; a sparse path is chained false positives).
+    Standard two-join enumeration over the u<v oriented edge list: each
+    triangle appears exactly once as u<v<w, no post-dedup needed. Same
+    id-bounded pair build as dedup_components; at 100 TB edges come from
+    MinHashLSH and the joins shuffle on node id — degree-skew is handled
+    by AQE skew-split (SCALE.md)."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.filter(F.col("doc_id") < 600).select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a.t"), F.col("b.t"))).cast("double")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter / union >= 0.85)
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    return (
+        p1.join(p2, F.col("p2.u") == F.col("p1.v"))
+        .join(
+            p3,
+            (F.col("p3.u") == F.col("p1.u"))
+            & (F.col("p3.v") == F.col("p2.v")),
+        )
+        .select(
+            F.col("p1.u").alias("t_a"),
+            F.col("p1.v").alias("t_b"),
+            F.col("p2.v").alias("t_c"),
+        )
+    )
