@@ -699,3 +699,167 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1),
     ).otherwise(F.lit(0))
     return fl.select("n_nationkey", "n_name", units.alias("units"))
+
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH pv AS (
+      SELECT user_id,
+             {CS}
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           {R} AS entropy
+    FROM (
+      SELECT user_id,
+             ({N}) AS n,
+             -(({T0} + {T1}) + {T2} + {T3} + {T4}) AS h
+      FROM pv
+    )
+    """.replace(
+        "{CS}",
+        ", ".join(
+            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS c{i}"
+            for i, t in enumerate(_ETYPES)
+        ),
+    )
+    .replace("{N}", " + ".join(f"c{i}" for i in range(5)))
+    .replace(
+        "{T0}",
+        "CASE WHEN c0 = 0 THEN 0.0 ELSE (CAST(c0 AS DOUBLE)/({N}))"
+        "*ln(CAST(c0 AS DOUBLE)/({N})) END".replace(
+            "{N}", " + ".join(f"c{i}" for i in range(5))
+        ),
+    )
+    .replace(
+        "{T1}",
+        "CASE WHEN c1 = 0 THEN 0.0 ELSE (CAST(c1 AS DOUBLE)/({N}))"
+        "*ln(CAST(c1 AS DOUBLE)/({N})) END".replace(
+            "{N}", " + ".join(f"c{i}" for i in range(5))
+        ),
+    )
+    .replace(
+        "{T2}",
+        "CASE WHEN c2 = 0 THEN 0.0 ELSE (CAST(c2 AS DOUBLE)/({N}))"
+        "*ln(CAST(c2 AS DOUBLE)/({N})) END".replace(
+            "{N}", " + ".join(f"c{i}" for i in range(5))
+        ),
+    )
+    .replace(
+        "{T3}",
+        "CASE WHEN c3 = 0 THEN 0.0 ELSE (CAST(c3 AS DOUBLE)/({N}))"
+        "*ln(CAST(c3 AS DOUBLE)/({N})) END".replace(
+            "{N}", " + ".join(f"c{i}" for i in range(5))
+        ),
+    )
+    .replace(
+        "{T4}",
+        "CASE WHEN c4 = 0 THEN 0.0 ELSE (CAST(c4 AS DOUBLE)/({N}))"
+        "*ln(CAST(c4 AS DOUBLE)/({N})) END".replace(
+            "{N}", " + ".join(f"c{i}" for i in range(5))
+        ),
+    )
+    .replace("{R}", R("h", 4)),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the
+    behavioral-diversity / data-mix-quality score (a corpus curation
+    primitive: low-entropy sources are repetitive). Float discipline:
+    a groupBy sum of p*ln(p) terms would be summation-ORDER-dependent
+    (Spark partial aggs vs DuckDB threads); instead the tiny fixed type
+    domain is pivoted to 5 integer count columns (exact, order-free) and
+    H is one fixed left-associated expression tree — identical bits on
+    both engines. One hash-agg shuffle on user_id; the pivot trick scales
+    to any N while the domain is an enum."""
+    e = load_tables(spark, sf_dir).events
+    pv = e.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, t in enumerate(_ETYPES)
+        ]
+    )
+    n = sum(F.col(f"c{i}") for i in range(1, 5)) + F.col("c0")
+    n_d = n.cast("double")
+
+    def term(i: int):
+        c = F.col(f"c{i}")
+        p = c.cast("double") / n_d
+        return F.when(c == 0, F.lit(0.0)).otherwise(p * F.log(p))
+
+    h = -(
+        ((term(0) + term(1)) + term(2) + term(3) + term(4))
+    )
+    return pv.select("user_id", rnd(h, 4).alias("entropy"))
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH custrev AS (
+      SELECT c_mktsegment, c_custkey, sum({CENTS}) AS x
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, x,
+             row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY x, c_custkey
+             ) AS i
+      FROM custrev
+    ),
+    stats AS (
+      SELECT c_mktsegment,
+             count(*) AS n_customers,
+             sum(i * x) AS sixi,
+             sum(x) AS sx
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           {R} AS gini
+    FROM (
+      SELECT c_mktsegment, n_customers,
+             CAST(2 * sixi - (n_customers + 1) * sx AS DOUBLE)
+               / CAST(n_customers * sx AS DOUBLE) AS g
+      FROM stats
+    )
+    """.replace("{CENTS}", FXP("o_totalprice", 100)).replace(
+        "{R}", R("g", 4)
+    ),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers per
+    market segment — the inequality metric behind revenue_pareto, as one
+    number in [0,1). Rank-sum formula G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx)
+    with x ascending (custkey tiebreak): every aggregate is an EXACT
+    integer sum over cents (order-free), then ONE double division —
+    bit-identical across engines. Two shuffles (segment×customer agg,
+    segment window); products stay < 2^63 through sf10 — beyond that,
+    promote sixi to DECIMAL(38,0) on both sides."""
+    t = load_tables(spark, sf_dir)
+    custrev = (
+        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(fxp(F.col("o_totalprice"), 100)).alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = custrev.select(
+        "c_mktsegment", "x", F.row_number().over(w).alias("i")
+    )
+    stats = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("i") * F.col("x")).alias("sixi"),
+        F.sum("x").alias("sx"),
+    )
+    g = (
+        F.lit(2) * F.col("sixi")
+        - (F.col("n_customers") + F.lit(1)) * F.col("sx")
+    ).cast("double") / (F.col("n_customers") * F.col("sx")).cast("double")
+    return stats.select(
+        "c_mktsegment", "n_customers", rnd(g, 4).alias("gini")
+    )
