@@ -863,3 +863,116 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "c_mktsegment", "n_customers", rnd(g, 4).alias("gini")
     )
+
+
+@query(
+    "events_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    trans AS (
+      SELECT cur, nxt, count(*) AS c
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, c,
+           {R} AS p
+    FROM (
+      SELECT cur, nxt, c,
+             CAST(c AS DOUBLE)
+               / CAST(sum(c) OVER (PARTITION BY cur) AS DOUBLE) AS pr
+      FROM trans
+    )
+    """.replace("{R}", R("pr", 4)),
+)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    P(next event type | current) estimated from per-user time-ordered
+    streams — the sequence-mining primitive behind next-action prediction
+    and bot detection (improbable transition chains). One window shuffle
+    on user_id for lead(), then a tiny (≤25-row) transition aggregate;
+    probabilities are one exact-int division each, bit-stable. At 100 TB
+    the lag/lead pass dominates and keys on user_id — pre-bucketed event
+    logs make it shuffle-free."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(F.count("*").alias("c"))
+    w_cur = Window.partitionBy("cur")
+    p = F.col("c").cast("double") / F.sum("c").over(w_cur).cast("double")
+    return trans.select("cur", "nxt", "c", rnd(p, 4).alias("p"))
+
+
+@query(
+    "outlier_iqr",
+    oracle="""
+    WITH cents AS (
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+             {CENTS} AS xc
+      FROM supplier
+    ),
+    fences AS (
+      SELECT s_nationkey,
+             quantile_cont(xc, 0.25) - 1.5 *
+               (quantile_cont(xc, 0.75) - quantile_cont(xc, 0.25)) AS lo,
+             quantile_cont(xc, 0.75) + 1.5 *
+               (quantile_cont(xc, 0.75) - quantile_cont(xc, 0.25)) AS hi
+      FROM cents GROUP BY s_nationkey
+    )
+    SELECT s_suppkey, n_name, s_acctbal,
+           {RLO} AS lo_fence, {RHI} AS hi_fence
+    FROM cents
+    JOIN fences USING (s_nationkey)
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE CAST(xc AS DOUBLE) < lo OR CAST(xc AS DOUBLE) > hi
+    """.replace("{CENTS}", FXP("s_acctbal", 100))
+    .replace("{RLO}", R("lo / 100.0", 2))
+    .replace("{RHI}", R("hi / 100.0", 2)),
+)
+def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: suppliers whose account balance
+    falls outside [Q1−1.5·IQR, Q3+1.5·IQR] of their nation — the robust
+    data-quality screen (unlike z-scores, quartiles ignore the outliers
+    themselves). Quartiles are interpolated over EXACT integer cents, so
+    lo/hi fence arithmetic is bit-identical across engines (same
+    lower+(upper−lower)·frac shape, §agg_percentile). Plan: per-nation
+    agg (tiny) broadcast back onto suppliers — one shuffle + one
+    broadcast join, the same shape z-score anomaly uses; scale-safe
+    because fences are dimension-sized."""
+    t = load_tables(spark, sf_dir)
+    cents = t.supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        fxp(F.col("s_acctbal"), 100).alias("xc"),
+    )
+    q1 = F.percentile("xc", 0.25)
+    q3 = F.percentile("xc", 0.75)
+    fences = cents.groupBy("s_nationkey").agg(
+        (q1 - F.lit(1.5) * (q3 - q1)).alias("lo"),
+        (q3 + F.lit(1.5) * (q3 - q1)).alias("hi"),
+    )
+    x = F.col("xc").cast("double")
+    return (
+        cents.join(F.broadcast(fences), "s_nationkey")
+        .join(
+            F.broadcast(t.nation),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .filter((x < F.col("lo")) | (x > F.col("hi")))
+        .select(
+            "s_suppkey",
+            "n_name",
+            "s_acctbal",
+            rnd(F.col("lo") / F.lit(100.0), 2).alias("lo_fence"),
+            rnd(F.col("hi") / F.lit(100.0), 2).alias("hi_fence"),
+        )
+    )

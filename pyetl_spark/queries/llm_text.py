@@ -817,3 +817,52 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p2.v").alias("t_c"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS noun
+      FROM part WHERE p_partkey < 500
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching: near-identical part names (typo-class
+    variants like 'hot gear'/'red gear') found by blocking on the noun
+    token and thresholding levenshtein ≤ 3 — the string-similarity dedup
+    family member next to token-set Jaccard (order-sensitive, catches
+    character-level noise Jaccard misses). All-integer output: no float
+    parity risk at all. The id bound caps the quadratic block for the
+    declared oracle; the scale path replaces blocking with SNM sliding
+    windows or q-gram LSH (SCALE.md shape 5)."""
+    t = load_tables(spark, sf_dir)
+    p = t.part.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), 2).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(lev <= 3)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.alias("edit_dist"),
+        )
+    )
