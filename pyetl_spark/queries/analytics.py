@@ -976,3 +976,129 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("hi") / F.lit(100.0), 2).alias("hi_fence"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH it AS (
+      SELECT l_returnflag,
+             {PC} AS pc,
+             {QI} AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, pc, w,
+             sum(w) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY pc, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM it
+    )
+    SELECT l_returnflag,
+           {R} AS weighted_median_price,
+           max(tw) AS total_qty
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """.replace("{PC}", FXP("l_extendedprice", 100))
+    .replace("{QI}", FXP("l_quantity", 1))
+    .replace("{R}", R("min(pc) / 100.0", 2)),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted (lower) median of extended price per return
+    flag: each lineitem counts with weight = its quantity — the
+    "median dollar shipped" rather than "median line". Classic running-
+    weight selection: order by price (unique tiebreak), running weight
+    sum, first row whose cumulative weight reaches half the total; that
+    suffix's min price IS the weighted median (the qualifying set is a
+    suffix of the ordering). All sums are exact integers — zero float
+    parity risk before the final descale. Two windows + one agg, all
+    keyed on the group; scale-safe."""
+    li = load_tables(spark, sf_dir).lineitem
+    it = li.select(
+        "l_returnflag",
+        fxp(F.col("l_extendedprice"), 100).alias("pc"),
+        fxp(F.col("l_quantity"), 1).alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = it.select(
+        "l_returnflag",
+        "pc",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            rnd(F.min("pc") / F.lit(100.0), 2).alias(
+                "weighted_median_price"
+            ),
+            F.max("tw").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "orders_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ),
+               o_orderdate) AS gap_days
+      FROM orders
+    ),
+    agg AS (
+      SELECT o_custkey,
+             count(*) + 1 AS n_orders,
+             quantile_cont(gap_days, 0.5) AS med,
+             max(gap_days) AS max_gap_days
+      FROM gaps WHERE gap_days IS NOT NULL
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders,
+           {R} AS median_gap_days, max_gap_days
+    FROM agg WHERE n_orders >= 3
+    """.replace("{R}", R("med", 1)),
+)
+def orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence: per customer, the median and max number
+    of days between consecutive orders — the recency/frequency signal
+    behind churn scoring (a customer 3× past their median gap is
+    lapsing). lag() over the per-customer date order, integer day
+    diffs, exact interpolated median over ints (x.0/x.5 grid — tie-free
+    at 1dp). One window shuffle + one agg on the same key (exchange
+    reused); pre-bucketing by customer makes it shuffle-free at scale."""
+    o = load_tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    agg = gaps.groupBy("o_custkey").agg(
+        (F.count("*") + F.lit(1)).alias("n_orders"),
+        F.percentile("gap_days", 0.5).alias("med"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+    return agg.filter(F.col("n_orders") >= 3).select(
+        "o_custkey",
+        "n_orders",
+        rnd(F.col("med"), 1).alias("median_gap_days"),
+        "max_gap_days",
+    )

@@ -866,3 +866,59 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.alias("edit_dist"),
         )
     )
+
+
+@query(
+    "text_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(
+               list_transform(
+                 list_zip(t[1:len(t)-1], t[2:len(t)]),
+                 p -> p[1] || ' ' || p[2]
+               )
+             ) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    counted AS (
+      SELECT bigram, count(*) AS c FROM bg GROUP BY bigram
+    )
+    SELECT bigram, c FROM (
+      SELECT bigram, c,
+             row_number() OVER (ORDER BY c DESC, bigram) AS rn
+      FROM counted
+    ) WHERE rn <= 20
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram (word-pair) frequencies over the corpus — the
+    n-gram step between text_top_terms (unigrams) and the shingle sets
+    of dedup_ngram_jaccard; bigram tables drive collocation stats and
+    boilerplate detection in corpus curation. Bigrams are built
+    array-side (zip_with over two shifted slices — no self-join), then
+    exploded into ONE hash aggregate; top-k via row_number with bigram
+    tiebreak. Map-side partial aggregation absorbs the explosion; at
+    100 TB this is explode → partial agg → single shuffle, the same
+    plan as any word-count."""
+    d = load_tables(spark, sf_dir).documents
+    t = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counted = (
+        d.filter(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "c")
+    )
