@@ -595,7 +595,14 @@ def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     date (making the running sum order-independent within ties), running
     prefix sum, max. Beats the naive interval self-join (quadratic) and
     is how occupancy/concurrency is computed at 100 TB: every shuffle
-    keys on the group, and the window state is one counter."""
+    keys on the group, and the window state is one counter.
+
+    Plan note: boundary events are produced by EXPLODING each span row
+    into its +1/-1 pair, not by unioning two selects over the span — a
+    self-union of a non-trivial subquery makes Spark compute the
+    orders⋈lineitem aggregate TWICE (observed: two scans + two joins in
+    the physical plan), while the explode keeps one scan/join/agg. The
+    plan gate test pins this."""
     t = load_tables(spark, sf_dir)
     span = (
         t.orders.join(
@@ -609,14 +616,19 @@ def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("close_ts").alias("close_d"),
         )
     )
-    bounds = span.select(
-        "o_orderpriority", F.col("start_d").alias("d"), F.lit(1).alias("delta")
-    ).unionAll(
-        span.select(
-            "o_orderpriority",
-            F.date_add("close_d", 1).alias("d"),
-            F.lit(-1).alias("delta"),
+    ev = F.explode(
+        F.array(
+            F.struct(F.col("start_d").alias("d"), F.lit(1).alias("delta")),
+            F.struct(
+                F.date_add("close_d", 1).alias("d"),
+                F.lit(-1).alias("delta"),
+            ),
         )
+    )
+    bounds = span.select("o_orderpriority", ev.alias("ev")).select(
+        "o_orderpriority",
+        F.col("ev.d").alias("d"),
+        F.col("ev.delta").alias("delta"),
     )
     net = bounds.groupBy("o_orderpriority", "d").agg(
         F.sum("delta").alias("net")

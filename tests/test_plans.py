@@ -197,3 +197,50 @@ def test_bucketed_range_join_stays_hash(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_snm_dedup_has_no_join(spark):
+    """Sorted-neighborhood dedup's whole point: neighbor comparison via
+    lead() windows, never a pair join — the plan must contain window
+    exchanges but NO join operator of any kind (the quadratic twin
+    dedup_near_jaccard is the contrast case)."""
+    plan = plan_of(spark, "dedup_sorted_neighborhood")
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan, f"unexpected {j} in SNM plan"
+
+
+def test_outlier_fences_broadcast_back(spark):
+    """Tukey-fence join-back: the per-nation fence table (25 rows) and
+    the nation dim must BROADCAST onto suppliers — a shuffle join here
+    would move the fact table for a dimension-sized build side."""
+    plan = plan_of(spark, "outlier_iqr")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_sweep_line_single_window_partitioning(spark):
+    """The sweep's running sum and final max group on the SAME key
+    (o_orderpriority): after the boundary aggregate there must be
+    exactly one exchange hashpartitioning on the priority key feeding
+    window + final agg (no re-shuffle between them)."""
+    import re
+
+    plan = plan_of(spark, "interval_max_concurrent", mode="simple")
+    prio_only = re.findall(
+        r"Exchange hashpartitioning\(o_orderpriority#\d+, \d+\)", plan
+    )
+    assert len(prio_only) == 1, prio_only
+    # explode-based boundary events: each base table scanned exactly once
+    # (the naive union form scans orders+lineitem twice — 4 scans)
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+
+
+def test_markov_lead_then_tiny_agg(spark):
+    """events_markov: one exchange on user_id for the lead() window;
+    the transition matrix agg is partial/final (map-side combine soaks
+    the per-row explosion before the tiny shuffle)."""
+    plan = plan_of(spark, "events_markov")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
