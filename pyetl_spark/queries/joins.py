@@ -385,3 +385,33 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_s"),
         )
     )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (plans/layout.py::salted_join):
+    fact rows get a derived deterministic salt (xxhash64 mod 8), the
+    dimension replicates across all salts, and the join key becomes
+    (key, salt) — splitting any hot customer across 8 reducers. The
+    declared result hash-matches the PLAIN join oracle, proving the
+    rewrite is semantics-preserving; at 100 TB this is the manual
+    fallback when AQE's skew-split can't help (e.g. shuffled-hash join
+    on a key with one mega-tenant). Cost: dimension×8 replication —
+    only worth it for genuinely skewed keys."""
+    from pyetl_spark.plans.layout import salted_join
+
+    t = load_tables(spark, sf_dir)
+    out = salted_join(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "k"),
+        t.customer.select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "k"),
+        key="k",
+    )
+    return out.select("o_orderkey", "c_name", "o_totalprice")

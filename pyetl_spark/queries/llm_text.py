@@ -922,3 +922,89 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("bigram", "c")
     )
+
+
+@query(
+    "text_source_divergence",
+    oracle="""
+    WITH st AS (
+      SELECT source, t.term, count(*) AS c_st
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      GROUP BY source, t.term
+    ),
+    corpus AS (
+      SELECT term, sum(c_st) AS c_t FROM st GROUP BY term
+    ),
+    tot AS (SELECT sum(c_t) AS n FROM corpus),
+    src_tot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+    contrib AS (
+      SELECT st.source, st.term,
+             (CAST(c_st AS DOUBLE) / n_s)
+               * ln((CAST(c_st AS DOUBLE) / n_s)
+                    / (CAST(c_t AS DOUBLE) / n)) AS kl_term
+      FROM st
+      JOIN corpus USING (term)
+      JOIN src_tot USING (source)
+      CROSS JOIN tot
+    )
+    SELECT source, n_terms, {R} AS kl_divergence
+    FROM (
+      SELECT source, count(*) AS n_terms,
+             list_reduce(
+               list_prepend(0.0, list(kl_term ORDER BY term)),
+               (acc, x) -> acc + x
+             ) AS kl
+      FROM contrib GROUP BY source
+    )
+    """.replace("{R}", R("kl", 4)),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's term distribution from the corpus
+    distribution — the data-mixing diagnostic that flags off-distribution
+    sources (high KL = the source's vocabulary differs from the blend;
+    candidates for down-weighting in a training mix).
+
+    Determinism technique: a plain SUM of per-term float contributions is
+    summation-order-dependent (partial aggs vs threads), so each source's
+    contributions are collected, sorted BY TERM, and folded left-to-right
+    with an explicit lambda on BOTH engines (Spark F.aggregate over
+    array_sort(collect_list(struct)), DuckDB list_reduce over
+    list(... ORDER BY term)) — identical op order → identical bits. The
+    per-source term lists here are vocabulary-bounded (tiny); for open
+    vocabularies shard the fold by term-hash prefix and fold the shard
+    sums in shard order."""
+    d = load_tables(spark, sf_dir).documents
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+    )
+    corpus = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n = corpus.agg(F.sum("c_t").alias("n"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    contrib = (
+        st.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "term", (p * F.log(p / q)).alias("kl_term")
+        )
+    )
+    folded = contrib.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "kl_term"))
+                ),
+                lambda s: s.kl_term,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("kl"),
+    )
+    return folded.select(
+        "source", "n_terms", rnd(F.col("kl"), 4).alias("kl_divergence")
+    )
