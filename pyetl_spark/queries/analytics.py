@@ -1114,3 +1114,53 @@ def orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("med"), 1).alias("median_gap_days"),
         "max_gap_days",
     )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (user_id)
+    )
+    SELECT user_id, n_events, {RM} AS median_value, {RD} AS mad
+    FROM (
+      SELECT user_id, count(*) AS n_events,
+             max(med) AS med0,
+             quantile_cont(adev, 0.5) AS mad0
+      FROM dev GROUP BY user_id
+    )
+    """.replace("{RM}", R("med0", 4)).replace("{RD}", R("mad0", 4)),
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per user over event values — the robust
+    dispersion twin of events_anomaly_zscore's stddev (one bot burst
+    wrecks a stddev; the MAD barely moves). Two-pass plan: per-user
+    median (exact interpolated), broadcast back onto the stream, median
+    of absolute deviations. Both engines interpolate as
+    lower+(upper−lower)·frac on identical doubles → identical bits in,
+    4dp round out. Same broadcast-back shape as the z-score query: the
+    per-user stats stay dimension-sized at any SF."""
+    e = load_tables(spark, sf_dir).events
+    med = e.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "user_id").select(
+        "user_id", F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    out = dev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("med").alias("med0"),
+        F.percentile("adev", 0.5).alias("mad0"),
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        rnd(F.col("med0"), 4).alias("median_value"),
+        rnd(F.col("mad0"), 4).alias("mad"),
+    )

@@ -264,3 +264,24 @@ def dedup_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
         )
     )
+
+
+@query("vec_pca_project")
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-B (rows-only): 1-D PCA projection of every embedding onto
+    the corpus's top principal component (operators/pca.py — distributed
+    mapInPandas moment aggregation, driver-side 64×64 power iteration).
+    The projection itself is JVM-side zip_with/aggregate over literal
+    arrays. Iterative float fixpoint + batch-order-sensitive low bits →
+    never hash-declared; pytest pins direction recovery and projection
+    math instead. Downstream use: whitening, 1-D stratified sampling,
+    quantization binning."""
+    from pyetl_spark.operators.pca import project, top_component
+
+    emb = load_tables(spark, sf_dir).embeddings
+    comp, lam, mean = top_component(emb, dim=64)
+    return (
+        project(emb, comp, mean)
+        .select("vec_id", "label", rnd(F.col("pc1"), 4).alias("pc1"))
+        .orderBy("vec_id")
+    )
