@@ -1008,3 +1008,169 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "source", "n_terms", rnd(F.col("kl"), 4).alias("kl_divergence")
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3] || ' ' ||
+                    string_split(text, ' ')[i+4]
+             )) AS s
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    probes AS (
+      SELECT DISTINCT g AS shingle
+      FROM sh, unnest(s) AS u(g)
+      WHERE doc_id < 20
+    ),
+    corpus AS (
+      SELECT doc_id, g AS shingle, len(s) AS n_shingles
+      FROM sh, unnest(s) AS u(g)
+      WHERE doc_id >= 20
+    )
+    SELECT doc_id, n_hits, n_shingles, {R} AS contamination
+    FROM (
+      SELECT doc_id, count(*) AS n_hits, max(n_shingles) AS n_shingles,
+             CAST(count(*) AS DOUBLE) / max(n_shingles) AS share
+      FROM corpus JOIN probes USING (shingle)
+      GROUP BY doc_id
+    )
+    """.replace("{R}", R("share", 4)),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0–19 play the held-out benchmark;
+    every other doc is scored by how many of its distinct 5-gram
+    shingles appear in the benchmark's shingle set — the standard
+    n-gram-overlap contamination check run before training. Plan: the
+    probe set is aggregated small and BROADCAST; the corpus explodes
+    shingles into a map-side hash-join + per-doc count — no shuffle of
+    the exploded stream except the final per-doc agg. At 100 TB the
+    probe side stays benchmark-sized (tiny) so the broadcast holds; for
+    probe sets beyond memory, swap to a bloom-filter pre-pass then
+    exact join."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
+        )
+    )
+    sh = d.filter(F.size(toks) >= 5).select(
+        "doc_id", shingles.alias("s")
+    )
+    probes = (
+        sh.filter(F.col("doc_id") < 20)
+        .select(F.explode("s").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.size("s").alias("n_shingles"), F.explode("s").alias("shingle")
+    )
+    hit = corpus.join(F.broadcast(probes), "shingle").groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.max("n_shingles").alias("n_shingles"),
+    )
+    share = F.col("n_hits").cast("double") / F.col("n_shingles")
+    return hit.select(
+        "doc_id", "n_hits", "n_shingles", rnd(share, 4).alias("contamination")
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    chg AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN tok IS DISTINCT FROM
+                    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                  THEN 1 ELSE 0 END AS c
+      FROM tok
+    ),
+    grp AS (
+      SELECT doc_id, tok, pos,
+             sum(c) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS g
+      FROM chg
+    ),
+    runs AS (
+      SELECT doc_id, g, count(*) AS run_len
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           max(run_len) AS max_run,
+           sum(run_len) AS n_tokens,
+           count(*) AS n_runs,
+           {R} AS repetition
+    FROM (
+      SELECT doc_id, g, run_len,
+             1.0 - CAST(count(*) OVER (PARTITION BY doc_id) AS DOUBLE)
+                   / sum(run_len) OVER (PARTITION BY doc_id) AS rep
+      FROM runs
+    )
+    GROUP BY doc_id
+    """.replace("{R}", R("max(rep)", 4)),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-repetition detector: per doc, the longest run of the
+    SAME token repeated back-to-back (gaps-and-islands over token
+    positions) plus a repetition score 1 − n_runs/n_tokens (0 = no
+    immediate repeats; → 1 as the doc collapses into runs) — the
+    quality screen that catches 'aaaa…' and looped-boilerplate docs
+    which perplexity filters miss. posexplode keeps token positions;
+    both windows and both aggregates key on doc_id, so the whole
+    pipeline is ONE partitioning of the exploded stream — at 100 TB
+    token explosion is the cost driver and stays map-side until the
+    per-doc agg."""
+    d = load_tables(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    chg = F.when(
+        F.lag("tok").over(w).isNull()
+        | (F.col("tok") != F.lag("tok").over(w)),
+        1,
+    ).otherwise(0)
+    grp = tok.select(
+        "doc_id", "tok", "pos", F.sum(chg).over(w_run).alias("g")
+    )
+    runs = grp.groupBy("doc_id", "g").agg(F.count("*").alias("run_len"))
+    w_doc = Window.partitionBy("doc_id")
+    rep = F.lit(1.0) - F.count("*").over(w_doc).cast("double") / F.sum(
+        "run_len"
+    ).over(w_doc)
+    return (
+        runs.withColumn("rep", rep)
+        .groupBy("doc_id")
+        .agg(
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").alias("n_tokens"),
+            F.count("*").alias("n_runs"),
+            rnd(F.max("rep"), 4).alias("repetition"),
+        )
+    )
