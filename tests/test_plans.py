@@ -244,3 +244,35 @@ def test_markov_lead_then_tiny_agg(spark):
     plan = plan_of(spark, "events_markov")
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# --- registry-wide plan lint -------------------------------------------------
+# Queries where a nested-loop/cartesian operator is EXPECTED (documented
+# cross joins and non-equi-only joins — Spark physically executes these as
+# BroadcastNestedLoopJoin/CartesianProduct by design, SURVEY §2.3 note).
+_NESTED_LOOP_OK = {
+    "join_cross",          # literal CROSS JOIN of two dims
+    "vec_cosine_topk",     # pruned probe crossJoin (id-bounded, documented)
+    "dedup_embedding_cosine",
+    "fn_array_outer",      # cartesian of two tiny exploded arrays
+    "vec_ann_ivf",         # IVF assignment: vectors × broadcast centroid
+                           # table (k rows) — the intended BNLJ
+    "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
+}
+
+registry.load_all()
+_ALL_KEYS = sorted(registry.QUERIES)
+
+
+@pytest.mark.parametrize("key", _ALL_KEYS)
+def test_plan_lint_no_accidental_nested_loop(spark, key):
+    """Every declared query's physical plan is built (plans are lazy —
+    cheap) and checked for silent degeneration into a nested-loop join.
+    A CartesianProduct/BroadcastNestedLoopJoin outside the whitelist
+    means a join predicate stopped being an equi-join — at 100 TB that
+    plan is a non-starter, so it fails HERE, not in production."""
+    if key in _NESTED_LOOP_OK:
+        pytest.skip("nested-loop is the documented physical plan")
+    plan = plan_of(spark, key, mode="simple")
+    assert "CartesianProduct" not in plan, f"{key}: cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{key}: BNLJ"
