@@ -382,3 +382,24 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
         )
     )
+
+
+@query("win_ewma")
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-B (rows-only): per-user exponentially weighted moving average
+    of event values in event-time order (operators/ewma.py,
+    applyInPandas). The recursive y_t = αx_t + (1−α)y_{t−1} depends on
+    the unbounded past through a recurrence — not expressible as any SQL
+    window frame on either engine, hence no oracle; pytest pins the
+    closed form, ordering, and determinism instead. One shuffle on
+    user_id; pandas runs the recurrence vectorized per group."""
+    from pyetl_spark.operators.ewma import ewma
+
+    e = load_tables(spark, sf_dir).events
+    out = ewma(
+        e, key="user_id", ts_col="ts", value_col="value",
+        alpha=0.3, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "event_id", rnd(F.col("ewma"), 6).alias("ewma")
+    )
