@@ -7,7 +7,16 @@ from pyetl_spark.plans.layout import (
     bucketed_join,
     colocate_join,
     salted_join,
+    zorder_repartition,
+    zvalue,
     write_bucketed,
 )
 
-__all__ = ["write_bucketed", "bucketed_join", "colocate_join", "salted_join"]
+__all__ = [
+    "write_bucketed",
+    "bucketed_join",
+    "colocate_join",
+    "salted_join",
+    "zorder_repartition",
+    "zvalue",
+]
