@@ -161,6 +161,61 @@ def stateful_anomaly_counter(events: DataFrame) -> DataFrame:
     )
 
 
+_EWMA_STATE_SCHEMA = "last_y double, n_seen long"
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def stateful_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Streaming twin of operators/ewma.py: per-user exponential
+    smoothing whose recurrence state (last smoothed value + count)
+    carries ACROSS micro-batches via applyInPandasWithState — the shape
+    for any "resume the recurrence where the last batch left off"
+    operator (batch EWMA needs the whole history per key; the stream
+    keeps one double per key instead).
+
+    Within a batch, rows are sorted by event time and folded in order;
+    state is (last_y, n_seen) per user — executor-local, checkpointed.
+    Emits one row per (user, batch) with the post-batch smoothed value.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        y, n = state.get if state.exists else (None, 0)
+        for v in rows["value"]:
+            v = float(v)
+            y = v if y is None else alpha * v + (1.0 - alpha) * y
+            n += 1
+        state.update((y, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "ewma": [y], "n_seen": [n]}
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_multi_sink(
     stream: DataFrame,
     parquet_path: str,

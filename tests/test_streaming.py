@@ -456,3 +456,46 @@ def test_stateful_custom_counter_tws(spark, scratch):
     q.stop()
     rows = spark.sql("SELECT * FROM tws_out").collect()
     assert max(r["n_errors_total"] for r in rows if r["user_id"] == 7) == 6
+
+
+def test_stateful_ewma_carries_recurrence_across_batches(spark, scratch):
+    """Streaming EWMA: the smoothed value resumes from checkpointed
+    per-user state — batch 2's first input folds onto batch 1's last
+    output, exactly matching the batch-operator recurrence over the
+    concatenated stream."""
+    from pyetl_spark.streaming.pipeline import stateful_ewma
+
+    src = os.path.join(scratch, "src")
+    ck = os.path.join(scratch, "ck")
+    alpha = 0.5
+    b1 = [10.0, 20.0]
+    b2 = [40.0]
+    _write_batch(
+        src,
+        "b1.json",
+        [_row(i, h=9, m=i, user=3, value=v) for i, v in enumerate(b1)],
+    )
+    q = _start_memory_query(
+        stateful_ewma(
+            read_events_stream(spark, src, max_files_per_trigger=1),
+            alpha=alpha,
+        ),
+        ck,
+        "ewma_out",
+        mode="update",
+    )
+    q.processAllAvailable()
+    _write_batch(
+        src,
+        "b2.json",
+        [_row(10, h=10, m=0, user=3, value=b2[0])],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM ewma_out").collect()
+    y = None
+    for v in b1 + b2:
+        y = v if y is None else alpha * v + (1 - alpha) * y
+    latest = max(rows, key=lambda r: r["n_seen"])
+    assert latest["n_seen"] == 3
+    assert latest["ewma"] == pytest.approx(y, abs=1e-12)
