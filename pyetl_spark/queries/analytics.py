@@ -1164,3 +1164,71 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("med0"), 4).alias("median_value"),
         rnd(F.col("mad0"), 4).alias("mad"),
     )
+
+
+@query(
+    "orders_abc_class",
+    oracle="""
+    WITH custrev AS (
+      SELECT c_custkey, sum({CENTS}) AS rc
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ),
+    ranked AS (
+      SELECT c_custkey, rc,
+             sum(rc) OVER (ORDER BY rc DESC, c_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(rc) OVER () AS tot
+      FROM custrev
+    )
+    SELECT c_custkey,
+           CASE WHEN CAST(cum AS DOUBLE) <= 0.8 * CAST(tot AS DOUBLE)
+                THEN 'A'
+                WHEN CAST(cum AS DOUBLE) <= 0.95 * CAST(tot AS DOUBLE)
+                THEN 'B'
+                ELSE 'C' END AS abc_class,
+           {R} AS cum_share
+    FROM ranked
+    """.replace("{CENTS}", FXP("o_totalprice", 100)).replace(
+        "{R}", R("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)", 4)
+    ),
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory-style classification of customers by revenue
+    concentration: sort by revenue desc, cumulative share, label A
+    (first 80% of revenue), B (to 95%), C (tail) — the segmentation twin
+    of revenue_pareto that emits a per-entity label instead of a curve.
+    Exact integer cents throughout; class boundaries compare doubles
+    built from the same ints on both engines. One agg + one global-order
+    window: at 100 TB the global sort is the cost — range-partitioned
+    TakeOrdered-style sort, or classify within partitions (per nation)
+    to keep the window key non-global."""
+    t = load_tables(spark, sf_dir)
+    custrev = (
+        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.sum(fxp(F.col("o_totalprice"), 100)).alias("rc"))
+    )
+    w_cum = (
+        Window.orderBy(F.col("rc").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = custrev.select(
+        "c_custkey",
+        F.sum("rc").over(w_cum).alias("cum"),
+        F.sum("rc").over(w_all).alias("tot"),
+    )
+    cum_d = F.col("cum").cast("double")
+    tot_d = F.col("tot").cast("double")
+    cls = (
+        F.when(cum_d <= F.lit(0.8) * tot_d, "A")
+        .when(cum_d <= F.lit(0.95) * tot_d, "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        "c_custkey",
+        cls.alias("abc_class"),
+        rnd(cum_d / tot_d, 4).alias("cum_share"),
+    )

@@ -1174,3 +1174,78 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.max("rep"), 4).alias("repetition"),
         )
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH counted AS (
+      SELECT t.term, count(*) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      GROUP BY t.term
+    ),
+    tot AS (SELECT sum(c) AS n FROM counted)
+    SELECT term, c, {R} AS share
+    FROM (
+      SELECT term, c, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS sh
+      FROM counted CROSS JOIN tot
+      WHERE CAST(c AS DOUBLE) > 0.034 * CAST(n AS DOUBLE)
+    )
+    """.replace("{R}", R("sh", 4)),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: terms exceeding a 3.4% frequency share — the
+    boilerplate/stop-phrase detector run before dedup (a term in 3.4% of
+    all token positions is template text, not content). One explode +
+    partial/final hash agg, a 1-row total broadcast back, a selective
+    filter: the exact two-phase plan. The sketch twin for
+    cardinality-unbounded streams is operators/heavy_hitters.py
+    (Misra-Gries candidate pass + exact recount verify)."""
+    d = load_tables(spark, sf_dir).documents
+    counted = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counted.agg(F.sum("c").alias("n"))
+    sh = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .filter(F.col("c").cast("double") > F.lit(0.034) * F.col("n").cast("double"))
+        .select("term", "c", rnd(sh, 4).alias("share"))
+    )
+
+
+@query(
+    "text_heavy_hitters_mg",
+    oracle="""
+    WITH counted AS (
+      SELECT t.term, count(*) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      GROUP BY t.term
+    ),
+    tot AS (SELECT sum(c) AS n FROM counted)
+    SELECT term, c, {R} AS share
+    FROM (
+      SELECT term, c, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS sh
+      FROM counted CROSS JOIN tot
+      WHERE CAST(c AS DOUBLE) > 0.034 * CAST(n AS DOUBLE)
+    )
+    """.replace("{R}", R("sh", 4)),
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries-powered heavy hitters — SAME oracle as
+    text_heavy_hitters because the two-phase sketch (bounded-memory
+    candidate pass, operators/heavy_hitters.py) is EXACT after its
+    recount-verify phase: the MG guarantee makes the candidate set a
+    superset of the truth, and phase 2 recounts exactly. Hash-matching
+    it against the brute-force oracle is the point: sketch memory,
+    exact answer. Phase-1 memory is O(slack/φ) per task no matter how
+    many distinct terms the corpus has — the groupBy in the plain twin
+    holds the whole vocabulary."""
+    from pyetl_spark.operators.heavy_hitters import heavy_hitters
+
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    out = heavy_hitters(toks, "term", phi=0.034)
+    return out.select("term", "c", rnd(F.col("share"), 4).alias("share"))

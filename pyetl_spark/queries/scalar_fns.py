@@ -511,3 +511,39 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.acos(x), 4).alias("acos_a"),
         rnd(F.cot(rad + F.lit(0.05)), 4).alias("cot_a"),
     )
+
+
+@query(
+    "fn_printf",
+    oracle="""
+    SELECT o_orderkey,
+           printf('ORD-%08d', o_orderkey) AS order_tag,
+           printf('%s/%d', o_orderstatus, CAST(year(o_orderdate) AS INT))
+             AS status_year,
+           printf('%x', o_orderkey) AS key_hex,
+           printf('$%.2f', {RP}) AS price_label
+    FROM orders WHERE o_orderkey < 2000
+    """.replace("{RP}", R("o_totalprice", 2)),
+)
+def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting family: zero-padded decimal, string/int
+    composition, hex, and fixed-point money labels — Spark
+    `format_string` (java.util.Formatter) vs DuckDB `printf` (C fmt).
+    Dialect trap pinned here: %.2f on a RAW double diverges on decimal
+    ties (2.675 → Java '2.68', C '2.67' — same binary, different
+    tie-break), so money goes through parity.rnd FIRST; on 2dp-grid
+    doubles both formatters agree. %d/%s/%x are tie-free."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%08d", F.col("o_orderkey")).alias("order_tag"),
+        F.format_string(
+            "%s/%d",
+            F.col("o_orderstatus"),
+            F.year("o_orderdate").cast("int"),
+        ).alias("status_year"),
+        F.format_string("%x", F.col("o_orderkey")).alias("key_hex"),
+        F.format_string(
+            "$%.2f", rnd(F.col("o_totalprice"), 2)
+        ).alias("price_label"),
+    )
