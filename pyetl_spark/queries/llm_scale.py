@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.knn import cosine_topk_lsh
+from pyetl_spark.parity import rnd
 from pyetl_spark.operators.minhash import minhash_near_dup_pairs
 from pyetl_spark.operators.simhash import simhash_near_dup_pairs
 from pyetl_spark.registry import query
@@ -124,3 +125,30 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     media = attach_fake_media(d.filter(F.col("doc_id") < 200))
     return chunk_payloads(media).orderBy("media_id", "chunk_idx")
+
+
+@query("vec_pq_adc_topk")  # Tier B — quantized approximate distances, rows-only
+def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): train m=8 k=16 codebooks
+    in one distributed Lloyd loop, compress every embedding to 8 4-bit
+    codes (32× smaller than float32 — the memory math that makes
+    billion-vector search fit a cluster), then answer 5 probes by
+    asymmetric distance: per-probe m×k lookup table broadcast into ONE
+    equi-join on (sub, code) + a sum — no per-pair distance loop.
+    Approximate by construction → rows-only; pytest pins recall vs
+    exact L2 and training monotonicity on planted clusters."""
+    from pyetl_spark.operators.pq import adc_topk, pq_encode, pq_fit
+
+    emb = load_tables(spark, sf_dir).embeddings
+    cb = pq_fit(emb, m=8, k=16, dim=64, iters=2)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = adc_topk(probes, codes, cb, m=8, dim=64, topk=5)
+    return out.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        rnd(F.col("adc_dist"), 4).alias("adc_dist"),
+        "rank",
+    ).orderBy("probe_id", "rank")

@@ -1,0 +1,113 @@
+"""Product quantization: codebook shape, training progress,
+reconstruction, ADC recall vs exact L2, determinism."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyetl_spark.operators.pq import (
+    adc_topk,
+    pq_encode,
+    pq_fit,
+    reconstruction_mse,
+    split_subvectors,
+)
+from pyetl_spark.tables import load_tables
+from tests.conftest import SF_ORACLE
+
+M, K, DIM = 4, 8, 16
+
+
+def _clustered(spark, n_per=60, seed_centers=None):
+    """Deterministic clustered data: 4 well-separated centers + small
+    trig noise."""
+    centers = seed_centers or [
+        [5.0 * ((c >> b) & 1) for b in range(DIM)] for c in (3, 12, 48, 33)
+    ]
+    rows = []
+    i = 0
+    for c in centers:
+        for j in range(n_per):
+            v = [
+                c[d] + 0.1 * math.cos(0.7 * (i + 1) * (d + 1))
+                for d in range(DIM)
+            ]
+            rows.append((i, v))
+            i += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_split_subvectors_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in range(DIM)])], ["vec_id", "embedding"]
+    )
+    parts = (
+        split_subvectors(df, "vec_id", "embedding", M, DIM)
+        .orderBy("sub")
+        .collect()
+    )
+    assert [r["sub"] for r in parts] == list(range(M))
+    flat = [x for r in parts for x in r["v"]]
+    assert flat == [float(x) for x in range(DIM)]
+
+
+def test_codebook_shape_and_training_reduces_mse(spark):
+    df = _clustered(spark)
+    cb1 = pq_fit(df, m=M, k=K, dim=DIM, iters=1)
+    cb3 = pq_fit(df, m=M, k=K, dim=DIM, iters=3)
+    rows = cb3.collect()
+    assert {r["sub"] for r in rows} == set(range(M))
+    assert all(len(r["centroid"]) == DIM // M for r in rows)
+    per_sub = {}
+    for r in rows:
+        per_sub.setdefault(r["sub"], set()).add(r["cell"])
+    for s, cells in per_sub.items():
+        assert cells == set(range(len(cells)))
+        assert 1 <= len(cells) <= K
+    mse1 = reconstruction_mse(df, cb1, m=M, dim=DIM)
+    mse3 = reconstruction_mse(df, cb3, m=M, dim=DIM)
+    assert mse3 <= mse1 + 1e-9
+
+
+def test_adc_recall_on_clustered_data(spark):
+    """Probes are corpus points: ADC top-1 must land in the probe's own
+    cluster, and recall@5 vs exact L2 must be high on separated data."""
+    df = _clustered(spark)
+    cb = pq_fit(df, m=M, k=K, dim=DIM, iters=3)
+    codes = pq_encode(df, cb, m=M, dim=DIM)
+    probes = df.filter(F.col("vec_id").isin([0, 60, 120, 180])).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = adc_topk(probes, codes, cb, m=M, dim=DIM, topk=5).collect()
+    data = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    hits = total = 0
+    for pid in (0, 60, 120, 180):
+        q = data[pid]
+        exact = sorted(data, key=lambda i: float(np.sum((data[i] - q) ** 2)))[:5]
+        approx = [r["id"] for r in got if r["probe_id"] == pid]
+        assert len(approx) == 5
+        # same cluster: clusters are 60 ids wide
+        assert all(abs(a - pid) < 60 for a in approx)
+        hits += len(set(exact) & set(approx))
+        total += 5
+    assert hits / total >= 0.6, hits / total
+
+
+def test_deterministic(spark):
+    df = _clustered(spark, n_per=30)
+    c1 = sorted(map(tuple, pq_encode(df, pq_fit(df, m=M, k=K, dim=DIM), m=M, dim=DIM).collect()))
+    c2 = sorted(map(tuple, pq_encode(df, pq_fit(df, m=M, k=K, dim=DIM), m=M, dim=DIM).collect()))
+    assert c1 == c2
+
+
+def test_fixture_embeddings_compress(spark):
+    emb = load_tables(spark, SF_ORACLE).embeddings
+    cb = pq_fit(emb, m=8, k=16, dim=64, iters=2)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    n = emb.count()
+    assert codes.count() == n * 8
+    assert codes.agg(F.max("code")).collect()[0][0] < 16
