@@ -1232,3 +1232,55 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         cls.alias("abc_class"),
         rnd(cum_d / tot_d, 4).alias("cum_share"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT event_id, user_id, event_type, value,
+             last_value(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS
+             ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, 'direct') AS touch,
+           count(*) AS n_purchases,
+           {MS} AS attributed_value
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(touch, 'direct')
+    """.replace("{MS}", MSUM("value", 10**6)),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent PRIOR non-purchase event (click/view/signup/error), or
+    'direct' when nothing precedes it — the standard marketing/causal
+    bookkeeping query. The carry-forward is one last_value(IGNORE NULLS)
+    window over (user, time) — same single-shuffle shape as join_asof
+    (SCALE shape 4); the attributed-value sum goes through fixed-point
+    micro-units (order-free, parity.py). At 100 TB: one exchange on
+    user_id, then a 5-row aggregate."""
+    e = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            msum(F.col("value"), 10**6).alias("attributed_value"),
+        )
+    )

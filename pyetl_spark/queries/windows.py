@@ -403,3 +403,44 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", rnd(F.col("ewma"), 6).alias("ewma")
     )
+
+
+@query(
+    "win_rolling_argmax",
+    oracle="""
+    SELECT event_id, user_id,
+           m['v'] AS peak_value,
+           m['k'] AS peak_event_id
+    FROM (
+      SELECT event_id, user_id,
+             max(struct_pack(v := value, k := event_id)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+             ) AS m
+      FROM events
+    )
+    """,
+)
+def win_rolling_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ARGmax: for each event, the peak value in the user's
+    trailing 5-event frame AND which event set it — max_by has no window
+    form in either engine, so both use the struct-lexicographic idiom
+    (max over (value, event_id) pairs; ties go to the later event_id on
+    both sides — same total order, deterministic). Passthrough doubles,
+    no arithmetic → bit-identical without rounding. Same one-exchange
+    window shape as win_moving_avg."""
+    e = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    m = F.max(
+        F.struct(F.col("value").alias("v"), F.col("event_id").alias("k"))
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        m.getField("v").alias("peak_value"),
+        m.getField("k").alias("peak_event_id"),
+    )
