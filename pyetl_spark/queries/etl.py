@@ -312,3 +312,157 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new.o_totalprice").alias("new_price"),
         )
     )
+
+
+@query(
+    "etl_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS "column",
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(min(o_orderdate) AS DATE)) AS DOUBLE),
+           CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(max(o_orderdate) AS DATE)) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (operators/profile.py): null counts, distinct
+    cardinalities, min/max for six orders columns — the recon step every
+    ingest pipeline runs before trusting a feed. The operator computes
+    ALL columns' stats in ONE scan as parallel partial-aggregable
+    expressions (the oracle's 6-branch UNION reads the table six times —
+    fine for DuckDB's checker, wrong at 100 TB; the plan difference IS
+    the point, same answer). Dates profile as epoch-day numbers; strings
+    via byte-order min/max."""
+    from pyetl_spark.operators.profile import profile
+
+    o = load_tables(spark, sf_dir).orders
+    return profile(
+        o,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        date_cols=["o_orderdate"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@query(
+    "etl_quality_checks",
+    oracle="""
+    SELECT 'orphan_orders' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'dup_orderkeys',
+           (SELECT count(*) FROM
+             (SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'null_keys',
+           (SELECT count(*) FROM orders
+            WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+    UNION ALL
+    SELECT 'nonpositive_price',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'bad_status',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    UNION ALL
+    SELECT 'date_out_of_range',
+           (SELECT count(*) FROM orders
+            WHERE o_orderdate < TIMESTAMP '1990-01-01'
+               OR o_orderdate >= TIMESTAMP '2005-01-01')
+    """,
+)
+def etl_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: six constraint checks (referential integrity
+    via anti-join, key uniqueness, null keys, price positivity, status
+    domain, date sanity window) emitted as (check_name, n_violations) —
+    the contract a pipeline asserts before promoting a batch; a clean
+    feed returns all zeros (and does on the fixtures, which is the
+    assertion: the checks run, find nothing, and say so). Each check is
+    an independent aggregate over the same scan; Spark computes the
+    non-join checks as ONE pass of conditional counts and the integrity
+    check as a broadcast anti-join count."""
+    t = load_tables(spark, sf_dir)
+    o, c = t.orders, t.customer
+    orphans = o.join(
+        c, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).agg(F.count("*").alias("n"))
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count("*").alias("n"))
+    )
+    scalar = o.agg(
+        F.count_if(
+            F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()
+        ).alias("null_keys"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        F.count_if(
+            ~F.col("o_orderstatus").isin("F", "O", "P")
+        ).alias("bad_status"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (
+                F.col("o_orderdate")
+                >= F.lit("2005-01-01").cast("timestamp")
+            )
+        ).alias("date_out_of_range"),
+    )
+
+    def named(df, name):
+        return df.select(
+            F.lit(name).alias("check_name"), F.col("n").alias("n_violations")
+        )
+
+    out = named(orphans, "orphan_orders").unionAll(
+        named(dups, "dup_orderkeys")
+    )
+    for name in (
+        "null_keys",
+        "nonpositive_price",
+        "bad_status",
+        "date_out_of_range",
+    ):
+        out = out.unionAll(
+            scalar.select(
+                F.lit(name).alias("check_name"),
+                F.col(name).alias("n_violations"),
+            )
+        )
+    return out

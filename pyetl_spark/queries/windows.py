@@ -444,3 +444,47 @@ def win_rolling_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getField("v").alias("peak_value"),
         m.getField("k").alias("peak_event_id"),
     )
+
+
+@query(
+    "win_since_last_error",
+    oracle="""
+    SELECT event_id, user_id,
+           rn - coalesce(last_err_rn, 0) AS events_since_error
+    FROM (
+      SELECT event_id, user_id,
+             row_number() OVER w AS rn,
+             last_value(err_rn IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_err_rn
+      FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error'
+                    THEN row_number() OVER w END AS err_rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    """,
+)
+def win_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational freshness counter: for every event, how many events
+    the user has emitted since their last 'error' (counting from stream
+    start when none precedes) — the "N since incident" gauge behind
+    alert-fatigue and health dashboards. Carry-forward of the error's
+    row_number via last_value(IGNORE NULLS) over the 1-PRECEDING frame,
+    all integers. Both windows share ONE (user, time) ordering — one
+    exchange + one sort serve everything."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    rn = F.row_number().over(w)
+    err_rn = F.when(F.col("event_type") == "error", rn)
+    last_err = F.last(err_rn, ignorenulls=True).over(w_prior)
+    return e.select(
+        "event_id",
+        "user_id",
+        (rn - F.coalesce(last_err, F.lit(0))).alias("events_since_error"),
+    )

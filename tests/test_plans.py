@@ -276,3 +276,10 @@ def test_plan_lint_no_accidental_nested_loop(spark, key):
     plan = plan_of(spark, key, mode="simple")
     assert "CartesianProduct" not in plan, f"{key}: cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{key}: BNLJ"
+
+
+def test_profile_is_single_scan(spark):
+    """The profiler's claim: stats for ALL columns in ONE table scan
+    (the oracle's UNION reads six times; the engine must not)."""
+    plan = plan_of(spark, "etl_profile", mode="simple")
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
