@@ -466,3 +466,73 @@ def etl_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+@query(
+    "etl_incremental_agg",
+    oracle="""
+    WITH state AS (
+      SELECT user_id, count(*) AS cnt, sum({MU}) AS sv,
+             max(ts) AS last_ts
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    ),
+    delta AS (
+      SELECT user_id, count(*) AS cnt, sum({MU}) AS sv,
+             max(ts) AS last_ts
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    ),
+    merged AS (
+      SELECT user_id, sum(cnt) AS n_events, sum(sv) AS sv,
+             max(last_ts) AS last_ts
+      FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           {R} AS total_value, last_ts
+    FROM merged
+    """.replace("{MU}", FXP("value", 10**6)).replace(
+        "{R}", R("CAST(sv AS DOUBLE) / 1000000.0", 4)
+    ),
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via mergeable state: "yesterday's"
+    per-user summaries (events before Jan 15) merged with the new
+    partition's summaries by RE-AGGREGATING THE SUMMARIES — count/sum/max
+    are merge-closed, so the full history never rescans (the batch twin
+    of a streaming state store update, and the pattern behind every
+    incremental rollup table). Sums carry exact fixed-point micro-units
+    so state+delta merging is order-free; invariant-tested equal to the
+    from-scratch aggregate. At 100 TB: the state side is one summary row
+    per user (dimension-sized), the delta side scans ONLY the new
+    partition — that asymmetry is the entire point."""
+    e = load_tables(spark, sf_dir).events
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def summarize(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("cnt"),
+            F.sum(fxp(F.col("value"), 10**6)).alias("sv"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = summarize(e.filter(F.col("ts") < cut))
+    delta = summarize(e.filter(F.col("ts") >= cut))
+    merged = (
+        state.unionAll(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.sum("sv").alias("sv"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        rnd(F.col("sv").cast("double") / F.lit(1000000.0), 4).alias(
+            "total_value"
+        ),
+        "last_ts",
+    )

@@ -12,7 +12,7 @@ explicit-hint plumbing. The as-of join is the one genuinely custom operator
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.asof import asof_join
@@ -415,3 +415,67 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="k",
     )
     return out.select("o_orderkey", "c_name", "o_totalprice")
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, value AS attr_value, ts AS valid_from,
+             coalesce(
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               TIMESTAMP '9999-12-31 00:00:00'
+             ) AS valid_to
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT f.event_id, f.user_id, f.value AS purchase_value,
+           d.attr_value, d.valid_from
+    FROM events f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-was) join: each purchase picks up the SCD2
+    dimension version valid AT ITS EVENT TIME — the warehouse query that
+    makes slowly-changing dimensions worth building (joining the current
+    version back-dates history). Consumes the same interval build as
+    etl_scd2_intervals; physically an equi-join on user_id with the
+    interval bounds as a post-filter — hash-family join, never a nested
+    loop (the bare-interval join would be; the user_id conjunct is what
+    saves it, same principle as join_theta_range). Intervals are
+    half-open [from, to) so version boundaries assign uniquely."""
+    t = load_tables(spark, sf_dir)
+    e = t.events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("9999-12-31 00:00:00").cast("timestamp"),
+            ).alias("valid_to"),
+        )
+    )
+    f = e.filter(F.col("event_type") == "purchase").alias("f")
+    d = dim.alias("d")
+    return (
+        f.join(
+            d,
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.ts") >= F.col("d.valid_from"))
+            & (F.col("f.ts") < F.col("d.valid_to")),
+        )
+        .select(
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.user_id").alias("user_id"),
+            F.col("f.value").alias("purchase_value"),
+            F.col("d.attr_value").alias("attr_value"),
+            F.col("d.valid_from").alias("valid_from"),
+        )
+    )

@@ -285,3 +285,101 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", rnd(F.col("pc1"), 4).alias("pc1"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "vec_knn_classify",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+             c.label AS cand_label, c.vec_id AS cand_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.e)),
+                              i -> p.e[i] * c.e[i])), (a, x) -> a + x)
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(p.e, x -> x * x)), (a, x) -> a + x))
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(c.e, x -> x * x)), (a, x) -> a + x))
+               AS sim
+      FROM v p JOIN v c ON p.vec_id < 20 AND c.vec_id >= 20
+    ),
+    top5 AS (
+      SELECT probe_id, true_label, cand_label
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+        FROM sims
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT probe_id, true_label, cand_label AS predicted_label,
+             count(*) AS votes
+      FROM top5 GROUP BY probe_id, true_label, cand_label
+    )
+    SELECT probe_id, true_label, predicted_label, votes,
+           (predicted_label = true_label) AS correct
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY votes DESC, predicted_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification — the evaluation loop that tells you
+    whether an embedding space is any good: probes (vec_id<20) get the
+    majority label of their 5 nearest corpus neighbors (vec_id≥20) by
+    cosine; ties break deterministically (rank: sim then cand_id; vote:
+    count then smallest label). Same broadcast-probe pass and identical
+    fold order as vec_cosine_topk — bit-equal sims, so the rank cut is
+    engine-stable without rounding. At 100 TB the neighbor search swaps
+    to IVF/PQ (operators/) and this query becomes its quality gate."""
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", "label", _to_double(F.col("embedding")).alias("e"))
+    p = v.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("pe"),
+    )
+    c = v.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("e").alias("ce"),
+    )
+    sim = (
+        _dot(F.col("pe"), F.col("ce"))
+        / F.sqrt(_norm_sq(F.col("pe")))
+        / F.sqrt(_norm_sq(F.col("ce")))
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), "cand_id"
+    )
+    top5 = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = top5.groupBy("probe_id", "true_label", "cand_label").agg(
+        F.count("*").alias("votes")
+    )
+    w_vote = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), "cand_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("cand_label").alias("predicted_label"),
+            "votes",
+            (F.col("cand_label") == F.col("true_label")).alias("correct"),
+        )
+    )

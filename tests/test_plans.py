@@ -253,6 +253,7 @@ def test_markov_lead_then_tiny_agg(spark):
 _NESTED_LOOP_OK = {
     "join_cross",          # literal CROSS JOIN of two dims
     "vec_cosine_topk",     # pruned probe crossJoin (id-bounded, documented)
+    "vec_knn_classify",    # same broadcast-probe pass as vec_cosine_topk
     "dedup_embedding_cosine",
     "fn_array_outer",      # cartesian of two tiny exploded arrays
     "vec_ann_ivf",         # IVF assignment: vectors × broadcast centroid
