@@ -244,3 +244,68 @@ def test_sweep_peak_bounds(spark):
     }
     for r in _q(spark, "interval_max_concurrent").collect():
         assert 1 <= r["max_concurrent"] <= per_prio[r["o_orderpriority"]]
+
+
+def test_incremental_agg_equals_full_rescan(spark):
+    """Mergeable-state invariant: state ⊕ delta == from-scratch aggregate
+    (count/sum/max merge losslessly)."""
+    from pyetl_spark.parity import fxp, rnd
+
+    merged = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in _q(spark, "etl_incremental_agg").collect()
+    }
+    e = load_tables(spark, SF_ORACLE).events
+    full = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            rnd(
+                F.sum(fxp(F.col("value"), 10**6)).cast("double")
+                / F.lit(1000000.0),
+                4,
+            ).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_attribution_purchases_conserved(spark):
+    """Every purchase is attributed exactly once: attribution counts sum
+    to the total purchase count."""
+    rows = _q(spark, "events_attribution").collect()
+    e = load_tables(spark, SF_ORACLE).events
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+
+
+def test_snm_pairs_subset_of_exact_at_same_threshold(spark):
+    """Sorted-neighborhood recall direction: every SNM pair with
+    jaccard >= 0.8 must also be found by the exhaustive blocked join
+    (dedup_near_jaccard, τ=0.8) — SNM trades recall, never precision."""
+    snm = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q(spark, "dedup_sorted_neighborhood").collect()
+        if r["jaccard"] >= 0.8
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q(spark, "dedup_near_jaccard").collect()
+    }
+    assert snm <= exact
+
+
+def test_abc_classes_partition_and_order(spark):
+    """ABC classification: classes partition all customers; every A
+    customer's cumulative share ≤ every C customer's (the labels follow
+    the revenue ordering)."""
+    rows = _q(spark, "orders_abc_class").collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["abc_class"], []).append(r["cum_share"])
+    assert set(by_class) <= {"A", "B", "C"}
+    if "A" in by_class and "C" in by_class:
+        assert max(by_class["A"]) <= min(by_class["C"])
