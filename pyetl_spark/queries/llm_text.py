@@ -1249,3 +1249,87 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split("text", " ")).alias("term"))
     out = heavy_hitters(toks, "term", phi=0.034)
     return out.select("term", "c", rnd(F.col("share"), 4).alias("share"))
+
+
+@query(
+    "text_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS rl,
+             sum(o) OVER (PARTITION BY source) AS cs,
+             sum(o) OVER () AS n
+      FROM obs
+    ),
+    contrib AS (
+      SELECT lang, source,
+             ((CAST(o AS DOUBLE)
+               - (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))
+                 / CAST(n AS DOUBLE))
+              * (CAST(o AS DOUBLE)
+                 - (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))
+                   / CAST(n AS DOUBLE)))
+             / ((CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS x2
+      FROM margins
+    )
+    SELECT n_cells, {R} AS chi_square
+    FROM (
+      SELECT count(*) AS n_cells,
+             list_reduce(
+               list_prepend(
+                 0.0, list(x2 ORDER BY lang, source)
+               ),
+               (acc, x) -> acc + x
+             ) AS chi
+      FROM contrib
+    )
+    """.replace("{R}", R("chi", 4)),
+)
+def text_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang×source
+    contingency table — "is language mix independent of source?", the
+    screening test before trusting per-source language stats. Expected
+    cell counts come from exact integer margins; each cell's (O−E)²/E
+    uses one fixed op shape, and the cell contributions fold in sorted
+    (lang, source) order on BOTH engines (the text_source_divergence
+    technique) so the sum is bit-stable at any parallelism. One shuffle
+    for the contingency table; margins are window sums over ≤100 rows."""
+    d = load_tables(spark, sf_dir).documents
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_l).alias("rl"),
+        F.sum("o").over(w_s).alias("cs"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e_cell = (
+        F.col("rl").cast("double") * F.col("cs").cast("double")
+    ) / F.col("n").cast("double")
+    diff = F.col("o").cast("double") - e_cell
+    contrib = m.select(
+        "lang", "source", ((diff * diff) / e_cell).alias("x2")
+    )
+    folded = contrib.agg(
+        F.count("*").alias("n_cells"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("lang", "source", "x2"))
+                ),
+                lambda s: s.x2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi"),
+    )
+    return folded.select("n_cells", rnd(F.col("chi"), 4).alias("chi_square"))
