@@ -1284,3 +1284,126 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("value"), 10**6).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH cents AS (
+      SELECT s_nationkey, {CENTS} AS xc FROM supplier
+    ),
+    fences AS (
+      SELECT s_nationkey,
+             quantile_cont(xc, 0.05) AS lo,
+             quantile_cont(xc, 0.95) AS hi
+      FROM cents GROUP BY s_nationkey
+    ),
+    clamped AS (
+      SELECT c.s_nationkey,
+             xc,
+             CASE WHEN CAST(xc AS DOUBLE) < lo THEN lo
+                  WHEN CAST(xc AS DOUBLE) > hi THEN hi
+                  ELSE CAST(xc AS DOUBLE) END AS wx
+      FROM cents c JOIN fences USING (s_nationkey)
+    )
+    SELECT s_nationkey, count(*) AS n,
+           {RRAW} AS raw_mean,
+           {RWIN} AS winsorized_mean
+    FROM clamped
+    GROUP BY s_nationkey
+    """.replace("{CENTS}", FXP("s_acctbal", 100))
+    .replace(
+        "{RRAW}",
+        R("(CAST(sum(xc) AS DOUBLE) / count(*)) / 100.0", 4),
+    )
+    .replace("{RWIN}", R("(sum(wx) / count(*)) / 100.0", 4)),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per nation: clamp supplier balances into their
+    nation's [p5, p95] before averaging — the third robust-stats tool
+    next to outlier_iqr (drop) and agg_mad (measure): keep the row,
+    limit its influence. Quantiles interpolate over exact integer cents
+    (x.0-grid + interpolation fractions of 0.05·(n−1) — deterministic
+    both engines); the clamped sum is a sum of quantile-grid doubles
+    folded by groupBy... which IS order-sensitive in general, but every
+    addend here is a cent-integer-valued double (or a 20ths-of-a-cent
+    interpolation point scaled by 100) < 2^40, so double addition is
+    EXACT — no rounding at any order. Same broadcast-back shape as the
+    IQR fences."""
+    t = load_tables(spark, sf_dir)
+    cents = t.supplier.select(
+        "s_nationkey", fxp(F.col("s_acctbal"), 100).alias("xc")
+    )
+    fences = cents.groupBy("s_nationkey").agg(
+        F.percentile("xc", 0.05).alias("lo"),
+        F.percentile("xc", 0.95).alias("hi"),
+    )
+    x = F.col("xc").cast("double")
+    wx = (
+        F.when(x < F.col("lo"), F.col("lo"))
+        .when(x > F.col("hi"), F.col("hi"))
+        .otherwise(x)
+    )
+    return (
+        cents.join(F.broadcast(fences), "s_nationkey")
+        .withColumn("wx", wx)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            rnd(
+                (F.sum("xc").cast("double") / F.count(F.lit(1)))
+                / F.lit(100.0),
+                4,
+            ).alias("raw_mean"),
+            rnd(
+                (F.sum("wx") / F.count(F.lit(1))) / F.lit(100.0), 4
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+@query(
+    "events_path_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT a || ' > ' || b || ' > ' || c AS path, count(*) AS n
+      FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rn
+      FROM paths
+    ) WHERE rn <= 10
+    """,
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (event-type trigrams per user
+    stream) — the sequence-mining extension of events_markov's pair
+    transitions; funnels you didn't design show up here. Two leads over
+    ONE (user, time) window ordering → concat → count → top-k with path
+    tiebreak. The window exchange dominates and keys on user_id; the
+    path-space is |types|³ ≤ 125 so the final agg is trivial at any
+    scale."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "a", "b", "c").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        paths.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+        .select("path", "n")
+    )
