@@ -1407,3 +1407,47 @@ def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("path", "n")
     )
+
+
+@query(
+    "events_burst_detection",
+    oracle="""
+    WITH buckets AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    baseline AS (
+      SELECT user_id, quantile_cont(n, 0.5) AS med
+      FROM buckets GROUP BY user_id
+    )
+    SELECT b.user_id, b.bucket, b.n, {RM} AS median_rate
+    FROM buckets b JOIN baseline USING (user_id)
+    WHERE CAST(b.n AS DOUBLE) > 1.5 * med AND b.n >= 3
+    """.replace("{RM}", R("med", 1)),
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hourly event-count buckets per user flagged when
+    a bucket exceeds 1.5× that user's median hourly rate (and an absolute
+    floor of 3, so quiet users can't alert on noise; thresholds tuned to
+    the fixture's near-uniform rates — production would use 3×/5) — the rate-anomaly
+    screen that catches scrapers and runaway clients, complementing
+    events_anomaly_zscore (value outliers) with volume outliers.
+    Medians interpolate over integer counts (exact both engines);
+    baselines broadcast back onto buckets. Bucket-agg → dimension-sized
+    per-user stats → selective filter: every shuffle keys on user_id."""
+    e = load_tables(spark, sf_dir).events
+    buckets = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    baseline = buckets.groupBy("user_id").agg(
+        F.percentile("n", 0.5).alias("med")
+    )
+    return (
+        buckets.join(F.broadcast(baseline), "user_id")
+        .filter(
+            (F.col("n").cast("double") > F.lit(1.5) * F.col("med"))
+            & (F.col("n") >= 3)
+        )
+        .select("user_id", "bucket", "n", rnd(F.col("med"), 1).alias("median_rate"))
+    )

@@ -1333,3 +1333,51 @@ def text_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi"),
     )
     return folded.select("n_cells", rnd(F.col("chi"), 4).alias("chi_square"))
+
+
+@query(
+    "text_stopword_discovery",
+    oracle="""
+    WITH df AS (
+      SELECT term, count(*) AS doc_freq
+      FROM (
+        SELECT DISTINCT doc_id, t.term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      )
+      GROUP BY term
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, doc_freq, {R} AS doc_share
+    FROM (
+      SELECT term, doc_freq,
+             CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ds
+      FROM df CROSS JOIN nd
+      WHERE CAST(doc_freq AS DOUBLE) > 0.6 * CAST(n_docs AS DOUBLE)
+    )
+    """.replace("{R}", R("ds", 4)),
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: terms present in > 60% of
+    DOCUMENTS (document frequency, not token frequency — the
+    complement of text_heavy_hitters: a term can dominate tokens from
+    one doc, but only corpus-wide spread makes it a stopword). distinct
+    (doc, term) → df count → share filter; the distinct is the cost
+    (explode + dedup shuffle) and is exactly the first half of the
+    TF-IDF df computation, so at 100 TB the two share one pass."""
+    d = load_tables(spark, sf_dir).documents
+    df_ = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    ds = F.col("doc_freq").cast("double") / F.col("n_docs").cast("double")
+    return (
+        df_.crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("doc_freq").cast("double")
+            > F.lit(0.6) * F.col("n_docs").cast("double")
+        )
+        .select("term", "doc_freq", rnd(ds, 4).alias("doc_share"))
+    )
