@@ -1381,3 +1381,115 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "doc_freq", rnd(ds, 4).alias("doc_share"))
     )
+
+
+_BM25_TERMS = ("window", "filter", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(ts, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    def term(i: int) -> str:
+        idf = (
+            f"ln((CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        )
+        denom = (
+            f"(tf{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} "
+            f"* (CAST(len_d AS DOUBLE) / avg_len)))"
+        )
+        return f"({idf} * (tf{i} * ({_BM25_K1} + 1.0)) / {denom})"
+
+    score = f"(({term(0)} + {term(1)}) + {term(2)})"
+    return f"""
+    WITH ds AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, len(ts) AS len_d, {tf_cols} FROM ds
+    ),
+    corpus AS (
+      SELECT count(*) AS n,
+             CAST(sum(len_d) AS DOUBLE) / count(*) AS avg_len,
+             {df_cols}
+      FROM tf
+    )
+    SELECT doc_id, {{R}} AS bm25
+    FROM (
+      SELECT doc_id, {score} AS s,
+             row_number() OVER (ORDER BY {score} DESC, doc_id) AS rn
+      FROM tf CROSS JOIN corpus
+      WHERE tf0 + tf1 + tf2 > 0
+    ) WHERE rn <= 10
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_sql().replace("{R}", R("s", 4)))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-10 documents for the fixed 3-term query
+    ('window','filter','stream') under Okapi BM25 (k1=1.2, b=0.75,
+    +1-smoothed idf) — the ranking function behind classic search and
+    the lexical half of hybrid retrieval; in a training-data pipeline it
+    surfaces query-relevant documents for targeted curation. Per-doc
+    term frequencies come from array `filter` lengths (no explode —
+    a narrow map), corpus stats (N, avg len, per-term df) are ONE tiny
+    aggregate broadcast back, and the 3-term score is a fixed
+    left-associated expression — deterministic bits, rank on the raw
+    score with doc_id tiebreak."""
+    d = load_tables(spark, sf_dir).documents
+    ts = F.split("text", " ")
+
+    def tf_of(term: str):
+        # NB: a 1-arg lambda, built via closure — a `t=t` default arg
+        # would make pyspark see TWO params and pass the array INDEX as
+        # the second, silently comparing tokens to positions.
+        return F.size(F.filter(ts, lambda x: x == F.lit(term)))
+
+    tf = d.select(
+        "doc_id",
+        F.size(ts).alias("len_d"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    corpus = tf.agg(
+        F.count("*").alias("n"),
+        (F.sum("len_d").cast("double") / F.count(F.lit(1))).alias(
+            "avg_len"
+        ),
+        *[
+            F.sum(
+                F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+            ).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term(i: int):
+        idf = F.log(
+            (F.col("n").cast("double") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = F.col(f"tf{i}") + F.lit(_BM25_K1) * (
+            F.lit(1.0)
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B)
+            * (F.col("len_d").cast("double") / F.col("avg_len"))
+        )
+        return idf * (F.col(f"tf{i}") * F.lit(_BM25_K1 + 1.0)) / denom
+
+    score = (term(0) + term(1)) + term(2)
+    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    return (
+        tf.crossJoin(F.broadcast(corpus))
+        .filter((F.col("tf0") + F.col("tf1") + F.col("tf2")) > 0)
+        .withColumn("s", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", rnd(F.col("s"), 4).alias("bm25"))
+    )
