@@ -258,6 +258,7 @@ _NESTED_LOOP_OK = {
     "fn_array_outer",      # cartesian of two tiny exploded arrays
     "vec_ann_ivf",         # IVF assignment: vectors × broadcast centroid
                            # table (k rows) — the intended BNLJ
+    "vec_ann_recall_eval",  # IVF assignment + broadcast-probe ground truth
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
 }
 
