@@ -1451,3 +1451,121 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "bucket", "n", rnd(F.col("med"), 1).alias("median_rate"))
     )
+
+
+@query(
+    "revenue_rank_movers",
+    oracle="""
+    WITH yearly AS (
+      SELECT c_custkey, year(o_orderdate) AS yr, sum({CENTS}) AS rc
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, year(o_orderdate)
+    ),
+    ranked AS (
+      SELECT c_custkey, yr,
+             row_number() OVER (
+               PARTITION BY yr ORDER BY rc DESC, c_custkey
+             ) AS rnk
+      FROM yearly
+    ),
+    moves AS (
+      SELECT c_custkey, yr, rnk,
+             lag(rnk) OVER (PARTITION BY c_custkey ORDER BY yr) AS prev_rnk,
+             yr - lag(yr) OVER (PARTITION BY c_custkey ORDER BY yr)
+               AS yr_gap
+      FROM ranked
+    )
+    SELECT c_custkey, yr, rnk, prev_rnk,
+           prev_rnk - rnk AS rank_gain
+    FROM moves
+    WHERE yr_gap = 1 AND abs(prev_rnk - rnk) >= 100
+    """.replace("{CENTS}", FXP("o_totalprice", 100)),
+)
+def revenue_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Movers-and-shakers: customers whose revenue RANK jumped ≥100
+    places between consecutive years — league-table churn that absolute
+    YoY deltas (revenue_yoy) miss (a small account doubling moves far in
+    rank, little in dollars). Rank within year (exact-cents revenue,
+    custkey tiebreak), then lag across years per customer, gated to
+    adjacent years only. Two window shuffles on different keys (yr,
+    then custkey) — unavoidable, both dimension-bounded partitions."""
+    t = load_tables(spark, sf_dir)
+    yearly = (
+        t.customer.join(t.orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(fxp(F.col("o_totalprice"), 100)).alias("rc"))
+    )
+    w_rank = Window.partitionBy("yr").orderBy(F.col("rc").desc(), "c_custkey")
+    ranked = yearly.select(
+        "c_custkey", "yr", F.row_number().over(w_rank).alias("rnk")
+    )
+    w_seq = Window.partitionBy("c_custkey").orderBy("yr")
+    moves = ranked.select(
+        "c_custkey",
+        "yr",
+        "rnk",
+        F.lag("rnk").over(w_seq).alias("prev_rnk"),
+        (F.col("yr") - F.lag("yr").over(w_seq)).alias("yr_gap"),
+    )
+    return (
+        moves.filter(
+            (F.col("yr_gap") == 1)
+            & (F.abs(F.col("prev_rnk") - F.col("rnk")) >= 100)
+        )
+        .select(
+            "c_custkey",
+            "yr",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
+        )
+    )
+
+
+@query(
+    "events_dwell_time",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) - epoch_us(ts) AS dwell_us
+      FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           {RMED} AS median_dwell_s,
+           {RAVG} AS avg_dwell_s
+    FROM gaps WHERE dwell_us IS NOT NULL
+    GROUP BY event_type
+    """.replace(
+        "{RMED}", R("quantile_cont(dwell_us, 0.5) / 1000000.0", 2)
+    ).replace(
+        "{RAVG}",
+        R("(CAST(sum(dwell_us) AS DOUBLE) / count(*)) / 1000000.0", 2),
+    ),
+)
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time by event type: how long users linger AFTER each kind
+    of event (gap to their next event) — the engagement signal behind
+    'errors make users leave' analyses. Gaps are exact integer
+    MICROsecond diffs (epoch arithmetic on the µs-converted ns
+    timestamps — integers end to end), so sums and interpolated medians
+    are order-free; one (user, time) window then a 5-row aggregate."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c)
+    gaps = e.select(
+        "event_type",
+        (us(F.lead("ts").over(w)) - us(F.col("ts"))).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        rnd(F.percentile("dwell_us", 0.5) / F.lit(1000000.0), 2).alias(
+            "median_dwell_s"
+        ),
+        rnd(
+            (F.sum("dwell_us").cast("double") / F.count(F.lit(1)))
+            / F.lit(1000000.0),
+            2,
+        ).alias("avg_dwell_s"),
+    )

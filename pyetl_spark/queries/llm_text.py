@@ -1493,3 +1493,49 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", rnd(F.col("s"), 4).alias("bm25"))
     )
+
+
+@query(
+    "text_diversity_simpson",
+    oracle="""
+    WITH tc AS (
+      SELECT source, t.term, count(*) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      GROUP BY source, t.term
+    )
+    SELECT source, n_terms, n_tokens, {R} AS simpson_diversity
+    FROM (
+      SELECT source,
+             count(*) AS n_terms,
+             sum(c) AS n_tokens,
+             1.0 - CAST(sum(c * (c - 1)) AS DOUBLE)
+                   / CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS sd
+      FROM tc GROUP BY source
+    )
+    """.replace("{R}", R("sd", 6)),
+)
+def text_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson lexical diversity per source: the probability two
+    randomly drawn tokens differ, 1 − Σc(c−1)/(N(N−1)) — the diversity
+    gauge whose arithmetic is ENTIRELY integer until one final division
+    (unlike entropy's per-term logs), so it is order-free with no fold
+    tricks: the determinism-cheapest diversity metric and the one to
+    prefer at scale. Low diversity = repetitive/boilerplate source.
+    One explode + two nested integer aggregates keyed on source."""
+    d = load_tables(spark, sf_dir).documents
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+    )
+    sd = F.lit(1.0) - F.col("coll").cast("double") / (
+        F.col("n_tokens") * (F.col("n_tokens") - 1)
+    ).cast("double")
+    return agg.select(
+        "source", "n_terms", "n_tokens", rnd(sd, 6).alias("simpson_diversity")
+    )
