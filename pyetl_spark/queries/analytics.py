@@ -1569,3 +1569,76 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("avg_dwell_s"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_year AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT f.cohort, year(o.o_orderdate) - f.cohort AS age,
+             sum({CENTS}) AS rc,
+             count(DISTINCT o.o_custkey) AS active_customers
+      FROM orders o JOIN first_year f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort, year(o.o_orderdate) - f.cohort
+    ),
+    sized AS (
+      SELECT cohort, count(*) AS cohort_size FROM first_year GROUP BY cohort
+    )
+    SELECT cohort, age, active_customers, cohort_size,
+           {R} AS cum_ltv_per_customer
+    FROM (
+      SELECT r.cohort, r.age, r.active_customers, s.cohort_size,
+             (CAST(sum(r.rc) OVER (
+                PARTITION BY r.cohort ORDER BY r.age
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) / 100.0) / s.cohort_size AS ltv
+      FROM rev r JOIN sized s ON r.cohort = s.cohort
+    )
+    """.replace("{CENTS}", FXP("o_totalprice", 100)).replace(
+        "{R}", R("ltv", 2)
+    ),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    year; for each cohort age, the cumulative revenue PER COHORT MEMBER
+    — the money twin of events_retention's count-based triangle (the
+    classic LTV matrix margins are read from). Revenue runs in exact
+    cents; the running sum is an integer window; one division by the
+    cohort size at the end. Shuffles: first-order agg and cohort-age agg
+    both key on custkey→cohort — dimension-bounded partitions."""
+    o = load_tables(spark, sf_dir).orders
+    first_year = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    joined = o.join(F.broadcast(first_year), "o_custkey")
+    rev = joined.groupBy(
+        "cohort", (F.year("o_orderdate") - F.col("cohort")).alias("age")
+    ).agg(
+        F.sum(fxp(F.col("o_totalprice"), 100)).alias("rc"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    sized = first_year.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ltv = (
+        F.sum("rc").over(w).cast("double") / F.lit(100.0)
+    ) / F.col("cohort_size")
+    return (
+        rev.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "active_customers",
+            "cohort_size",
+            rnd(ltv, 2).alias("cum_ltv_per_customer"),
+        )
+    )

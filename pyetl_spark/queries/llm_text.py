@@ -1539,3 +1539,48 @@ def text_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_terms", "n_tokens", rnd(sd, 6).alias("simpson_diversity")
     )
+
+
+@query(
+    "dedup_source_attribution",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+    ),
+    keepers AS (
+      SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY h
+    )
+    SELECT source, n_docs, n_dupes_removed, {R} AS dup_rate
+    FROM (
+      SELECT hd.source,
+             count(*) AS n_docs,
+             sum(CASE WHEN hd.doc_id <> k.keeper THEN 1 ELSE 0 END)
+               AS n_dupes_removed,
+             CAST(sum(CASE WHEN hd.doc_id <> k.keeper THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS dr
+      FROM hashed hd JOIN keepers k ON hd.h = k.h
+      GROUP BY hd.source
+    )
+    """.replace("{R}", R("dr", 4)),
+)
+def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting: after exact content-hash dedup (keep-lowest-id,
+    same rule as dedup_exact), how many docs EACH SOURCE loses and its
+    dup rate — the attribution table that tells a pipeline owner which
+    feeds are recycled content (drop the feed, not just the dupes).
+    Hash-groupBy for keepers, join back, per-source conditional count —
+    two shuffles (hash, then source), both uniform keys."""
+    d = load_tables(spark, sf_dir).documents
+    hashed = d.select("doc_id", "source", F.md5("text").alias("h"))
+    keepers = hashed.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    joined = hashed.join(keepers, "h")
+    agg = joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+        ).alias("n_dupes_removed"),
+    )
+    dr = F.col("n_dupes_removed").cast("double") / F.col("n_docs")
+    return agg.select(
+        "source", "n_docs", "n_dupes_removed", rnd(dr, 4).alias("dup_rate")
+    )
