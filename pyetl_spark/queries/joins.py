@@ -479,3 +479,97 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d.valid_from").alias("valid_from"),
         )
     )
+
+
+@query(
+    "join_trade_matrix",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           count(*) AS n_items,
+           {MSUM('l_extendedprice * (1 - l_discount)', 10**4)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY cust_nation, supp_nation
+    """,
+)
+def join_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """International trade matrix (TPC-H Q7 shape): revenue flowing from
+    each customer nation to each DIFFERENT supplier nation — a 6-way
+    join where every dimension (customer, supplier, nation x2) is
+    broadcast, so the only shuffle is the lineitem~orders fact-fact
+    equi-join plus the final small aggregate. At 100 TB the same plan
+    holds: dims broadcast, the fact join sort-merges with AQE skew
+    splitting, and the output is bounded at nations^2 rows. Revenue runs
+    in exact integer 4dp fixed-point (parity.msum) so partial aggregates
+    merge order-free."""
+    t = load_tables(spark, sf_dir)
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cn_key") != F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count("*").alias("n_items"),
+            msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_region_local_revenue",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation, count(*) AS n_items,
+           {MSUM('l_extendedprice * (1 - l_discount)', 10**4)} AS local_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_region_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue by region/nation (TPC-H Q5 shape): volume
+    where the customer and supplier share a nation. The supplier join
+    carries TWO conjuncts (suppkey equi + nationkey equi) so Catalyst
+    still plans a hash-family join on the composite key; region/nation
+    broadcast on top. Same scale posture as join_trade_matrix — one
+    fact-fact shuffle, everything else broadcast, nation-bounded output."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+            ).alias("local_revenue"),
+        )
+    )

@@ -260,6 +260,12 @@ _NESTED_LOOP_OK = {
                            # table (k rows) — the intended BNLJ
     "vec_ann_recall_eval",  # IVF assignment + broadcast-probe ground truth
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
+    "text_bm25_search",    # 1-row (N, avgdl) corpus scalar crossJoined in
+    "text_stopword_discovery",  # 1-row n_docs scalar crossJoined for the
+                           # doc-frequency threshold
+    "text_heavy_hitters",  # 1-row total-token scalar crossJoined for the
+                           # frequency-share threshold
+    "text_heavy_hitters_mg",  # same scalar threshold as text_heavy_hitters
 }
 
 registry.load_all()
