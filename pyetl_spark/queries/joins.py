@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.asof import asof_join
-from pyetl_spark.parity import MSUM, msum
+from pyetl_spark.parity import FXP, MSUM, fxp, msum
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -572,4 +572,135 @@ def join_region_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
             ).alias("local_revenue"),
         )
+    )
+
+
+@query(
+    "join_big_order_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           big.sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey,
+             CAST(sum({FXP('l_quantity', 100)}) AS DOUBLE) / 100.0 AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum({FXP('l_quantity', 100)}) > 150 * 100
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def join_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total line
+    quantity exceeds 150 units, joined back to customer. The HAVING
+    aggregate runs FIRST and discards ~97% of orders before any join
+    touches the wide tables — the selective-aggregate-then-join ordering
+    that matters at 100 TB (join the 3% survivors, not all of lineitem).
+    Both the filter and the output quantity use exact integer centiunits
+    (parity.fxp) so partial-aggregate merge order can't flip a row across
+    the threshold."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(fxp(F.col("l_quantity"), 100)).alias("qty_c"))
+        .filter(F.col("qty_c") > 150 * 100)
+        .select(
+            "l_orderkey",
+            (F.col("qty_c").cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
+    return (
+        big.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@query(
+    "join_returned_revenue_top",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name AS nation, n_returned_items,
+           lost_revenue
+    FROM (
+      SELECT o_custkey,
+             count(*) AS n_returned_items,
+             sum({FXP('l_extendedprice * (1 - l_discount)', 10**4)})
+               AS rev_c,
+             {MSUM('l_extendedprice * (1 - l_discount)', 10**4)}
+               AS lost_revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey
+    )
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY rev_c DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): the 20 customers
+    who cost the most in returned merchandise. Aggregates lineitem~orders
+    FIRST (one row per customer), then joins the small survivor set to
+    customer/nation, then TakeOrderedAndProject picks the global top 20
+    from per-partition top-20s — no full sort at any scale. The ORDER BY
+    key is the EXACT integer revenue with c_custkey as tiebreak, so the
+    cut line is a total order and both engines select identical rows."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_returned_items"),
+            F.sum(
+                fxp(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4)
+            ).alias("rev_c"),
+            msum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+            ).alias("lost_revenue"),
+        )
+    )
+    return (
+        per_cust.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("rev_c").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"),
+            "n_returned_items", "lost_revenue",
+        )
+    )
+
+
+@query(
+    "join_part_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size <= 25
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def join_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per part spec (TPC-H Q16 shape): how many
+    distinct suppliers have shipped each (brand, type, size). The
+    fact table collapses to DISTINCT (partkey, suppkey) pairs BEFORE the
+    part join — a partial-distinct shuffle that shrinks 100 TB of
+    lineitem to the (part x supplier) incidence set, after which the
+    count-distinct regroup is dimension-sized. Part-side predicates sit
+    on the dimension scan (pushed to parquet)."""
+    t = load_tables(spark, sf_dir)
+    pairs = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    p = t.part.filter((F.col("p_brand") != "Brand#45") & (F.col("p_size") <= 25))
+    return (
+        pairs.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )

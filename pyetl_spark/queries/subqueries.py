@@ -142,3 +142,44 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
         F.coalesce(F.col("P_n"), F.lit(0)).alias("n_P"),
     )
+
+
+@query(
+    "subq_dormant_high_balance",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE {FXP('c_acctbal', 100)} > (
+      SELECT CAST(avg({FXP('c_acctbal', 100)}) AS BIGINT)
+      FROM customer WHERE c_acctbal > 0
+    )
+    AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
+    )
+    """,
+)
+def subq_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape): above-average
+    account balance but no order in the final 3 months of the data.
+    Exercises BOTH subquery rewrites at once — the scalar average becomes
+    a one-row broadcast, the NOT IN becomes a left-anti join (null-aware;
+    o_custkey is non-null here so it stays a plain anti hash join). The
+    anti join's build side is only the recent orders (date filter pushed
+    to the scan), so at 100 TB it is a fraction of the order history.
+    The threshold compares in the exact integer-cents domain."""
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE {FXP('c_acctbal', 100)} > (
+          SELECT CAST(avg({FXP('c_acctbal', 100)}) AS BIGINT)
+          FROM customer WHERE c_acctbal > 0
+        )
+        AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2001-05-01 00:00:00'
+        )
+        """
+    )

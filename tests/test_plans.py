@@ -246,6 +246,45 @@ def test_markov_lead_then_tiny_agg(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q18_aggregate_before_join(spark):
+    """join_big_order_customers: the HAVING aggregate must sit BELOW the
+    joins (filter 97% of orders out before touching customer), and the
+    threshold filter must apply between the two aggregate halves."""
+    plan = plan_of(spark, "join_big_order_customers", mode="simple")
+    agg_pos = plan.rfind("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos > join_pos > -1, "aggregate should be under the joins"
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q10_top20_is_take_ordered(spark):
+    """join_returned_revenue_top: global top-20 must be per-partition
+    TakeOrdered + merge, never a full sort of the customer aggregate."""
+    plan = plan_of(spark, "join_returned_revenue_top", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation side
+
+
+def test_q16_distinct_below_part_join(spark):
+    """join_part_supplier_diversity: the (partkey, suppkey) distinct and
+    the part-side predicates both run below the join."""
+    plan = plan_of(spark, "join_part_supplier_diversity")
+    assert "PushedFilters: [IsNotNull(p_brand)" in plan or \
+        "Not(EqualTo(p_brand,Brand#45))" in plan
+    assert plan.count("HashAggregate") >= 4  # distinct pair + count-distinct
+
+
+def test_q22_anti_join_stays_hash(spark):
+    """subq_dormant_high_balance: NOT IN compiles to a null-aware anti
+    join; with non-null keys it must stay a hash join, and the date
+    filter must reach the orders scan."""
+    plan = plan_of(spark, "subq_dormant_high_balance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
 # --- registry-wide plan lint -------------------------------------------------
 # Queries where a nested-loop/cartesian operator is EXPECTED (documented
 # cross joins and non-equi-only joins — Spark physically executes these as
