@@ -12,7 +12,7 @@ banned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyetl_spark.parity import FXP, MAVG, MSUM, R, fxp, mavg, msum, rnd
@@ -404,4 +404,44 @@ def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_quantity") > 45)
         .select("l_returnflag", "l_linestatus", "l_shipdate")
         .distinct()
+    )
+
+
+@query(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    SELECT bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           {MSUM('o_totalprice', 100)} AS bucket_revenue
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order prices — the twin of
+    `agg_histogram` (equi-width): 10 buckets with ~equal row counts and
+    data-driven boundaries, the shape optimizers use for statistics
+    collection. ntile orders by (price, orderkey) so ties split
+    identically on both engines. The window is a single global sort —
+    fine for stats sampled per partition, but the honest note at 100 TB
+    is to ntile a per-partition SAMPLE or use approx quantiles
+    (`agg_approx_percentile`) for boundaries; this query is the exact
+    form the samples are checked against."""
+    o = load_tables(spark, sf_dir).orders
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            msum(F.col("o_totalprice"), 100).alias("bucket_revenue"),
+        )
     )

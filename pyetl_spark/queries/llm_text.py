@@ -1584,3 +1584,43 @@ def dedup_source_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_docs", "n_dupes_removed", rnd(dr, 4).alias("dup_rate")
     )
+
+
+@query(
+    "text_train_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(text), 1, 2) < 'e6' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'f3' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split, lang
+    """,
+)
+def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) for a training
+    corpus. The split key is md5 of the CONTENT, not the doc id — exact
+    duplicates land in the same split by construction, so dedup order
+    can't leak train text into test. Hex-prefix range comparison ('e6' =
+    230/256 ≈ 89.8%) keeps the whole decision inside the scan's codegen
+    span: no shuffle, no rand(), replayable on any partitioning — the
+    property that makes the split stable when the 100 TB corpus is
+    re-ingested or re-partitioned. Emits per-(split, lang) doc counts and
+    char volume as the audit table."""
+    d = load_tables(spark, sf_dir).documents
+    prefix = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(prefix < "e6", "train")
+        .when(prefix < "f3", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
