@@ -1624,3 +1624,90 @@ def text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "text_lang_id_trigram",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(1, greatest(length(text) - 1, 1)),
+               i -> substr(text, i, 3))) AS tri
+      FROM documents
+    ),
+    profile AS (
+      SELECT lang AS model_lang, tri
+      FROM (
+        SELECT lang, tri, count(*) AS c
+        FROM grams GROUP BY lang, tri
+      )
+      QUALIFY row_number() OVER (
+        PARTITION BY lang ORDER BY c DESC, tri) <= 40
+    ),
+    hits AS (
+      SELECT g.doc_id, g.lang AS labeled_lang, p.model_lang,
+             count(*) AS n_hits
+      FROM (SELECT DISTINCT doc_id, lang, tri FROM grams) g
+      JOIN profile p ON g.tri = p.tri
+      GROUP BY g.doc_id, g.lang, p.model_lang
+    )
+    SELECT doc_id, labeled_lang, model_lang AS predicted_lang, n_hits
+    FROM hits
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY n_hits DESC, model_lang) = 1
+    """,
+)
+def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-profile language ID (Cavnar & Trenkle n-gram
+    categorization): FIT per-language profiles (top-40 character
+    trigrams by frequency, tie-broken lexically) from the labeled
+    corpus, then SCORE every document by distinct-trigram overlap with
+    each profile and take the argmax (ties → lexically-first language).
+
+    The fit→broadcast→apply shape is the one a trained scorer uses at
+    100 TB: the profile table is tiny (n_langs × 40 rows) so the scoring
+    join broadcasts, and the only big shuffles are the two fact-side
+    aggregates. The trigram explode is the honest cost — at full scale
+    the profile phase runs on a hash-sample of docs (the scoring phase
+    is unchanged). Richer than `text_lang_id`'s fixed stopword lists:
+    this model is learned from the data, with zero Python in the plan."""
+    d = load_tables(spark, sf_dir).documents
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    )
+    counts = grams.groupBy("lang", "tri").agg(F.count("*").alias("c"))
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("tri")
+    )
+    profile = (
+        counts.withColumn("_rn", F.row_number().over(w_prof))
+        .filter(F.col("_rn") <= 40)
+        .select(F.col("lang").alias("model_lang"), "tri")
+    )
+    doc_tris = grams.select("doc_id", "lang", "tri").distinct()
+    hits = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("model_lang")
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            F.col("model_lang").alias("predicted_lang"),
+            "n_hits",
+        )
+    )
