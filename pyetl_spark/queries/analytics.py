@@ -1642,3 +1642,78 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(ltv, 2).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@query(
+    "revenue_trend_ols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT n_name AS nation,
+             CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) AS x,
+             sum({FXP('o_totalprice', 100)}) AS y_c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, x
+    )
+    SELECT nation,
+           count(*) AS n_days,
+           {R('(CAST(count(*) AS DOUBLE) * sum(x * y_c) - '
+              'CAST(sum(x) AS DOUBLE) * sum(y_c)) / '
+              '(CAST(count(*) AS DOUBLE) * sum(x * x) - '
+              'CAST(sum(x) AS DOUBLE) * sum(x)) / 100.0', 6)}
+             AS slope_per_day,
+           {R('(CAST(sum(y_c) AS DOUBLE) - '
+              '(CAST(count(*) AS DOUBLE) * sum(x * y_c) - '
+              'CAST(sum(x) AS DOUBLE) * sum(y_c)) / '
+              '(CAST(count(*) AS DOUBLE) * sum(x * x) - '
+              'CAST(sum(x) AS DOUBLE) * sum(x)) * sum(x)) '
+              '/ count(*) / 100.0', 4)} AS intercept
+    FROM daily
+    GROUP BY nation
+    """,
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: closed-form OLS slope/intercept of daily
+    revenue over day index. Built-in regr_slope sums double products in
+    partition order (non-deterministic across engines/retries), so the
+    moments are accumulated EXACTLY instead: x is an integer day index, y
+    an integer cents sum, and n, Σx, Σy, Σxy, Σx² are all BIGINT sums —
+    order-free and overflow-safe at this grid (x ≤ ~2400, y_c ≤ 1e13 at
+    100 TB stays under int64 in Σxy per nation-day count). The slope
+    formula then runs once per GROUP on exact integers promoted to
+    double, so both engines emit identical bits. Two shuffles total
+    (daily rollup, nation rollup), both map-side-combined."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).cast("long").alias("x"),
+        )
+        .agg(F.sum(fxp(F.col("o_totalprice"), 100)).alias("y_c"))
+    )
+    n = F.count("*").cast("double")
+    sx = F.sum("x")
+    sy = F.sum("y_c")
+    sxy = F.sum(F.col("x") * F.col("y_c"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope_c = (n * sxy - sx.cast("double") * sy) / (
+        n * sxx - sx.cast("double") * sx
+    )
+    intercept_c = (sy.cast("double") - slope_c * sx) / F.count("*")
+    return daily.groupBy("nation").agg(
+        F.count("*").alias("n_days"),
+        rnd(slope_c / 100.0, 6).alias("slope_per_day"),
+        rnd(intercept_c / 100.0, 4).alias("intercept"),
+    )
