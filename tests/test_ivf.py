@@ -109,3 +109,44 @@ def test_spread_seeding_not_worse_than_lowest_id(spark, corpus):
     i_spread = kmeans_inertia(corpus, spread)
     i_naive = kmeans_inertia(corpus, naive)
     assert i_spread <= i_naive * 1.10, (i_spread, i_naive)
+
+
+def test_farthest_seeding_deterministic_and_better_than_lowid(spark, corpus):
+    """Gonzalez seeding: replayable across runs, and after the same Lloyd
+    refinement it must not lose to the degenerate lowest-id seeding."""
+    from pyetl_spark.operators.ivf import seed_centroids_farthest
+
+    s1 = seed_centroids_farthest(corpus, k=4)
+    s2 = seed_centroids_farthest(corpus, k=4)
+    assert {tuple(r["centroid"]) for r in s1.collect()} == {
+        tuple(r["centroid"]) for r in s2.collect()
+    }
+    # seeds must be spread: pairwise distinct
+    assert s1.select("centroid").distinct().count() == 4
+
+    far = kmeans_fit(corpus, k=4, iters=2, seeding="farthest")
+    low = kmeans_fit(corpus, k=4, iters=2, seeding="lowid")
+    assert kmeans_inertia(corpus, far) <= kmeans_inertia(corpus, low) * 1.05
+
+
+def test_farthest_seeds_cover_extent(spark, corpus):
+    """Every farthest-point seed round picks the max-min-distance vector,
+    so the minimum pairwise seed distance must be >= the min pairwise
+    distance of hash-spread seeds (coverage property, same k)."""
+    import itertools
+
+    from pyetl_spark.operators.ivf import (
+        seed_centroids,
+        seed_centroids_farthest,
+    )
+
+    def min_pairwise(df):
+        cents = [r["centroid"] for r in df.collect()]
+        return min(
+            sum((a - b) ** 2 for a, b in zip(u, v))
+            for u, v in itertools.combinations(cents, 2)
+        )
+
+    far = min_pairwise(seed_centroids_farthest(corpus, k=4))
+    spread = min_pairwise(seed_centroids(corpus, k=4, spread=True))
+    assert far >= spread * 0.99
