@@ -73,6 +73,32 @@ def _decode_image_stub(payload: bytes, allow_fake: bool) -> np.ndarray:
     return rng.random((8, 8), dtype=np.float64)
 
 
+def _decode_image(payload: bytes, allow_fake: bool) -> np.ndarray:
+    """Decode dispatcher: REAL decoder when an imaging lib is importable,
+    deterministic stub otherwise.
+
+    The PIL branch is the production integration point — grayscale
+    float64 in [0,1] so both branches emit the same dtype/range and
+    downstream feature/resize code is branch-agnostic. The import is
+    per-call-cheap (module cache) and lives INSIDE the executor-side
+    function so the operator ships to workers that may or may not have
+    the lib — each worker independently picks the best available path.
+    """
+    try:
+        import io as _io
+
+        from PIL import Image  # optional imaging dep, absent here
+
+        img = Image.open(_io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.float64) / 255.0
+    except ImportError:
+        return _decode_image_stub(payload, allow_fake)
+    except Exception:
+        # PIL present but payload isn't a real image (e.g. fixture text
+        # bytes) — same deterministic fallback keeps pipelines runnable
+        return _decode_image_stub(payload, allow_fake)
+
+
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter: wrap each document's text bytes as a media blob +
     metadata struct (the fixtures ship no real media; the blob column is
@@ -109,7 +135,7 @@ def extract_features(
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
-                img = _decode_image_stub(bytes(payload), allow_fake)
+                img = _decode_image(bytes(payload), allow_fake)
                 flat = img.flatten()
                 # fake "embedding": strided means down to FEATURE_DIM
                 feats.append(
@@ -141,7 +167,7 @@ def resize_images(
         for pdf in batches:
             out_payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                img = _decode_image_stub(bytes(payload), allow_fake)
+                img = _decode_image(bytes(payload), allow_fake)
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                 small = img[np.ix_(ys, xs)]
@@ -174,7 +200,7 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = _decode_image_stub(bytes(payload), allow_fake)
+                img = _decode_image(bytes(payload), allow_fake)
                 for i in range(0, img.shape[0], every_nth):
                     ids.append(media_id)
                     idxs.append(i)

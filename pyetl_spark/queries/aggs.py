@@ -445,3 +445,47 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("o_totalprice"), 100).alias("bucket_revenue"),
         )
     )
+
+
+@query(
+    "agg_promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           {R("100.0 * (CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+              + FXP('l_extendedprice * (1 - l_discount)', 10**4)
+              + " ELSE 0 END) AS DOUBLE)"
+              " / CAST(sum("
+              + FXP('l_extendedprice * (1 - l_discount)', 10**4)
+              + ") AS DOUBLE))", 6)} AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    """,
+)
+def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share per ship month (TPC-H Q14 shape): what
+    percent of monthly revenue came from PROMO-type parts. Numerator and
+    denominator are BOTH exact integer 4dp-cent sums (order-free partial
+    aggregation), divided once per output row so the only float op is a
+    single division on identical integers — deterministic across engines
+    and across retries. The part join broadcasts the dimension; the
+    month-grained output is bounded at the calendar."""
+    t = load_tables(spark, sf_dir)
+    rev_c = fxp(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4)
+    promo_c = F.when(F.col("p_type") == "PROMO", rev_c).otherwise(F.lit(0))
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            rnd(
+                F.lit(100.0)
+                * F.sum(promo_c).cast("double")
+                / F.sum(rev_c).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -704,3 +704,53 @@ def join_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
+
+
+@query(
+    "join_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum({FXP('l_extendedprice * (1 - l_discount)', 10**4)}) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(rev_c AS DOUBLE) / 10000.0 AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_c = (SELECT max(rev_c) FROM rev)
+    """,
+)
+def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape), ties kept.
+    The max is taken over EXACT integer revenue so "equal to the max" is
+    well-defined on both engines (a double-sum max would make tie
+    membership partition-order-dependent). Spark side reuses one
+    aggregate for both the per-supplier revenue and the global max (scalar
+    subquery → one-row broadcast); the supplier join is dimension-sized.
+    The date filter prunes the fact scan to one quarter."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                fxp(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4)
+            ).alias("rev_c")
+        )
+    )
+    mx = rev.agg(F.max("rev_c").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )

@@ -183,3 +183,40 @@ def subq_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "subq_exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+        AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def subq_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority SLA check (TPC-H Q4 shape): orders with at least
+    one line shipped more than 90 days after order placement, counted by
+    priority. The correlated EXISTS rewrites to a LEFT-SEMI hash join on
+    orderkey with the date comparison as the join's residual condition —
+    lineitem is scanned once, never materialized per-order, and the semi
+    join short-circuits on first match. At 100 TB the semi join
+    sort-merges on the shared orderkey clustering; output is bounded at
+    5 priority rows."""
+    load_tables(spark, sf_dir).register_views()
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+            AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        GROUP BY o_orderpriority
+        """
+    )

@@ -136,3 +136,47 @@ def test_cdc_boundaries_shift_resistant():
     a, b = chunk_hashes(data), chunk_hashes(shifted)
     shared = len(a & b) / len(a)
     assert shared > 0.8, f"only {shared:.0%} of chunks survived the shift"
+
+
+def test_decode_dispatcher_falls_back_without_pil():
+    """No imaging lib in this container → dispatcher must hit the
+    deterministic stub and match it bit-for-bit."""
+    import numpy as np
+
+    from pyetl_spark.operators.multimodal import (
+        _decode_image,
+        _decode_image_stub,
+    )
+
+    payload = b"some fixture bytes"
+    np.testing.assert_array_equal(
+        _decode_image(payload, True), _decode_image_stub(payload, True)
+    )
+
+
+def test_decode_dispatcher_uses_real_lib_when_present(monkeypatch):
+    """Inject a fake PIL: the dispatcher must take the real-decoder branch
+    (grayscale float64 in [0,1]) and never touch the stub."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return np.arange(16, dtype=np.uint8).reshape(4, 4)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda buf: _FakeImg()
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    from pyetl_spark.operators.multimodal import _decode_image
+
+    out = _decode_image(b"anything", allow_fake=False)  # stub would raise
+    assert out.dtype == np.float64
+    assert out.shape == (4, 4)
+    assert out.max() <= 1.0 and out.min() >= 0.0
