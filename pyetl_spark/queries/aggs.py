@@ -489,3 +489,56 @@ def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             {FXP('l_discount', 100)} AS y
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           {R('(CAST(count(*) AS DOUBLE) * sum(x * y) - '
+              'CAST(sum(x) AS DOUBLE) * sum(y)) / '
+              'sqrt(CAST(count(*) AS DOUBLE) * sum(x * x) - '
+              'CAST(sum(x) AS DOUBLE) * sum(x)) / '
+              'sqrt(CAST(count(*) AS DOUBLE) * sum(y * y) - '
+              'CAST(sum(y) AS DOUBLE) * sum(y))', 8)} AS corr_qty_disc
+    FROM g
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag between quantity and discount,
+    from EXACT integer moments. Built-in corr() accumulates double
+    products in partition order (CoMoment merges are order-sensitive), so
+    instead n, Σx, Σy, Σxy, Σx², Σy² are BIGINT sums over the integer
+    grids (qty units, discount in integer percent-points via fxp) — the
+    five moments merge exactly in any order, and the final r is one
+    float expression over identical integers on both engines. At 100 TB
+    the BIGINT moments need DECIMAL(38,0)/hugeint sums (Σxy grows with
+    row count); the plan shape — one partial+final aggregate, no second
+    pass for the means — is unchanged."""
+    li = load_tables(spark, sf_dir).lineitem
+    g = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        fxp(F.col("l_discount"), 100).alias("y"),
+    )
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    r = (
+        (n * sxy - sx.cast("double") * sy)
+        / F.sqrt(n * sxx - sx.cast("double") * sx)
+        / F.sqrt(n * syy - sy.cast("double") * sy)
+    )
+    return g.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), rnd(r, 8).alias("corr_qty_disc")
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import R, rnd
+from pyetl_spark.parity import FXP, R, fxp, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -1710,4 +1710,90 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("model_lang").alias("predicted_lang"),
             "n_hits",
         )
+    )
+
+
+@query(
+    "text_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             {FXP('log2((CAST(c12 AS DOUBLE) + 1.0)'
+                  ' / (CAST(c1 AS DOUBLE) + CAST(vocab AS DOUBLE)))',
+                  10**9)} AS lp_c
+      FROM pairs p
+      JOIN bc USING (w1, w2)
+      JOIN uc USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {R('CAST(sum(lp_c) AS DOUBLE) / 1000000000.0 / count(*)', 6)}
+             AS avg_log2p
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring (LM-perplexity quality filtering, a
+    core training-corpus op): fit add-one-smoothed bigram probabilities
+    on the corpus itself, then score every document by mean log2
+    p(w2|w1).
+
+    Float determinism: each bigram's log-prob is a function of three
+    INTEGERS (c12, c1, V), so both engines compute log2 on identical
+    doubles; the per-doc sum — the order-sensitive step — runs in
+    fixed-point nano-units (BIGINT), so partial-aggregate order can't
+    move the result. Scale: the bigram/unigram count tables are
+    vocab-bounded (broadcastable for real vocabularies — here left to
+    AQE); the scoring join shuffles the bigram stream once on (w1, w2).
+    Low avg_log2p = surprising text under the corpus model — the
+    rank signal used to drop boilerplate/garbage before training."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN"
+                " CAST(array() AS array<struct<w1:string,w2:string>>)"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " element_at(t, i + 1) AS w2)) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    lp = F.log2(
+        (F.col("c12").cast("double") + 1.0)
+        / (F.col("c1").cast("double") + F.col("vocab").cast("double"))
+    )
+    scored = (
+        pairs.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", fxp(lp, 10**9).alias("lp_c"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        rnd(F.sum("lp_c").cast("double") / 1e9 / F.count("*"), 6).alias(
+            "avg_log2p"
+        ),
     )

@@ -305,6 +305,7 @@ _NESTED_LOOP_OK = {
     "text_heavy_hitters",  # 1-row total-token scalar crossJoined for the
                            # frequency-share threshold
     "text_heavy_hitters_mg",  # same scalar threshold as text_heavy_hitters
+    "text_lm_score",       # 1-row vocab-size scalar crossJoined in
 }
 
 registry.load_all()
