@@ -1797,3 +1797,108 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_log2p"
         ),
     )
+
+
+@query(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {R('''CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)''', 4)}
+             AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE 5 * len(list_intersect(a.t, b.t))
+          >= 4 * len(list_distinct(list_concat(a.t, b.t)))
+    """,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard >= 0.8 via PREFIX FILTERING (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    published scale path for exact similarity self-join, replacing
+    `dedup_near_jaccard`'s blocking bound with a provably-complete
+    candidate filter and NO quadratic step.
+
+    How: order every doc's distinct tokens by ascending global frequency
+    (rarest first); a doc of n tokens exposes only its first
+    n - ceil(0.8·n) + 1 tokens as its "prefix". Any pair with Jaccard >=
+    0.8 MUST share a prefix token (else the intersection fits inside one
+    doc's suffix, which is < 0.8·n <= |intersection| — contradiction), so
+    joining prefix-token postings finds every qualifying pair while the
+    frequency ordering keeps postings lists short (rare tokens → tiny
+    lists). Candidates are then verified with exact integer set sizes
+    (5·inter >= 4·union — no float in the membership test). The oracle is
+    the brute-force quadratic join: identical output, which is the whole
+    claim. Shuffles: vocab-rank (tiny), posting self-join on token,
+    verify joins on doc_id — all equi-joins, no cartesian anywhere."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    tok_freq = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # global rarity rank; vocab-bounded single-partition window (tiny)
+    w = Window.orderBy(F.col("c"), F.col("tok"))
+    ranked = tok_freq.select("tok", F.row_number().over(w).alias("rk"))
+    ordered = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .join(F.broadcast(ranked), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "tok"))),
+                lambda s: s.getField("tok"),
+            ).alias("ot"),
+            F.count("*").alias("n"),
+        )
+    )
+    # prefix length L = n - ceil(0.8 n) + 1; ceil(4n/5) = floor((4n+4)/5)
+    prefix = ordered.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(
+                F.col("ot"),
+                1,
+                (
+                    F.col("n")
+                    - F.floor((4 * F.col("n") + 4) / F.lit(5)).cast("long")
+                    + 1
+                ).cast("int"),
+            )
+        ).alias("pos", "tok"),
+    ).select("doc_id", "tok")
+    cands = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size(F.array_union("t_a", "t_b"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(5 * inter >= 4 * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            rnd(inter.cast("double") / union.cast("double"), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
