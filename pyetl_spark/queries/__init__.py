@@ -13,6 +13,7 @@ _MODULES = [
     "windows",
     "sorts_sets",
     "subqueries",
+    "tpch_more",
     "extras",
     "scalar_fns",
     "events_windows",

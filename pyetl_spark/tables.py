@@ -1,12 +1,13 @@
 """Table loader — the single choke point for fixture schemas (SURVEY §7 Stage 0).
 
 Loads the ten parquet tables the engine is tested against and absorbs the one
-schema landmine centrally: ``events.ts`` is Parquet TIMESTAMP(NANOS), which
-Spark reads (under ``nanosAsLong=true``) as a bigint of epoch *nanoseconds*.
-DuckDB reads the very same column natively as a microsecond TIMESTAMP, so the
-loader converts with **integer** division ns→us (``ts DIV 1000``) — floating
-division would lose precision at 1.7e18 ns (double has a 53-bit mantissa) and
-could flip the microsecond, breaking oracle hashes.
+schema landmine centrally: ``events.ts`` has shipped as Parquet
+TIMESTAMP(NANOS) (read under ``nanosAsLong=true`` as bigint epoch-nanos →
+converted with integer ns→µs division; float division would lose precision at
+1.7e18) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read by Spark 4 as
+TIMESTAMP_NTZ → cast to TIMESTAMP, exact because the session tz is UTC).
+Either way DuckDB sees the same microsecond values natively, so oracle hashes
+are unaffected by the fixture's storage type.
 
 At 100 TB the loader is where partition discovery, ANALYZE stats, and bucketed
 table registration would live; for the fixtures it stays a thin wrapper so
@@ -37,9 +38,17 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing schema quirks."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns epoch → µs timestamp; integer division matches DuckDB exactly.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns epoch → µs timestamp; integer division matches DuckDB exactly.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark 4 infers
+            # TIMESTAMP_NTZ, which unix_micros/window() reject. The session tz
+            # is pinned UTC (session.py), so this cast is bit-preserving and
+            # lands on the exact micros DuckDB reads natively.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
