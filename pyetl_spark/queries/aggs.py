@@ -366,7 +366,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(o_orderpriority)), '|')
+             AS priorities,
            count(*) AS n
     FROM orders
     WHERE o_custkey < 50
@@ -375,15 +376,20 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted value list (SURVEY §2.4 `agg_collect_sorted` [S]).
-    Sorted because bare collect_list order is partition-dependent."""
+    Sorted because bare collect_list order is partition-dependent.
+
+    The list is serialized '|'-joined: the driver's canon sorts the pandas
+    frame on every output column, and array cells (numpy.ndarray) are
+    unhashable/unsortable there — a scalar string keeps the operator
+    semantics (collect + sort) with a well-defined value hash."""
     o = load_tables(spark, sf_dir).orders
     return (
         o.filter(F.col("o_custkey") < 50)
         .groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_list("o_orderpriority")).alias(
-                "priorities"
-            ),
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list("o_orderpriority"))
+            ).alias("priorities"),
             F.count("*").alias("n"),
         )
     )

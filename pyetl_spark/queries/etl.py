@@ -181,7 +181,7 @@ def etl_enrich_partition_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, value AS attr_value, ts AS valid_from,
            coalesce(
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-             TIMESTAMP '9999-12-31 00:00:00'
+             TIMESTAMP '2200-01-01 00:00:00'
            ) AS valid_to,
            (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              IS NULL) AS is_current
@@ -194,7 +194,11 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a [valid_from, valid_to) interval via lead() over the per-key
     change stream; the open interval gets a sentinel end + is_current
     flag. One window shuffle on the key — the standard warehouse
-    dimension-history pattern, same plan at any scale."""
+    dimension-history pattern, same plan at any scale.
+
+    Sentinel is 2200-01-01, NOT the conventional 9999-12-31: pandas/Arrow
+    timestamp[ns] tops out at 2262-04-11, and the driver's canon does
+    toPandas — the 9999 sentinel is an ArrowInvalid out-of-bounds error."""
     from pyspark.sql import Window
 
     ev = load_tables(spark, sf_dir).events
@@ -205,7 +209,7 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("attr_value"),
         F.col("ts").alias("valid_from"),
         F.coalesce(
-            nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")
+            nxt, F.lit("2200-01-01 00:00:00").cast("timestamp")
         ).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
@@ -484,7 +488,11 @@ def etl_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     ),
     merged AS (
-      SELECT user_id, sum(cnt) AS n_events, sum(sv) AS sv,
+      -- CAST: DuckDB sum(BIGINT) widens to HUGEINT, which pandas renders
+      -- as float64 ("5.0") while Spark's BIGINT renders "5" — the r1
+      -- hash mismatch. BIGINT keeps both engines integer-typed.
+      SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+             CAST(sum(sv) AS BIGINT) AS sv,
              max(last_ts) AS last_ts
       FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
       GROUP BY user_id

@@ -424,7 +424,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, value AS attr_value, ts AS valid_from,
              coalesce(
                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-               TIMESTAMP '9999-12-31 00:00:00'
+               TIMESTAMP '2200-01-01 00:00:00'
              ) AS valid_to
       FROM events WHERE event_type = 'signup'
     )
@@ -458,7 +458,8 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("valid_from"),
             F.coalesce(
                 F.lead("ts").over(w),
-                F.lit("9999-12-31 00:00:00").cast("timestamp"),
+                # pandas-ns-safe sentinel (see etl_scd2_intervals)
+                F.lit("2200-01-01 00:00:00").cast("timestamp"),
             ).alias("valid_to"),
         )
     )

@@ -1,0 +1,31 @@
+"""The driver verifies only the first 50 keys of ``queries()`` per round —
+pin that the priority window is exactly what we intend (r1 lesson: 16
+extras registered ahead of SURVEY keys left 39 Tier-A keys unverified)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from pyetl_spark import registry
+
+
+def test_priority_keys_all_registered():
+    q = entry.queries()
+    missing = [k for k in registry.PRIORITY if k not in q]
+    assert not missing, f"PRIORITY keys not in registry: {missing}"
+
+
+def test_first_window_is_priority():
+    q = entry.queries()
+    assert list(q)[: len(registry.PRIORITY)] == registry.PRIORITY
+
+
+def test_priority_no_duplicates_and_fits_window():
+    assert len(registry.PRIORITY) == len(set(registry.PRIORITY))
+    assert len(registry.PRIORITY) <= 50
+
+
+def test_oracle_is_subset_and_ordered():
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(o) <= set(q)
+    pri_in_oracle = [k for k in registry.PRIORITY if k in o]
+    assert list(o)[: len(pri_in_oracle)] == pri_in_oracle
