@@ -325,10 +325,10 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            {R('m', 6)} AS scale,
-           list_transform(
+           array_to_string(list_transform(
              v, x -> CAST(sign(x) * floor(abs(x / m * 127.0) + 0.5)
                           AS INTEGER)
-           ) AS q
+           ), '|') AS q
     FROM scaled
     """,
 )
@@ -347,12 +347,17 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.array_max(F.transform("v", F.abs))
     scaled = base.select("vec_id", "v", m.alias("m"))
-    quant = F.transform(
-        "v",
-        lambda x: (
-            F.signum(x)
-            * F.floor(F.abs(x / F.col("m") * 127.0) + 0.5)
-        ).cast("int"),
+    quant = F.concat_ws(
+        "|",
+        F.transform(
+            "v",
+            lambda x: (
+                F.signum(x)
+                * F.floor(F.abs(x / F.col("m") * 127.0) + 0.5)
+            )
+            .cast("int")
+            .cast("string"),
+        ),
     )
     return scaled.select(
         "vec_id", rnd(F.col("m"), 6).alias("scale"), quant.alias("q")
@@ -575,7 +580,7 @@ def revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority, d, sum(delta) AS net
       FROM bounds GROUP BY o_orderpriority, d
     )
-    SELECT o_orderpriority, max(run) AS max_concurrent
+    SELECT o_orderpriority, CAST(max(run) AS BIGINT) AS max_concurrent
     FROM (
       SELECT o_orderpriority,
              sum(net) OVER (
@@ -1012,7 +1017,7 @@ def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            {R} AS weighted_median_price,
-           max(tw) AS total_qty
+           CAST(max(tw) AS BIGINT) AS total_qty
     FROM cum
     WHERE 2 * cw >= tw
     GROUP BY l_returnflag

@@ -204,7 +204,7 @@ def events_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            {R('''CAST(sum({fxp} * dur_s) AS DOUBLE)
                  / (100.0 * sum(dur_s))''', 4)} AS twa_value,
-           sum(dur_s) AS total_s
+           CAST(sum(dur_s) AS BIGINT) AS total_s
     FROM spans
     WHERE dur_s IS NOT NULL AND dur_s > 0
     GROUP BY user_id

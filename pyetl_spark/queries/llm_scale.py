@@ -79,7 +79,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir).documents
-    return extract_features(attach_fake_media(docs)).orderBy("media_id")
+    feats = extract_features(attach_fake_media(docs))
+    # declared surface serializes the vector (array cells break the
+    # driver's pandas canon); the operator itself stays array-native
+    return feats.select(
+        "media_id",
+        F.concat_ws(
+            "|",
+            F.transform(
+                "features",
+                lambda x: (
+                    (F.signum(x) * F.floor(F.abs(x) * 1e6 + F.lit(0.5)))
+                    .cast("long")
+                    .cast("string")
+                ),
+            ),
+        ).alias("features_fp6"),
+    ).orderBy("media_id")
 
 
 @query("vec_ann_ivf")  # Tier B — approximate candidate set, rows-only

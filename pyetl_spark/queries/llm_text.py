@@ -1121,7 +1121,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            max(run_len) AS max_run,
-           sum(run_len) AS n_tokens,
+           CAST(sum(run_len) AS BIGINT) AS n_tokens,
            count(*) AS n_runs,
            {R} AS repetition
     FROM (
@@ -1507,7 +1507,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT source,
              count(*) AS n_terms,
-             sum(c) AS n_tokens,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
              1.0 - CAST(sum(c * (c - 1)) AS DOUBLE)
                    / CAST(sum(c) * (sum(c) - 1) AS DOUBLE) AS sd
       FROM tc GROUP BY source
@@ -1554,8 +1554,8 @@ def text_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT hd.source,
              count(*) AS n_docs,
-             sum(CASE WHEN hd.doc_id <> k.keeper THEN 1 ELSE 0 END)
-               AS n_dupes_removed,
+             CAST(sum(CASE WHEN hd.doc_id <> k.keeper THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dupes_removed,
              CAST(sum(CASE WHEN hd.doc_id <> k.keeper THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*) AS dr
       FROM hashed hd JOIN keepers k ON hd.h = k.h

@@ -76,10 +76,15 @@ def vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
     ), means AS (
-      SELECT label, pos, {R('sum(x) / count(*)', 4)} AS m
+      SELECT label, pos,
+             CAST(sign(sum(x) / count(*))
+                  * floor(abs(sum(x) / count(*)) * 10000.0 + 0.5)
+                  AS BIGINT) AS m_fp
       FROM exploded GROUP BY label, pos
     )
-    SELECT label, list(m ORDER BY pos) AS centroid, count(*) AS dim
+    SELECT label,
+           array_to_string(list(m_fp ORDER BY pos), '|') AS centroid,
+           count(*) AS dim
     FROM means GROUP BY label
     """,
 )
@@ -88,10 +93,13 @@ def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(label, position) mean → reassemble position-sorted.
 
     Two shuffles on (label,pos) then (label) — both tiny key spaces; at
-    100 TB the partial aggregate does almost all the work map-side. The
-    4dp round happens per element *before* reassembly so the array
-    compares deterministically.
-    """
+    100 TB the partial aggregate does almost all the work map-side.
+
+    The centroid serializes as '|'-joined FIXED-POINT (1e-4) integers:
+    array cells break the driver's pandas canon, and double→string
+    formatting diverges across engines near exponent boundaries — integer
+    text is the only representation that is both hashable and
+    engine-stable."""
     e = load_tables(spark, sf_dir).embeddings
     exploded = e.select(
         "label", F.posexplode("embedding").alias("pos0", "x32")
@@ -100,13 +108,19 @@ def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.col("x32").cast("double").alias("x"),
     )
+    mean = F.sum("x") / F.count(F.lit(1))
     means = exploded.groupBy("label", "pos").agg(
-        rnd(F.sum("x") / F.count(F.lit(1)), 4).alias("m")
+        (F.signum(mean) * F.floor(F.abs(mean) * 10000.0 + F.lit(0.5)))
+        .cast("long")
+        .alias("m_fp")
     )
     return means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-            lambda s: s.getField("m"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m_fp"))),
+                lambda s: s.getField("m_fp").cast("string"),
+            ),
         ).alias("centroid"),
         F.count("*").alias("dim"),
     )
@@ -228,10 +242,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id,
-             list_transform(embedding,
+             array_to_string(list_transform(embedding,
                x -> CAST(sign(CAST(x AS DOUBLE))
                          * floor(abs(CAST(x AS DOUBLE)) * 4.0 + 0.5)
-                         AS INTEGER)) AS code
+                         AS INTEGER)), '|') AS code
       FROM embeddings
     )
     SELECT code, min(vec_id) AS keeper_vec_id, count(*) AS n_members
@@ -247,14 +261,21 @@ def dedup_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper. Unlike pairwise cosine dedup this is ONE hash shuffle on the
     code (exact-dedup plan shape, corpus-linear); the cell width is the
     similarity knob. The quantized code is exact integer math on both
-    engines, so the grouping key is deterministic."""
+    engines, so the grouping key is deterministic; it is serialized
+    '|'-joined (bijective, so grouping is unchanged) because array cells
+    break the driver's pandas canon."""
     e = load_tables(spark, sf_dir).embeddings
-    code = F.transform(
-        "embedding",
-        lambda x: (
-            F.signum(x.cast("double"))
-            * F.floor(F.abs(x.cast("double")) * 4.0 + 0.5)
-        ).cast("int"),
+    code = F.concat_ws(
+        "|",
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.signum(x.cast("double"))
+                * F.floor(F.abs(x.cast("double")) * 4.0 + 0.5)
+            )
+            .cast("int")
+            .cast("string"),
+        ),
     )
     return (
         e.select("vec_id", code.alias("code"))

@@ -84,7 +84,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
            regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
            regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
-           str_split_regex(p_type, '\\s+') AS type_words,
+           array_to_string(str_split_regex(p_type, '\\s+'), '|')
+             AS type_words,
            str_split_regex(p_type, '\\s+')[1] AS type_head,
            regexp_matches(p_name, 'o.o') AS has_o_o
     FROM part
@@ -93,14 +94,18 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex family (SURVEY §2.8 `fn_regex`): extract group / replace /
     split + element_at / boolean match. Spark and DuckDB both return '' on
-    a non-matching regexp_extract (verified)."""
+    a non-matching regexp_extract (verified).
+
+    The split result is emitted '|'-joined: array cells are unsortable in
+    the driver's pandas canon (r1 agg_collect_sorted lesson), so declared
+    outputs serialize arrays to scalars."""
     p = load_tables(spark, sf_dir).part
     return p.select(
         "p_partkey",
         F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
-        F.split("p_type", r"\s+").alias("type_words"),
+        F.concat_ws("|", F.split("p_type", r"\s+")).alias("type_words"),
         F.element_at(F.split("p_type", r"\s+"), 1).alias("type_head"),
         F.col("p_name").rlike("o.o").alias("has_o_o"),
     )
@@ -239,9 +244,11 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            unnest(string_split(text, ' ')) AS tok,
            len(string_split(text, ' ')) AS n_tokens,
            list_contains(string_split(text, ' '), 'data') AS has_data,
-           list_slice(string_split(text, ' '), 2, 4) AS toks_2_4,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
-           generate_series(1, 3) AS one_two_three
+           array_to_string(list_slice(string_split(text, ' '), 2, 4), '|')
+             AS toks_2_4,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                           '|') AS vocab,
+           array_to_string(generate_series(1, 3), '|') AS one_two_three
     FROM documents
     WHERE doc_id < 50
     """,
@@ -249,17 +256,24 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (SURVEY §2.8 `fn_array`): explode/unnest, contains,
     size, slice, distinct+sort, sequence. Spark slice(arr,2,3) == DuckDB
-    list_slice(arr,2,4) (length vs inclusive-end)."""
+    list_slice(arr,2,4) (length vs inclusive-end). Array-typed outputs
+    serialize '|'-joined for the driver's pandas canon (int elements cast
+    to string element-wise — both engines print bare integers)."""
     d = load_tables(spark, sf_dir).documents
     toks = F.split(F.col("text"), " ")
+    seq = F.sequence(F.lit(1), F.lit(3))
     return d.filter(F.col("doc_id") < 50).select(
         "doc_id",
         F.explode(toks).alias("tok"),
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.slice(toks, 2, 3).alias("toks_2_4"),
-        F.sort_array(F.array_distinct(toks)).alias("vocab"),
-        F.sequence(F.lit(1), F.lit(3)).alias("one_two_three"),
+        F.concat_ws("|", F.slice(toks, 2, 3)).alias("toks_2_4"),
+        F.concat_ws("|", F.sort_array(F.array_distinct(toks))).alias(
+            "vocab"
+        ),
+        F.concat_ws(
+            "|", F.transform(seq, lambda x: x.cast("string"))
+        ).alias("one_two_three"),
     )
 
 

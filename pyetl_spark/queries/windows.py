@@ -340,10 +340,10 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_distinct",
     oracle="""
     SELECT event_id, user_id, event_type,
-           sum(first_seen) OVER (
+           CAST(sum(first_seen) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS distinct_types_so_far
+           ) AS BIGINT) AS distinct_types_so_far
     FROM (
       SELECT event_id, user_id, event_type, ts,
              CASE WHEN row_number() OVER (
