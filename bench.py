@@ -41,6 +41,17 @@ HEADLINE = [
     "vec_cosine_topk",
     "join_asof",
     "source_json_parse",
+    # heavy-family regression sentinels (VERDICT r1 item 9): the scale
+    # paths — MinHash banding, TF-IDF, SNM dedup, session windows, the
+    # rollup cube — so a regression in any expensive family shows up in
+    # the round-over-round BENCH diff, not just correctness
+    "dedup_minhash_lsh",
+    "text_tfidf_top_terms",
+    "dedup_sorted_neighborhood",
+    "stream_session",
+    "agg_cube",
+    "win_running_sum",
+    "etl_latest_per_key",
 ]
 
 

@@ -37,6 +37,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query("pipeline_training_corpus_neardup")  # Tier B — approximate path
+def pipeline_training_corpus_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB wiring of the flagship corpus pipeline: exact dedup,
+    THEN MinHash near-dup removal (drop the higher doc_id of every
+    verified pair), then the same quality gate as the Tier-A flagship.
+
+    This is the DEFAULT near-dup route at scale (SCALE.md "near-dup
+    routing"): the quadratic `dedup_near_jaccard` stays oracle-only.
+    Cost shape: one content-hash shuffle + the MinHash signature map +
+    one band-bucket shuffle — corpus-linear, no pair explosion."""
+    d = load_tables(spark, sf_dir).documents
+    base = d.filter(F.col("lang").isin("en", "de", "fr")).select(
+        "doc_id", "lang", "source", "text",
+        F.split("text", " ").alias("t"),
+    )
+    from pyspark.sql import Window
+
+    w_dedup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        base.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = minhash_near_dup_pairs(
+        exact.select(
+            "doc_id", F.array_distinct(F.col("t")).alias("tokens")
+        ),
+        threshold=0.8,
+        num_hashes=32,
+        bands=8,
+    )
+    # drop the higher id of each near-dup pair (keeper = lowest id,
+    # matching the exact-dedup keep rule); left_anti keeps the rest
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    from pyetl_spark.operators import text as TX
+
+    kept = exact.join(losers, "doc_id", "left_anti").withColumn(
+        "q", TX.quality_score(F.col("text"), F.col("t"))
+    )
+    return (
+        kept.filter(F.col("q") >= 0.5)
+        .select(
+            "doc_id", "lang", "source",
+            rnd(F.col("q"), 4).alias("quality"),
+            F.size("t").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("dedup_simhash")  # Tier B — approximate, rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (north star: SimHash dedup): 64-bit

@@ -47,13 +47,19 @@ _V = "l_extendedprice * (1 - l_discount)"  # volume expression (4dp grid)
     """,
 )
 def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """National market share (TPC-H Q8 shape): NATION_2 suppliers' slice of
-    the ASIA-region order volume, by order year.
+    """National market share (TPC-H Q8 shape): NATION_2 suppliers' slice
+    of the region-2 (ASIA in real TPC-H; the fixtures carry synthetic
+    NATION_* names and the selector is ``n_regionkey = 2``) order volume,
+    by order year.
 
     Both the numerator and denominator are EXACT integer cent-sums, so the
     final ratio is one double division on identical bits — Tier-A safe.
-    Plan: the two-year date filter prunes the orders scan; customer,
-    supplier, and both nation joins broadcast (dimension-sized); the only
+    Plan: the two-year date filter prunes the orders scan; the nation
+    joins broadcast explicitly (25 rows at any SF). customer- and
+    supplier-derived sides scale with SF (~150k/~10k rows per SF unit),
+    so they carry NO forced broadcast hint — autoBroadcastJoinThreshold /
+    AQE picks broadcast while they fit and falls back to shuffle join
+    beyond, instead of OOMing on a forced hint. The only unconditional
     big shuffle is lineitem⋈orders on orderkey, then a 2-row aggregate.
     At 100 TB the fact⋈fact join would be bucketed on orderkey
     (layouts.py); nothing else changes."""
@@ -76,8 +82,8 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = (
         t.lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             fxp(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4).alias("v_c"),

@@ -24,6 +24,31 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+#: The fixed schema spark-sql-kafka emits for every topic — any stand-in
+#: source used in tests must produce exactly this shape so the parse stage
+#: is exercised against the real wire contract.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_values(raw: DataFrame) -> DataFrame:
+    """Kafka wire records → typed events (the stage after ``.load()``).
+
+    Factored out of ``read_events_kafka`` so the parse contract is
+    testable WITHOUT a broker: feed any DataFrame with
+    ``KAFKA_WIRE_SCHEMA`` (tests build one from the events fixture) and
+    the downstream is byte-for-byte what a real topic would produce. The
+    value payload is the JSON record; ``from_json`` types it JVM-side —
+    no Python boundary, scales as a narrow map."""
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), EVENTS_STREAM_SCHEMA
+        ).alias("r")
+    ).select("r.*")
+
+
 def read_events_kafka(
     spark: SparkSession,
     brokers: str,
@@ -34,8 +59,7 @@ def read_events_kafka(
     """Kafka topic → parsed events stream (the reference's native source).
 
     Same downstream contract as ``read_events_stream`` (file source): every
-    window/dedup/state operator in pipeline.py composes unchanged. The
-    value payload is the JSON record; ``from_json`` types it JVM-side.
+    window/dedup/state operator in pipeline.py composes unchanged.
     """
     if not kafka_available(spark):
         raise NotImplementedError(
@@ -53,9 +77,4 @@ def read_events_kafka(
         reader = reader.option(
             "maxOffsetsPerTrigger", max_offsets_per_trigger
         )
-    raw = reader.load()
-    return raw.select(
-        F.from_json(
-            F.col("value").cast("string"), EVENTS_STREAM_SCHEMA
-        ).alias("r")
-    ).select("r.*")
+    return parse_kafka_values(reader.load())
