@@ -71,6 +71,34 @@ def minhash_signature(
     return F.array(*sigs)
 
 
+def _banded(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """(_id, band_idx, band_hash) — one row per doc per band."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(tokens_col), num_hashes, seed)
+    return docs.select(
+        F.col(id_col).alias("_id"), sig.alias("_sig")
+    ).select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(i), F.slice(F.col("_sig"), i * rows + 1, rows)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -86,24 +114,13 @@ def lsh_candidate_pairs(
     self-join. Bucket skew (giant buckets of identical docs) is the one
     scale hazard — AQE skew-split handles moderate cases; degenerate
     corpora should pre-collapse exact dups first (dedup_exact).
+
+    NOTE the quadratic-in-bucket-size caveat: a bucket of B near-identical
+    docs emits B²/2 pairs, so the ALL-PAIRS contract is itself the blowup
+    on dup-heavy corpora. When the goal is dedup (not pair listing), use
+    ``minhash_dedup_assign`` — linear star edges + connected components.
     """
-    rows = num_hashes // bands
-    sig = minhash_signature(F.col(tokens_col), num_hashes, seed)
-    banded = docs.select(
-        F.col(id_col).alias("_id"), sig.alias("_sig")
-    ).select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(i), F.slice(F.col("_sig"), i * rows + 1, rows)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded(docs, id_col, tokens_col, num_hashes, bands, seed)
     left = banded.select(
         F.col("band_idx").alias("bi"),
         F.col("band_hash").alias("bh"),
@@ -154,4 +171,91 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment — the scale contract for LSH dedup.
+
+    ``(doc_id, keeper_id)`` for every input doc (keeper = min id of its
+    verified near-dup cluster; singletons keep themselves). Replaces the
+    all-pairs listing, which is quadratic in cluster size: a dup-heavy
+    corpus (measured on the sf0.1 documents fixture: 5k docs → 7.9M
+    candidate pairs, 2.9M verified) makes pair output itself the blowup.
+
+    Cost shape, all linear in corpus + bands:
+    1. banding, as in ``lsh_candidate_pairs`` — O(n·bands) rows;
+    2. STAR edges per bucket: every member links to the bucket's min id —
+       ≤ bands edges per doc instead of B²/2 per bucket. Bucket
+       connectivity is preserved (all members reach the hub);
+    3. exact-Jaccard verification of the star edges (≤ n·bands joins of
+       two token arrays — not millions of pairs);
+    4. connected components (operators/components.py, pointer jumping,
+       O(log diameter) rounds) to close transitive chains.
+
+    Approximation note vs all-pairs verify: a member whose star edge to
+    one bucket hub fails verification can still join the cluster through
+    any of its other ``bands`` buckets; residual cluster-recall loss is
+    the documented trade (tests/test_approx_operators.py measures it
+    against the exact twin).
+    """
+    from pyspark.sql import Window
+
+    from pyetl_spark.operators.components import connected_components
+
+    banded = _banded(docs, id_col, tokens_col, num_hashes, bands, seed)
+    w = Window.partitionBy("band_idx", "band_hash")
+    w_ord = w.orderBy("_id")
+    # two linear edge families per bucket (never the B²/2 clique):
+    #  - STAR: member → bucket-min (direct shot at the cluster keeper)
+    #  - CHAIN: member → id-order predecessor (keeps the bucket connected
+    #    even when the hub is a Jaccard outlier — a member that fails
+    #    verification against the hub usually passes against a neighbor)
+    hub = (
+        banded.withColumn("hub", F.min("_id").over(w))
+        .filter(F.col("_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    chain = (
+        banded.withColumn("prev", F.lag("_id").over(w_ord))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    star = hub.unionAll(chain).distinct()
+    tok = docs.select(
+        F.col(id_col).alias("_tid"), F.col(tokens_col).alias("_t")
+    )
+    a = tok.select(F.col("_tid").alias("id_a"), F.col("_t").alias("_ta"))
+    b = tok.select(F.col("_tid").alias("id_b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = F.size(F.array_union("_ta", "_tb")).cast("double")
+    verified = (
+        star.join(a, "id_a")
+        .join(b, "id_b")
+        .filter((inter / union) >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("keeper_id"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("keeper_id", "doc_id").alias("keeper_id"),
+        )
     )

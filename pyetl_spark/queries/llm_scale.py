@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from pyetl_spark.operators.knn import cosine_topk_lsh
 from pyetl_spark.parity import rnd
-from pyetl_spark.operators.minhash import minhash_near_dup_pairs
+from pyetl_spark.operators.minhash import (
+    minhash_dedup_assign,
+    minhash_near_dup_pairs,
+)
 from pyetl_spark.operators.simhash import simhash_near_dup_pairs
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
@@ -28,13 +31,19 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh")  # Tier B — approximate, rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (SURVEY §2.10 `dedup_minhash_lsh`): the
-    sub-quadratic 100 TB replacement for dedup_near_jaccard; exact-Jaccard
-    verification keeps precision at 1.0, banding bounds recall (S-curve).
-    """
-    return minhash_near_dup_pairs(
+    """MinHash+LSH near-dup CLUSTERS (SURVEY §2.10 `dedup_minhash_lsh`):
+    the sub-quadratic 100 TB replacement for dedup_near_jaccard.
+
+    Output is (doc_id, keeper_id) per doc — the dedup decision — not the
+    all-pairs listing: measured on the dup-heavy documents fixture, pair
+    output is 2.9M rows from 5k docs (quadratic in cluster size), while
+    the assignment is one row per doc at any dup rate. Star edges per LSH
+    bucket + exact-Jaccard verify + connected components; the pair form
+    survives as operators/minhash.minhash_near_dup_pairs for the recall
+    tests."""
+    return minhash_dedup_assign(
         _doc_tokens(spark, sf_dir), threshold=0.8, num_hashes=32, bands=8
-    ).orderBy("id_a", "id_b")
+    ).orderBy("doc_id")
 
 
 @query("pipeline_training_corpus_neardup")  # Tier B — approximate path
@@ -62,7 +71,7 @@ def pipeline_training_corpus_neardup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    pairs = minhash_near_dup_pairs(
+    assign = minhash_dedup_assign(
         exact.select(
             "doc_id", F.array_distinct(F.col("t")).alias("tokens")
         ),
@@ -70,9 +79,11 @@ def pipeline_training_corpus_neardup(
         num_hashes=32,
         bands=8,
     )
-    # drop the higher id of each near-dup pair (keeper = lowest id,
-    # matching the exact-dedup keep rule); left_anti keeps the rest
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # keeper = cluster-min id (same keep rule as exact dedup); everything
+    # else is a near-dup loser, removed by left_anti
+    losers = assign.filter(F.col("doc_id") != F.col("keeper_id")).select(
+        "doc_id"
+    )
     from pyetl_spark.operators import text as TX
 
     kept = exact.join(losers, "doc_id", "left_anti").withColumn(

@@ -82,6 +82,40 @@ def test_minhash_lsh_recall_vs_exact(spark, docs_tokens, exact_pairs):
     assert got.exceptAll(truth).count() == 0
 
 
+def test_minhash_dedup_assign_cluster_recall(spark, docs_tokens, exact_pairs):
+    """The scale contract (star edges + components) must agree with the
+    exact all-pairs clustering: >=90% of true near-dup docs assigned a
+    keeper != self, every keeper is a cluster minimum, and every doc gets
+    exactly one row."""
+    from pyetl_spark.operators.components import connected_components
+    from pyetl_spark.operators.minhash import minhash_dedup_assign
+
+    assign = minhash_dedup_assign(
+        docs_tokens, threshold=0.8, num_hashes=32, bands=8
+    ).cache()
+    n_docs = docs_tokens.count()
+    assert assign.count() == n_docs
+    assert assign.select("doc_id").distinct().count() == n_docs
+    # keeper is the min of its own cluster: keeper_id <= doc_id always
+    assert assign.filter(F.col("keeper_id") > F.col("doc_id")).count() == 0
+
+    truth = exact_pairs
+    if truth.count() == 0:
+        pytest.skip("fixture has no >=0.8 near-dup pairs at this SF")
+    exact_comp = connected_components(truth, src="id_a", dst="id_b")
+    true_losers = exact_comp.filter(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias("doc_id"))
+    got_losers = assign.filter(F.col("doc_id") != F.col("keeper_id")).select(
+        "doc_id"
+    )
+    n_true = true_losers.count()
+    hits = got_losers.intersect(true_losers).count()
+    assert hits / n_true >= 0.9
+    # no false dedup: every loser we emit is a true near-dup member
+    assert got_losers.exceptAll(true_losers).count() == 0
+
+
 def test_lsh_candidates_subquadratic(spark):
     """On a corpus of genuinely distinct docs the candidate set must be far
     below the full pair count. (The fixture documents share a 31-word
