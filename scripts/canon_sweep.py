@@ -22,9 +22,7 @@ Exit code 0 iff every key passes.
 from __future__ import annotations
 
 import argparse
-import datetime
 import json
-import math
 import os
 import sys
 import time
@@ -32,74 +30,8 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _norm_value(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
-    if isinstance(v, datetime.datetime):
-        return ("t", v.replace(tzinfo=None).isoformat(sep=" "))
-    if isinstance(v, datetime.date):
-        # dates canonicalize to midnight so a Spark datetime.date matches a
-        # DuckDB DATE that pandas upcast to a midnight Timestamp
-        return ("t", v.isoformat() + " 00:00:00")
-    import decimal
-
-    if isinstance(v, decimal.Decimal):
-        return _norm_value(float(v))
-    return v
-
-
-def _canon_pandas(pdf):
-    """Driver-style canon: sorted columns, lexicographic row sort."""
-    import pandas as pd  # noqa: F401
-
-    pdf = pdf[sorted(pdf.columns)]
-    # this is the call that blew up on array cells in r1 — keep it verbatim
-    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-    return pdf
-
-
-def _rows(pdf):
-    import numpy as np
-    import pandas as pd
-
-    out = []
-    for tup in pdf.itertuples(index=False, name=None):
-        row = []
-        for v in tup:
-            # Type-STRICT on int vs float: the driver's value hash sees
-            # "5" != "5.0", so a DuckDB HUGEINT (→ pandas float64) vs a
-            # Spark BIGINT (→ int64) must FAIL here even though 5 == 5.0.
-            if v is pd.NaT:
-                row.append(None)
-            elif isinstance(v, pd.Timestamp):
-                ts = v.tz_convert(None) if v.tzinfo else v
-                row.append(("t", ts.isoformat(sep=" ")))
-            elif isinstance(v, (bool, np.bool_)):
-                row.append(("b", bool(v)))
-            elif isinstance(v, (int, np.integer)):
-                row.append(("i", int(v)))
-            elif isinstance(v, (float, np.floating)):
-                f = float(v)
-                row.append(("f", "NaN" if math.isnan(f) else f))
-            else:
-                n = _norm_value(v)
-                if isinstance(n, float):
-                    n = ("f", n)
-                elif isinstance(n, bool):
-                    n = ("b", n)
-                elif isinstance(n, int):
-                    n = ("i", n)
-                elif isinstance(n, str) and n in ("NaN",):
-                    n = ("f", n)
-                row.append(n)
-        out.append(tuple(row))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+from pyetl_spark.canon import canon_frame as _canon_pandas  # noqa: E402
+from pyetl_spark.canon import frame_rows as _rows  # noqa: E402
 
 
 def check_key(spark, duck, key, queries, oracles, sf_dir):

@@ -105,13 +105,17 @@ def _type_cat(t: str) -> str:
 
 
 def assert_parity(spark, duck, key: str, sf_dir: str = SF_ORACLE):
-    """Run engine query + DuckDB oracle, compare like the driver does."""
+    """Run engine query + DuckDB oracle, compare EXACTLY like the driver:
+    toPandas (catches Arrow ns-overflow), pandas sort_values over all
+    columns (catches unsortable array cells), then a type-strict value
+    compare (catches int/float crossings such as DuckDB HUGEINT sums).
+    See pyetl_spark/canon.py for the r1 failure modes this encodes."""
     from pyetl_spark import registry
+    from pyetl_spark.canon import canon_frame, frame_rows
 
     registry.load_all()
     sdf = registry.QUERIES[key](spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    pdf_s = canon_frame(sdf.toPandas())
 
     s_cats = {c: _type_cat(t) for c, t in sdf.dtypes}
     type_rel = duck.sql(registry.ORACLE[key])
@@ -123,16 +127,15 @@ def assert_parity(spark, duck, key: str, sf_dir: str = SF_ORACLE):
     }
     assert not cat_mismatch, f"{key}: type-category mismatch {cat_mismatch}"
 
-    rel = duck.execute(registry.ORACLE[key])
-    d_cols = [d[0] for d in rel.description]
-    d_rows = rel.fetchall()
+    pdf_d = canon_frame(duck.execute(registry.ORACLE[key]).df())
 
-    assert len(s_rows) == len(d_rows), (
-        f"{key}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
+    assert len(pdf_s) == len(pdf_d), (
+        f"{key}: row count {len(pdf_s)} (spark) != {len(pdf_d)} (duckdb)"
     )
-    ns_cols, ns_rows = _normalize(s_cols, s_rows)
-    nd_cols, nd_rows = _normalize(d_cols, d_rows)
-    assert ns_cols == nd_cols, f"{key}: columns {ns_cols} != {nd_cols}"
+    assert list(pdf_s.columns) == list(pdf_d.columns), (
+        f"{key}: columns {list(pdf_s.columns)} != {list(pdf_d.columns)}"
+    )
+    ns_rows, nd_rows = frame_rows(pdf_s), frame_rows(pdf_d)
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(ns_rows, nd_rows)) if a != b
     ]
