@@ -36,6 +36,17 @@ ORACLE: dict[str, str] = {}
 #: keys fixed this round that need re-verification + the 4 Tier-B sinks
 #: (rows-only evidence). Keys verified green in r1 keep that evidence and
 #: yield their slots.
+#:
+#: ROTATION PLAN (~50 verifiable slots/round, 216 declared keys):
+#:   r1 (done): first 50 in registration order — scans/etl/aggs/joins.
+#:   r2 (this): the list below — remaining SURVEY keys + fixes + sinks.
+#:   r3: next ~50 never-verified extras in registration order (subqueries,
+#:       tpch_more, extras, analytics head) + any key red in r2.
+#:   r4: the remaining never-verified extras (analytics tail, llm_text
+#:       extras, llm_scale Tier-B) + any key red in r3.
+#:   r5+: re-verify rotation — oldest evidence first.
+#: Mechanically: keep PRIORITY = (reds from last round) + (keys with no
+#: CORRECTNESS row yet, registration order), truncated to 50.
 PRIORITY: list[str] = [
     # re-verify after r2 fixes
     "etl_scd2_intervals",
