@@ -1,0 +1,155 @@
+"""Streaming training-corpus ingest — the streaming twin of the batch
+flagship ``pipeline_training_corpus`` (north star: a 100 TB training-data
+pipeline ingests documents CONTINUOUSLY, it doesn't re-scan the corpus).
+
+Stages, all incremental and state-bounded:
+
+1. file/Kafka source of JSON document records (same swap contract as
+   events: ``parse_kafka_values`` composes upstream unchanged);
+2. quality scoring with the SAME JVM expression as the batch path
+   (operators/text.py) — one code path, two execution modes;
+3. exact near-time dedup on the content hash via
+   ``dropDuplicatesWithinWatermark`` — state holds one hash per doc seen
+   inside the watermark horizon, not the corpus (at 100 TB/day the
+   watermark bounds state; historical dedup is the batch MinHash job's
+   responsibility);
+4. ``foreachBatch`` multi-sink: accepted docs → corpus parquet, rejects →
+   quarantine parquet with the reject reason (the audit trail every
+   corpus pipeline needs).
+
+Scale: per-microbatch cost is O(new docs); the only stateful operator is
+keyed on the content hash (uniform — md5), so no skew; sinks append
+partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pyetl_spark.operators import text as TX
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ingest_ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def read_docs_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """JSON-lines document stream (file source ≙ Kafka topic of docs)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def score_and_gate(
+    docs: DataFrame, min_quality: float = 0.5, langs: tuple = ("en", "de", "fr")
+) -> DataFrame:
+    """Adds quality + accept/reject verdict; pure narrow JVM expressions
+    (identical scorer to the batch flagship), safe on any stream."""
+    toks = F.split("text", " ")
+    q = TX.quality_score(F.col("text"), toks)
+    reason = (
+        F.when(~F.col("lang").isin(*langs), F.lit("lang_not_allowed"))
+        .when(q < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit(None))
+    )
+    return docs.select(
+        "doc_id",
+        "ingest_ts",
+        "text",
+        "lang",
+        "source",
+        F.md5("text").alias("content_hash"),
+        q.alias("quality"),
+        reason.alias("reject_reason"),
+    )
+
+
+def dedup_stream(
+    scored: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Drop repeated content within the watermark horizon (state = one
+    row per distinct content_hash still inside the horizon)."""
+    return scored.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
+def corpus_multi_sink(
+    scored: DataFrame,
+    corpus_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+):
+    """foreachBatch writer: accepted → corpus parquet (partitioned by
+    lang), rejected → quarantine parquet with reason. One streaming query
+    (one checkpoint/epoch ledger) feeding both sinks — restart-safe the
+    same way the events multi-sink is."""
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            (
+                batch_df.filter(F.col("reject_reason").isNull())
+                .drop("reject_reason")
+                .write.mode("append")
+                .partitionBy("lang")
+                .parquet(corpus_path)
+            )
+            (
+                batch_df.filter(F.col("reject_reason").isNotNull())
+                .write.mode("append")
+                .parquet(quarantine_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        scored.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    src_path: str,
+    corpus_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    watermark: str = "1 hour",
+    min_quality: float = 0.5,
+):
+    """Wire the full ingest: source → gate → dedup(accepted only) →
+    multi-sink. Returns the started streaming query (availableNow)."""
+    scored = score_and_gate(
+        read_docs_stream(spark, src_path), min_quality=min_quality
+    )
+    accepted = dedup_stream(
+        scored.filter(F.col("reject_reason").isNull()), watermark
+    )
+    rejected = scored.filter(F.col("reject_reason").isNotNull())
+    # one query per sink family keeps the dedup state only on the
+    # accepted branch; union back for the shared writer
+    merged = accepted.unionByName(rejected)
+    return (
+        corpus_multi_sink(merged, corpus_path, quarantine_path, checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,96 @@
+"""Streaming corpus-ingest tests (streaming twin of the batch flagship
+pipeline_training_corpus): quality gate parity with the batch scorer,
+within-watermark content dedup, accept/quarantine multi-sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pyetl_spark.operators import text as TX
+from pyetl_spark.streaming.corpus import (
+    read_docs_stream,
+    run_corpus_ingest,
+    score_and_gate,
+)
+
+TS = "2024-03-01T{h:02d}:{m:02d}:00.000Z"
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "to find some interesting data in the big forest near the old river"
+)
+JUNK = "x x x x x"
+
+
+def _doc(i, h=9, m=0, text=GOOD, lang="en", source="web"):
+    return {
+        "doc_id": i,
+        "ingest_ts": TS.format(h=h, m=m),
+        "text": text,
+        "lang": lang,
+        "source": source,
+    }
+
+
+def _write(dirpath, name, docs):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+
+
+def test_gate_matches_batch_scorer(spark, tmp_path):
+    """Streaming quality == batch quality on identical text (same JVM
+    expression, two execution modes)."""
+    src = os.path.join(str(tmp_path), "src")
+    docs = [_doc(1), _doc(2, text=JUNK), _doc(3, lang="zz")]
+    _write(src, "b.json", docs)
+    scored = score_and_gate(read_docs_stream(spark, src))
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("gate_out")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM gate_out").collect()}
+    assert got[1]["reject_reason"] is None
+    assert got[2]["reject_reason"] == "low_quality"
+    assert got[3]["reject_reason"] == "lang_not_allowed"
+    batch = spark.createDataFrame([(GOOD,)], "text string").select(
+        TX.quality_score(F.col("text"), F.split("text", " ")).alias("q")
+    )
+    assert abs(got[1]["quality"] - batch.collect()[0]["q"]) < 1e-12
+
+
+def test_ingest_dedups_and_splits_sinks(spark, tmp_path):
+    base = str(tmp_path)
+    src = os.path.join(base, "src")
+    corpus = os.path.join(base, "corpus")
+    quarantine = os.path.join(base, "quarantine")
+    # doc 2 repeats doc 1's content inside the watermark → deduped;
+    # doc 4 is junk → quarantined with reason
+    docs = [
+        _doc(1, m=0),
+        _doc(2, m=5),                      # same text as 1 → dropped
+        _doc(3, m=10, text=GOOD + " extra tokens here"),
+        _doc(4, m=15, text=JUNK),
+    ]
+    _write(src, "b1.json", docs)
+    q = run_corpus_ingest(
+        spark, src, corpus, quarantine, os.path.join(base, "ck")
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    # lang partitioning survives the sink
+    assert kept.select("lang").distinct().collect()[0]["lang"] == "en"
+
+    quar = spark.read.parquet(quarantine)
+    rows = {r["doc_id"]: r["reject_reason"] for r in quar.collect()}
+    assert rows == {4: "low_quality"}
