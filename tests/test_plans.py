@@ -331,3 +331,45 @@ def test_profile_is_single_scan(spark):
     (the oracle's UNION reads six times; the engine must not)."""
     plan = plan_of(spark, "etl_profile", mode="simple")
     assert plan.count("FileScan") == 1, plan.count("FileScan")
+
+
+def test_minhash_assign_edges_are_linear_not_clique(spark):
+    """The scale contract of minhash_dedup_assign: candidate EDGES come
+    from per-bucket window functions (min + lag), never the in-bucket
+    self-join clique — the verified-edge plan must show Window exchanges,
+    exactly one join family (the token-array verification equi-joins on
+    doc id), and no nested-loop/cartesian anywhere."""
+    import pyspark.sql.functions as F
+
+    from pyetl_spark.operators.minhash import _banded
+    from pyspark.sql import Window
+    from pyetl_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_ORACLE).documents.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    banded = _banded(docs, "doc_id", "tokens", 32, 8, 42)
+    w = Window.partitionBy("band_idx", "band_hash")
+    hub = (
+        banded.withColumn("hub", F.min("_id").over(w))
+        .filter(F.col("_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    chain = (
+        banded.withColumn("prev", F.lag("_id").over(w.orderBy("_id")))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    edges = hub.unionAll(chain).distinct()
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan, f"unexpected {j} in edge-construction plan"
