@@ -1902,3 +1902,97 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_chunk_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 48)) AS s
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, s + 1, s + 64), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, s + 1, s + 64)) AS INT)
+             AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (north star: training-data
+    pipeline): each document's token stream becomes 64-token chunks on a
+    48-token stride (16-token overlap) — the standard long-document →
+    context-window preparation, where the overlap preserves cross-chunk
+    context. chunk_idx = start/stride, so no positional explode is
+    needed; one generator + narrow maps, zero shuffles — scales as a pure
+    map over the corpus at any size. Tail chunks are shorter (slice
+    clamps), matching every production chunker."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    base = d.filter(F.col("doc_id") < 200).select(
+        "doc_id", toks.alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - F.lit(1), F.lit(48)
+    )
+    exploded = base.select(
+        "doc_id", "toks", F.explode(starts).alias("s")
+    )
+    chunk = F.slice("toks", F.col("s") + F.lit(1), F.lit(64))
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / F.lit(48)).cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT)
+             AS n_long_numbers
+    FROM documents
+    WHERE doc_id < 500
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (north star: training-data pipeline): redact email
+    addresses and long digit runs to typed placeholders and count the
+    redactions per document — the pre-training compliance pass. Patterns
+    are deliberately limited to syntax BOTH regex engines (Java util.regex
+    and RE2) interpret identically: character classes, bounded repeats,
+    no lookaround. Pure narrow map — no shuffle, scales with the scan;
+    the counts feed the per-source audit the same way dedup attribution
+    does."""
+    d = load_tables(spark, sf_dir).documents
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num = r"[0-9]{6,}"
+    return d.filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), num, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(num), F.lit(0))).alias(
+            "n_long_numbers"
+        ),
+    )

@@ -309,3 +309,67 @@ def test_abc_classes_partition_and_order(spark):
     assert set(by_class) <= {"A", "B", "C"}
     if "A" in by_class and "C" in by_class:
         assert max(by_class["A"]) <= min(by_class["C"])
+
+
+def test_pii_redaction_fires_on_synthetic_pii(spark):
+    """The declared query runs on fixture text (few/no hits); this pins
+    the behavior on text that HAS PII: emails and long digit runs get
+    typed placeholders, counts match, short numbers survive."""
+    import pyspark.sql.functions as F
+
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num = r"[0-9]{6,}"
+    rows = [
+        (1, "contact alice@example.com or bob.smith@mail.co today"),
+        (2, "card 1234567890123456 pin 1234 order 987654"),
+        (3, "clean text with no sensitive content at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), num, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(num), F.lit(0))).alias(
+            "n_long_numbers"
+        ),
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert got[1]["redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert got[1]["n_emails"] == 2
+    assert got[2]["redacted"] == "card <NUM> pin 1234 order <NUM>"
+    assert got[2]["n_long_numbers"] == 2
+    assert got[3]["redacted"] == rows[2][1]
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """Chunking invariants on synthetic docs: every token appears in at
+    least one chunk, consecutive chunks overlap by size-stride tokens,
+    and tail chunks clamp."""
+    import pyspark.sql.functions as F
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = F.split("text", " ")
+    base = df.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - F.lit(1), F.lit(48))
+    chunked = base.select(
+        "doc_id", "toks", F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        (F.col("s") / F.lit(48)).cast("long").alias("chunk_idx"),
+        F.slice("toks", F.col("s") + F.lit(1), F.lit(64)).alias("chunk"),
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk"]) for r in chunked.collect()
+    )
+    # 150 tokens, stride 48 → starts 0,48,96,144 → 4 chunks
+    assert [c for c, _ in rows] == [0, 1, 2, 3]
+    assert len(rows[0][1]) == 64
+    assert len(rows[3][1]) == 6          # tail clamp: 150-144
+    covered = {t for _, chunk in rows for t in chunk}
+    assert len(covered) == 150           # every token in >=1 chunk
+    # overlap: last 16 of chunk k == first 16 of chunk k+1
+    assert rows[0][1][48:] == rows[1][1][:16]
