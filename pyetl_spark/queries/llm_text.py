@@ -1996,3 +1996,33 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_long_numbers"
         ),
     )
+
+
+@query(
+    "text_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (north star: training-data
+    pipeline): every doc gets a dense 0-based position in a seeded
+    pseudo-random permutation — the reproducible "shuffle before
+    sharding" every training run needs.
+
+    The oracle is the single-window form; the ENGINE path is the
+    distributed two-phase rank (operators/global_rank.py): range shuffle
+    on the md5 key + local rank + driver-side prefix-sum of partition
+    counts (one long per partition). Same output, no single-partition
+    bottleneck — this query hash-matching the oracle IS the proof the
+    two-phase rewrite is exact."""
+    from pyetl_spark.operators.global_rank import global_shuffle_rank
+
+    d = load_tables(spark, sf_dir).documents.select("doc_id")
+    return global_shuffle_rank(d, "doc_id", seed=42).select(
+        "doc_id", "shuffle_rank"
+    )

@@ -373,3 +373,32 @@ def test_chunk_overlap_covers_every_token(spark):
     assert len(covered) == 150           # every token in >=1 chunk
     # overlap: last 16 of chunk k == first 16 of chunk k+1
     assert rows[0][1][48:] == rows[1][1][:16]
+
+
+def test_global_shuffle_rank_partition_invariant(spark):
+    """The two-phase distributed rank must be a dense permutation and
+    IDENTICAL for any partition count (rank = position in the total
+    (md5 key, id) order, independent of range boundaries)."""
+    from pyetl_spark.operators.global_rank import global_shuffle_rank
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    r4 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "doc_id", seed=7, num_partitions=4)
+        .collect()
+    }
+    r17 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(
+            df.repartition(13), "doc_id", seed=7, num_partitions=17
+        ).collect()
+    }
+    assert r4 == r17
+    assert sorted(r4.values()) == list(range(1000))   # dense permutation
+    # different seed -> different permutation
+    r_other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "doc_id", seed=8, num_partitions=4)
+        .collect()
+    }
+    assert r_other != r4
