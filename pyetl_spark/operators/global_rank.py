@@ -45,9 +45,19 @@ def global_shuffle_rank(
     parts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
     ranged = keyed.repartitionByRange(parts, "_sk", id_col)
 
-    # local rank within each range partition (sortWithinPartitions keeps
-    # the range order; the window partition key is the physical partition)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # PIN the range shuffle before anything reads it. repartitionByRange
+    # derives its bounds from a SAMPLE, so two independent executions of the
+    # same plan may assign rows to different partitions — the counts
+    # collected below would then disagree with the partition ids the final
+    # job sees (duplicate/gapped ranks, or NULL offsets). localCheckpoint
+    # materializes the shuffled blocks once; both the counts action and the
+    # returned DataFrame read the same physical partitioning. Also saves a
+    # full recompute of the upstream lineage (counts + final = 1 shuffle,
+    # not 2).
+    with_pid = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy("_sk", id_col)

@@ -373,3 +373,32 @@ def test_minhash_assign_edges_are_linear_not_clique(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
               "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert j not in plan, f"unexpected {j} in edge-construction plan"
+
+
+def test_global_shuffle_rank_single_pinned_shuffle(spark):
+    """global_shuffle_rank must pin its range shuffle (localCheckpoint)
+    before any action reads it: range-partition bounds come from a SAMPLE,
+    so two independent executions can place rows differently and the
+    driver-side offsets would silently disagree with the final job. The
+    returned plan therefore reads the checkpointed blocks (ExistingRDD)
+    and contains NO live range-partitioning Exchange to re-execute."""
+    import pyspark.sql.functions as F
+
+    from pyetl_spark.operators.global_rank import global_shuffle_rank
+    from pyetl_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_ORACLE).documents.select("doc_id")
+    out = global_shuffle_rank(docs, "doc_id", seed=7, num_partitions=4)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # dense-permutation sanity on the pinned path
+    ranks = sorted(r[0] for r in out.select("shuffle_rank").collect())
+    assert ranks == list(range(len(ranks)))
