@@ -36,7 +36,12 @@ def _norm_value(v):
     if isinstance(v, float):
         return ("f", "NaN" if math.isnan(v) else v)
     if isinstance(v, datetime.datetime):
-        return ("t", v.replace(tzinfo=None).isoformat(sep=" "))
+        # convert to UTC before dropping tzinfo — the same convention as
+        # frame_rows' tz_convert(None), so a tz-aware datetime canonicalizes
+        # identically on both paths
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("t", v.isoformat(sep=" "))
     if isinstance(v, datetime.date):
         # dates canonicalize to midnight so a Spark datetime.date matches
         # a DuckDB DATE that pandas upcast to a midnight Timestamp

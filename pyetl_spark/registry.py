@@ -31,81 +31,84 @@ ORACLE: dict[str, str] = {}
 #: window this round; everything else follows in registration order and
 #: earns its row in a later round's rotation.
 #:
-#: r2 window = the 42 SURVEY §2 Tier-A keys that went UNVERIFIED in r1
-#: (all windows/sets/scalar-fns/event-windows/LLM/UDF families) + the 4
-#: keys fixed this round that need re-verification + the 4 Tier-B sinks
-#: (rows-only evidence). Keys verified green in r1 keep that evidence and
-#: yield their slots.
+#: r3 window = the first 50 oracle-backed keys (hash-match evidence) with
+#: no CORRECTNESS row in r1 or r2, in registration order. r2 went 50/50
+#: green, so there are no reds to re-check. The 8 never-verified NO-ORACLE
+#: keys (llm_scale ANN/pipeline, multimodal, sinks extras) wait for r4 —
+#: a hash-match slot is worth more than a rows-only slot while oracle keys
+#: remain unverified.
 #:
-#: ROTATION PLAN (~50 verifiable slots/round, 216 declared keys):
-#:   r1 (done): first 50 in registration order — scans/etl/aggs/joins.
-#:   r2 (this): the list below — remaining SURVEY keys + fixes + sinks.
-#:   r3: next ~50 never-verified extras in registration order (subqueries,
-#:       tpch_more, extras, analytics head) + any key red in r2.
-#:   r4: the remaining never-verified extras (analytics tail, llm_text
-#:       extras, llm_scale Tier-B) + any key red in r3.
-#:   r5+: re-verify rotation — oldest evidence first.
-#: Mechanically: keep PRIORITY = (reds from last round) + (keys with no
-#: CORRECTNESS row yet, registration order), truncated to 50.
+#: ROTATION PLAN (~50 verifiable slots/round, 220 declared keys):
+#:   r1 (done, 50 rows): first 50 in registration order — scans/etl/aggs/joins.
+#:   r2 (done, 50 rows): remaining SURVEY §2 keys + r1 fixes + sinks.
+#:   r3 (this): list below — analytics/events head, windows extras,
+#:       extras.py, joins tail, text head. All pre-gated by the canon
+#:       sweep at sf0.01 + sf0.1.
+#:   r4: remaining ~24 never-verified oracle keys (subqueries, tpch_more
+#:       tail, llm_text/vec tail, windows tail) + the 16 never-verified
+#:       rows-only keys + ~5 RE-VERIFY slots for the oldest r1 evidence
+#:       (scan_parquet_project, scan_pushdown_filter, source_json_parse,
+#:       proj_expr, filter_compound) so no green row ages past 3 rounds.
+#:   r5+: steady-state re-verify rotation — oldest evidence first, plus
+#:       any new keys and any reds from the prior round.
+#: Mechanically: PRIORITY = (reds from last round) + (oracle keys with no
+#: CORRECTNESS row, registration order) + (rows-only keys with no row) +
+#: (oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # re-verify after r2 fixes
-    "etl_scd2_intervals",
-    "agg_collect_sorted",
-    "etl_incremental_agg",
-    "join_point_in_time",
-    # SURVEY §2.5 windows
-    "win_topk_per_group",
-    "win_rank_dense",
-    "win_ntile_pct",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_first_last",
-    # §2.6 sorts + sets
-    "sort_multi_key",
-    "topk_limit",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    # §2.7 scalar function families
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_array_higher_order",
-    "fn_map",
-    "fn_json",
-    # §2.8 event-time windows (batch twins)
-    "stream_tumbling_1h",
-    "stream_sliding",
-    "stream_session",
-    # §2.9-2.10 LLM text / vec
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "text_stats",
-    "text_top_terms",
-    "text_lang_filter_pipeline",
-    "vec_norm",
-    "vec_centroid",
-    "vec_cosine_topk",
-    "dedup_minhash_lsh",
-    # §2.11 UDF boundary proofs
-    "udf_scalar_python",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_python",
-    "grouped_map_applyInPandas",
-    "map_partitions_arrow",
-    # §2.3 sinks (Tier-B rows-only)
-    "sink_parquet_partitioned",
-    "sink_json_lines",
-    "sink_csv",
-    "sink_multi",
+    # analytics.py head — events/sessions/cohorts
+    "events_funnel",
+    "events_retention",
+    "win_pct_of_total",
+    "topk_per_group_agg",
+    "agg_histogram",
+    "agg_bool",
+    "events_anomaly_zscore",
+    "vec_quantize_int8",
+    "basket_part_pairs",
+    "agg_relational_division",
+    "customer_rfm",
+    "revenue_pareto",
+    "revenue_yoy",
+    "interval_max_concurrent",
+    "alloc_largest_remainder",
+    "agg_entropy",
+    "agg_gini",
+    "events_markov",
+    "outlier_iqr",
+    "agg_weighted_median",
+    "orders_gap_stats",
+    "agg_mad",
+    "orders_abc_class",
+    "events_attribution",
+    "agg_winsorized_mean",
+    "events_path_mining",
+    "events_burst_detection",
+    "revenue_rank_movers",
+    "events_dwell_time",
+    "orders_cohort_ltv",
+    "revenue_trend_ols",
+    "events_gapfill_spine",
+    "win_time_weighted_avg",
+    "win_streak",
+    "events_session_conversion",
+    # extras.py — sources, null semantics, structs, intervals
+    "etl_unpivot",
+    "agg_string_concat",
+    "source_range",
+    "fn_null_semantics",
+    "fn_struct",
+    "win_locf",
+    "agg_mode",
+    "fn_try_arithmetic",
+    "fn_interval",
+    "fn_array_outer",
+    # tpch_more.py joins tail
+    "join_returned_revenue_top",
+    "join_part_supplier_diversity",
+    "join_top_supplier",
+    # llm_text.py extras head
+    "text_lang_id",
+    "text_quality_score",
 ]
 
 
