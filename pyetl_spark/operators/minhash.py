@@ -174,6 +174,60 @@ def minhash_near_dup_pairs(
     )
 
 
+def _candidate_edges(banded: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Linear candidate-edge families over banded rows — never the
+    B²/2 in-bucket clique, and never a single-task whole-bucket sort.
+
+    Three families, ≤ 2 + small edges per (doc, band) row:
+
+    - STAR: member → bucket-min hub. The hub comes from a
+      ``groupBy().min()`` (map-side combinable partial aggregate — a
+      degenerate bucket is pre-shrunk to one row per map task before the
+      exchange) joined back on the bucket key. The join probe on a
+      skewed bucket is an AQE-skew-splittable hash join, NOT a Window
+      sort — this is the fix for the straggler-task hazard of
+      ``min().over(Window)``: windows can't be skew-split, joins can.
+    - CHAIN: member → id-order predecessor WITHIN A SALTED SUB-BUCKET
+      (``xxhash64(_id) % salt_buckets``). The per-task sort is bounded
+      by B/salt_buckets, so a 90 %-one-cluster corpus never funnels into
+      one sort task. Chains keep near neighbors connected even when the
+      hub is a Jaccard outlier.
+    - SUB-HUB CHAIN: the ≤ salt_buckets sub-bucket minima of each bucket
+      chained in id order (a Window over ≤ salt_buckets rows per bucket
+      — trivially bounded), restoring whole-bucket connectivity across
+      salt groups.
+    """
+    from pyspark.sql import Window
+
+    hubs = banded.groupBy("band_idx", "band_hash").agg(
+        F.min("_id").alias("hub")
+    )
+    star = (
+        banded.join(hubs, ["band_idx", "band_hash"])
+        .filter(F.col("_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    salted = banded.withColumn(
+        "_salt", F.pmod(F.xxhash64("_id"), F.lit(salt_buckets))
+    )
+    w_sub = Window.partitionBy("band_idx", "band_hash", "_salt").orderBy("_id")
+    chain = (
+        salted.withColumn("prev", F.lag("_id").over(w_sub))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    sub_hubs = salted.groupBy("band_idx", "band_hash", "_salt").agg(
+        F.min("_id").alias("_id")
+    )
+    w_hub = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
+    hub_chain = (
+        sub_hubs.withColumn("prev", F.lag("_id").over(w_hub))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    return star.unionAll(chain).unionAll(hub_chain).distinct()
+
+
 def minhash_dedup_assign(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -191,45 +245,32 @@ def minhash_dedup_assign(
     corpus (measured on the sf0.1 documents fixture: 5k docs → 7.9M
     candidate pairs, 2.9M verified) makes pair output itself the blowup.
 
-    Cost shape, all linear in corpus + bands:
+    Cost shape — edge COUNT is linear in corpus + bands, and per-TASK
+    work is bounded too (no whole-bucket straggler; see
+    ``_candidate_edges``: groupBy-min hub + salted chain windows — a
+    degenerate bucket becomes an AQE-splittable join probe and
+    B/salt_buckets-sized sorts, never one giant Window sort):
     1. banding, as in ``lsh_candidate_pairs`` — O(n·bands) rows;
-    2. STAR edges per bucket: every member links to the bucket's min id —
-       ≤ bands edges per doc instead of B²/2 per bucket. Bucket
-       connectivity is preserved (all members reach the hub);
-    3. exact-Jaccard verification of the star edges (≤ n·bands joins of
-       two token arrays — not millions of pairs);
+    2. star + salted-chain + sub-hub-chain edges — ≤ ~2·bands edges/doc;
+    3. exact-Jaccard verification of those edges only (≤ ~2·n·bands
+       token-array joins — not millions of pairs);
     4. connected components (operators/components.py, pointer jumping,
        O(log diameter) rounds) to close transitive chains.
 
+    Residual skew note: even so, dup-heavy corpora should pre-collapse
+    exact duplicates first (pipeline_training_corpus_neardup does) — it
+    shrinks B itself, which no edge construction can.
+
     Approximation note vs all-pairs verify: a member whose star edge to
     one bucket hub fails verification can still join the cluster through
-    any of its other ``bands`` buckets; residual cluster-recall loss is
-    the documented trade (tests/test_approx_operators.py measures it
-    against the exact twin).
+    any of its other ``bands`` buckets or its chain neighbors; residual
+    cluster-recall loss is the documented trade
+    (tests/test_approx_operators.py measures it against the exact twin).
     """
-    from pyspark.sql import Window
-
     from pyetl_spark.operators.components import connected_components
 
     banded = _banded(docs, id_col, tokens_col, num_hashes, bands, seed)
-    w = Window.partitionBy("band_idx", "band_hash")
-    w_ord = w.orderBy("_id")
-    # two linear edge families per bucket (never the B²/2 clique):
-    #  - STAR: member → bucket-min (direct shot at the cluster keeper)
-    #  - CHAIN: member → id-order predecessor (keeps the bucket connected
-    #    even when the hub is a Jaccard outlier — a member that fails
-    #    verification against the hub usually passes against a neighbor)
-    hub = (
-        banded.withColumn("hub", F.min("_id").over(w))
-        .filter(F.col("_id") != F.col("hub"))
-        .select(F.col("hub").alias("id_a"), F.col("_id").alias("id_b"))
-    )
-    chain = (
-        banded.withColumn("prev", F.lag("_id").over(w_ord))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
-    )
-    star = hub.unionAll(chain).distinct()
+    star = _candidate_edges(banded)
     tok = docs.select(
         F.col(id_col).alias("_tid"), F.col(tokens_col).alias("_t")
     )

@@ -81,5 +81,63 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def minhash_skew() -> None:
+    """Adversarial-skew scaling probe for minhash_dedup_assign: a corpus
+    that is 90% ONE near-identical cluster, at two sizes. If the edge
+    construction is linear (star + salted chain, never the in-bucket
+    clique or a whole-bucket window sort), doubling n should roughly
+    double wall time and the edge count stays ≤ ~2·bands·n.
+
+    Run: python scripts/bench_skew.py --minhash [n1] [n2]
+    """
+    n1 = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
+    n2 = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyetl_spark.operators.minhash import (
+        _banded,
+        _candidate_edges,
+        minhash_dedup_assign,
+    )
+
+    bands = 8
+    out = {"bands": bands, "frac_hot": 0.9}
+    for tag, n in (("n1", n1), ("n2", n2)):
+        base = [f"w{j}" for j in range(50)]
+        rows = [
+            (i, base + [f"u{i}"])
+            if i < int(n * 0.9)
+            else (i, [f"d{i}_{j}" for j in range(30)])
+            for i in range(n)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, tokens array<string>"
+        ).repartition(32)
+        edges = _candidate_edges(
+            _banded(docs, "doc_id", "tokens", 32, bands, 42)
+        ).count()
+        t0 = time.monotonic()
+        minhash_dedup_assign(
+            docs, threshold=0.8, num_hashes=32, bands=bands
+        ).count()
+        out[tag] = {
+            "n": n,
+            "edges": edges,
+            "edge_bound": 2 * bands * n,
+            "secs": round(time.monotonic() - t0, 2),
+        }
+    out["time_ratio"] = round(out["n2"]["secs"] / out["n1"]["secs"], 2)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--minhash":
+        minhash_skew()
+    else:
+        main()

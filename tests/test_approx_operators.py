@@ -278,3 +278,48 @@ def test_hll_sketch_merge_accuracy(spark):
     assert set(approx) == set(exact)
     for seg, a in approx.items():
         assert abs(a - exact[seg]) / exact[seg] < 0.03, (seg, a, exact[seg])
+
+
+def test_minhash_assign_adversarial_skew(spark):
+    """The motivating degenerate case for the edge-construction design: a
+    corpus that is 90% ONE near-identical cluster. Every LSH bucket of
+    that cluster is giant; the all-pairs form would emit ~B²/2 pairs and
+    a whole-bucket Window would sort it in one task. The contract here:
+    candidate EDGES stay ≤ ~2·bands·n (star + salted chain + sub-hub
+    chain), and the assignment still finds the one giant cluster."""
+    from pyetl_spark.operators.minhash import (
+        _banded,
+        _candidate_edges,
+        minhash_dedup_assign,
+    )
+
+    n, bands = 2000, 8
+    base = [f"w{j}" for j in range(50)]
+    rows = [
+        # 90%: same 50-token body + one unique token → pairwise J ≈ 0.96
+        (i, base + [f"u{i}"])
+        if i < int(n * 0.9)
+        # 10%: fully distinct vocabularies
+        else (i, [f"d{i}_{j}" for j in range(30)])
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+    banded = _banded(docs, "doc_id", "tokens", 32, bands, 42)
+    edges = _candidate_edges(banded).count()
+    # star ≤ bands·n, chain ≤ bands·n, sub-hub chain ≤ buckets·salt —
+    # linear bound with headroom, vs ~13M for the in-bucket clique
+    assert edges <= 2.2 * bands * n, edges
+
+    assign = minhash_dedup_assign(
+        docs, threshold=0.8, num_hashes=32, bands=bands
+    ).cache()
+    assert assign.count() == n
+    giant = assign.filter(F.col("doc_id") < int(n * 0.9))
+    # the whole near-identical block collapses to keeper 0
+    assert giant.select("keeper_id").distinct().count() == 1
+    assert giant.agg(F.min("keeper_id")).first()[0] == 0
+    # the distinct tail never gets deduped
+    tail = assign.filter(F.col("doc_id") >= int(n * 0.9))
+    assert tail.filter(F.col("doc_id") != F.col("keeper_id")).count() == 0
+    assign.unpersist()

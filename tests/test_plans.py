@@ -334,33 +334,23 @@ def test_profile_is_single_scan(spark):
 
 
 def test_minhash_assign_edges_are_linear_not_clique(spark):
-    """The scale contract of minhash_dedup_assign: candidate EDGES come
-    from per-bucket window functions (min + lag), never the in-bucket
-    self-join clique — the verified-edge plan must show Window exchanges,
-    exactly one join family (the token-array verification equi-joins on
-    doc id), and no nested-loop/cartesian anywhere."""
+    """The scale contract of minhash_dedup_assign's edge construction
+    (the REAL builder, operators/minhash._candidate_edges): the bucket
+    hub comes from a partial+final HashAggregate (map-side combinable
+    groupBy-min) joined back as an equi hash join — never an in-bucket
+    self-join clique, never a whole-bucket Window sort for the hub —
+    and every Window that remains partitions by the SALTED sub-bucket
+    key (bounded task size). No nested-loop/cartesian anywhere."""
     import pyspark.sql.functions as F
 
-    from pyetl_spark.operators.minhash import _banded
-    from pyspark.sql import Window
+    from pyetl_spark.operators.minhash import _banded, _candidate_edges
     from pyetl_spark.tables import load_tables
 
     docs = load_tables(spark, SF_ORACLE).documents.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
     banded = _banded(docs, "doc_id", "tokens", 32, 8, 42)
-    w = Window.partitionBy("band_idx", "band_hash")
-    hub = (
-        banded.withColumn("hub", F.min("_id").over(w))
-        .filter(F.col("_id") != F.col("hub"))
-        .select(F.col("hub").alias("id_a"), F.col("_id").alias("id_b"))
-    )
-    chain = (
-        banded.withColumn("prev", F.lag("_id").over(w.orderBy("_id")))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
-    )
-    edges = hub.unionAll(chain).distinct()
+    edges = _candidate_edges(banded)
 
     import contextlib
     import io
@@ -369,10 +359,26 @@ def test_minhash_assign_edges_are_linear_not_clique(spark):
     with contextlib.redirect_stdout(buf):
         edges.explain("formatted")
     plan = buf.getvalue()
-    assert "Window" in plan
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-              "CartesianProduct", "BroadcastNestedLoopJoin"):
+    # hub aggregate splits partial/final (map-side combine pre-shrinks a
+    # degenerate bucket before the exchange)
+    assert plan.count("HashAggregate") >= 2, plan
+    # hub joins back as an equi hash join (AQE can skew-split joins;
+    # it cannot split a Window partition)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    for j in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert j not in plan, f"unexpected {j} in edge-construction plan"
+    # exactly two Window nodes survive: the member chain over the SALTED
+    # sub-bucket key (bounded B/salt_buckets sort per task) and the
+    # sub-hub chain, which runs over the groupBy-aggregated ≤ salt_buckets
+    # rows per bucket. A third window — i.e. any window back over the raw
+    # banded rows with only (band_idx, band_hash) — must not reappear.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(set(specs)) == 2, specs
+    assert any("_salt" in s for s in specs), specs
 
 
 def test_global_shuffle_rank_single_pinned_shuffle(spark):
