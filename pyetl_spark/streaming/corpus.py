@@ -15,10 +15,13 @@ Stages, all incremental and state-bounded:
    responsibility);
 4. ``foreachBatch`` multi-sink: accepted docs → corpus parquet, rejects →
    quarantine parquet with the reject reason (the audit trail every
-   corpus pipeline needs).
+   corpus pipeline needs). Each batch lands in its own ``batch_id=<id>``
+   partition via dynamic partition overwrite, so a batch replayed after a
+   crash overwrites its own output instead of appending duplicates
+   (exactly-once across restarts, not just at-least-once).
 
 Scale: per-microbatch cost is O(new docs); the only stateful operator is
-keyed on the content hash (uniform — md5), so no skew; sinks append
+keyed on the content hash (uniform — md5), so no skew; sinks write
 partitioned parquet.
 """
 
@@ -91,6 +94,46 @@ def dedup_stream(
     )
 
 
+def write_corpus_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    quarantine_path: str,
+) -> None:
+    """IDEMPOTENT per-batch writer (module-level so tests can replay it).
+
+    foreachBatch is only at-least-once: if the driver dies between the
+    two sink writes (or after writing but before the checkpoint commit),
+    the restarted query re-runs the SAME batch_id. Two blind appends
+    would then duplicate accepted docs — in the exact pipeline whose job
+    is dedup. Fix: every batch lands in its own ``batch_id=<id>``
+    partition via DYNAMIC partition overwrite, so a replay of batch N
+    replaces exactly batch N's output and nothing else. Readers see
+    ``batch_id`` as an ordinary partition column.
+    """
+    batch_df.persist()
+    try:
+        (
+            batch_df.filter(F.col("reject_reason").isNull())
+            .drop("reject_reason")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "lang")
+            .parquet(corpus_path)
+        )
+        (
+            batch_df.filter(F.col("reject_reason").isNotNull())
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(quarantine_path)
+        )
+    finally:
+        batch_df.unpersist()
+
+
 def corpus_multi_sink(
     scored: DataFrame,
     corpus_path: str,
@@ -98,27 +141,14 @@ def corpus_multi_sink(
     checkpoint: str,
 ):
     """foreachBatch writer: accepted → corpus parquet (partitioned by
-    lang), rejected → quarantine parquet with reason. One streaming query
-    (one checkpoint/epoch ledger) feeding both sinks — restart-safe the
-    same way the events multi-sink is."""
+    batch_id/lang), rejected → quarantine parquet with reason. One
+    streaming query (one checkpoint/epoch ledger) feeding both sinks;
+    per-batch dynamic partition overwrite (``write_corpus_batch``) makes
+    replayed batches idempotent, so the whole pipeline is effectively
+    exactly-once across restarts."""
 
     def write_both(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            (
-                batch_df.filter(F.col("reject_reason").isNull())
-                .drop("reject_reason")
-                .write.mode("append")
-                .partitionBy("lang")
-                .parquet(corpus_path)
-            )
-            (
-                batch_df.filter(F.col("reject_reason").isNotNull())
-                .write.mode("append")
-                .parquet(quarantine_path)
-            )
-        finally:
-            batch_df.unpersist()
+        write_corpus_batch(batch_df, batch_id, corpus_path, quarantine_path)
 
     return (
         scored.writeStream.foreachBatch(write_both)
