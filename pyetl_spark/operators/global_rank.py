@@ -1,23 +1,31 @@
-"""Deterministic global shuffle rank — the training-data "shuffle the
-corpus" primitive (north star: training pipelines shuffle examples
-globally, reproducibly, before packing/sharding).
+"""Deterministic global ranking without a single-partition window.
 
 Spark has no scale-safe global ``row_number()``: a window over a global
 ORDER BY collapses to ONE partition (the classic driver-sized bottleneck).
 The standard distributed design is two-phase:
 
-1. key every row with a deterministic pseudo-random sort key
-   (``md5(seed || id)`` — replayable, no rand());
-2. ``repartitionByRange`` on that key — Spark range-samples the key space
-   so partitions are balanced AND globally ordered partition-to-partition;
+1. ``repartitionByRange`` on the order columns — Spark range-samples the
+   key space so partitions are balanced AND globally ordered
+   partition-to-partition;
+2. PIN the shuffle (localCheckpoint): range bounds come from a SAMPLE, so
+   two independent executions of the same plan may place rows differently
+   — the counts collected in step 4 must describe the SAME physical
+   partitioning the final job reads;
 3. rank WITHIN each partition (cheap local sort, no exchange beyond the
    range shuffle);
 4. add the partition's global offset = exclusive prefix sum of partition
    counts — counts are collected to the driver (ONE long per partition,
    k-sized like the IVF centroid collects), broadcast back as a map.
 
-Total cost: one range shuffle + one count pass — at 100 TB this is the
-same plan shape a sort would use; state on the driver is O(partitions).
+Total cost: one pinned range shuffle + one count pass over the
+materialized blocks — at 100 TB this is the same plan shape a sort would
+use; state on the driver is O(partitions).
+
+Two entry points:
+- ``global_order_rank`` — rank by caller-supplied order columns (the
+  distributed ORDER BY primitive; sorted-neighborhood dedup builds on it);
+- ``global_shuffle_rank`` — rank by a seeded md5 key: the training-data
+  "shuffle the corpus reproducibly" primitive.
 """
 
 from __future__ import annotations
@@ -32,39 +40,26 @@ def shuffle_key(id_col, seed: int = 42):
     return F.md5(F.concat_ws("|", F.lit(str(seed)), id_col.cast("string")))
 
 
-def global_shuffle_rank(
+def global_order_rank(
     df: DataFrame,
-    id_col: str,
-    seed: int = 42,
+    order_cols: list[str],
+    out_col: str = "rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(input columns…, shuffle_rank long) — dense global 0-based rank in
-    deterministic shuffled order. Same seed → same permutation, any
-    cluster size or partitioning (asserted in tests)."""
-    keyed = df.withColumn("_sk", shuffle_key(F.col(id_col), seed))
-    parts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
-    ranged = keyed.repartitionByRange(parts, "_sk", id_col)
-
-    # PIN the range shuffle before anything reads it. repartitionByRange
-    # derives its bounds from a SAMPLE, so two independent executions of the
-    # same plan may assign rows to different partitions — the counts
-    # collected below would then disagree with the partition ids the final
-    # job sees (duplicate/gapped ranks, or NULL offsets). localCheckpoint
-    # materializes the shuffled blocks once; both the counts action and the
-    # returned DataFrame read the same physical partitioning. Also saves a
-    # full recompute of the upstream lineage (counts + final = 1 shuffle,
-    # not 2).
+    """(input columns…, ``out_col`` long) — dense global 0-based rank in
+    ``order_cols`` order, computed with the two-phase plan above (never a
+    global single-partition window)."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols)
     with_pid = (
         ranged.withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("_pid").orderBy("_sk", id_col)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = with_pid.withColumn("_lrank", F.row_number().over(w) - 1)
 
-    # exclusive prefix sum of partition sizes — one long per partition to
-    # the driver (bounded by partition count, not data size)
     counts = {
         r["_pid"]: r["n"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -81,7 +76,23 @@ def global_shuffle_rank(
     )
     return (
         local.withColumn(
-            "shuffle_rank", (offset_expr + F.col("_lrank")).cast("long")
+            out_col, (offset_expr + F.col("_lrank")).cast("long")
         )
-        .drop("_sk", "_pid", "_lrank")
+        .drop("_pid", "_lrank")
     )
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(input columns…, shuffle_rank long) — dense global 0-based rank in
+    deterministic shuffled order. Same seed → same permutation, any
+    cluster size or partitioning (asserted in tests)."""
+    keyed = df.withColumn("_sk", shuffle_key(F.col(id_col), seed))
+    return global_order_rank(
+        keyed, ["_sk", id_col], out_col="shuffle_rank",
+        num_partitions=num_partitions,
+    ).drop("_sk")

@@ -841,8 +841,9 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     family member next to token-set Jaccard (order-sensitive, catches
     character-level noise Jaccard misses). All-integer output: no float
     parity risk at all. The id bound caps the quadratic block for the
-    declared oracle; the scale path replaces blocking with SNM sliding
-    windows or q-gram LSH (SCALE.md shape 5)."""
+    declared oracle; the scale path is `dedup_levenshtein_snm` — a
+    sorted-neighborhood pass over the two-phase global rank, O(n·w), no
+    cap (SCALE.md shape 5)."""
     t = load_tables(spark, sf_dir)
     p = t.part.filter(F.col("p_partkey") < 500).select(
         "p_partkey",
@@ -2025,4 +2026,68 @@ def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents.select("doc_id")
     return global_shuffle_rank(d, "doc_id", seed=42).select(
         "doc_id", "shuffle_rank"
+    )
+
+
+@query(
+    "dedup_levenshtein_snm",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             CAST(row_number() OVER (ORDER BY p_name, p_partkey) - 1
+                  AS BIGINT) AS r
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM p a JOIN p b ON b.r - a.r BETWEEN 1 AND 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def dedup_levenshtein_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood edit-distance dedup — the scale twin
+    `dedup_levenshtein`'s docstring promises (SCALE.md shape 5): instead
+    of a noun-blocked quadratic self-join capped by an id bound, sort ALL
+    part names once and compare each name only against its next w=3
+    neighbors in sort order (typo-class variants sort adjacently).
+
+    Scale shape: the sort is the distributed two-phase global rank
+    (operators/global_rank.py — pinned range shuffle + local rank +
+    O(partitions) offset collect, never a single-partition window), and
+    the neighbor step is an EXPLODE of w rank offsets + one equi-join on
+    rank — O(n·w) rows through a uniform-key hash join, no quadratic
+    block anywhere, no cap needed. The classic SNM recall trade (dups
+    whose leading characters diverge sort apart) is documented; the
+    oracle is the single-window row_number form, so a hash match proves
+    the two-phase rank + offset join is exact."""
+    from pyetl_spark.operators.global_rank import global_order_rank
+
+    p = load_tables(spark, sf_dir).part.select("p_partkey", "p_name")
+    ranked = global_order_rank(p, ["p_name", "p_partkey"], out_col="r")
+    win = 3
+    a = (
+        ranked.select(
+            F.col("p_partkey").alias("part_a"),
+            F.col("p_name").alias("name_a"),
+            "r",
+        )
+        .withColumn(
+            "_i",
+            F.explode(F.array(*[F.lit(i) for i in range(1, win + 1)])),
+        )
+        .withColumn("rb", (F.col("r") + F.col("_i")).cast("long"))
+        .drop("r", "_i")
+    )
+    b = ranked.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("r").alias("rb"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "rb")
+        .filter(lev <= 3)
+        .select("part_a", "part_b", "name_a", "name_b",
+                lev.alias("edit_dist"))
     )
