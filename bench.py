@@ -52,17 +52,63 @@ HEADLINE = [
     "agg_cube",
     "win_running_sum",
     "etl_latest_per_key",
+    # r3: the full corpus pipeline + two-phase global rank, so the sf1
+    # ratios below have same-suite sf0.1 denominators
+    "pipeline_training_corpus_neardup",
+    "text_global_shuffle",
 ]
+
+
+# The 10× scaling spot-check (VERDICT r2 item 3): one measured point above
+# sf0.1 so SCALE.md's per-shape linearity claims are empirical. Queries are
+# the shapes whose scaling is argued hardest: partial/final agg, fact-fact
+# shuffle join, MinHash banding + components, the full corpus pipeline,
+# and the two-phase global rank.
+SF1_QUERIES = [
+    "agg_groupby_pricing",
+    "join_multi_3way",
+    "dedup_minhash_lsh",
+    "pipeline_training_corpus_neardup",
+    "text_global_shuffle",
+]
+
+
+def _sf1_dir() -> str | None:
+    """testdata_sf1 lives in the repo (testdata/ is read-only) and is
+    generated on demand — 84 MB of derived parquet has no business in
+    git, so a fresh checkout rebuilds it deterministically (~30 s)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    d = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(here, "testdata_sf1")
+    )
+    if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "gen_sf1.py"), d],
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            return None
+    return d
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    # cold start (VERDICT r2 item 9): the driver amortizes ONE session
+    # across all of queries(), so a heavy import in load_all or a slow
+    # session build would hide from per-query timings — measure it.
+    t0 = time.perf_counter()
     spark = get_session("pyetl-spark-bench")
     registry.load_all()
+    session_secs = time.perf_counter() - t0
 
     # warm-up: trigger codegen/classloading on a tiny slice of the plans
+    t0 = time.perf_counter()
     registry.QUERIES["agg_groupby_pricing"](spark, sf_dir).limit(1).count()
+    first_query_secs = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
@@ -78,17 +124,41 @@ def main() -> None:
         timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_start": {
+            "session_secs": round(session_secs, 3),
+            "first_query_secs": round(first_query_secs, 3),
+        },
+    }
+
+    # sf1 spot-check (single run each — these are the big ones; the
+    # comparison target is the sf0.1 timing of the SAME query, so the
+    # interesting number is the ratio, not the absolute)
+    sf1 = _sf1_dir()
+    if sf1 is not None and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        sf1_timings: dict[str, float] = {}
+        for key in SF1_QUERIES:
+            start = time.perf_counter()
+            registry.QUERIES[key](spark, sf1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sf1_timings[key] = round(time.perf_counter() - start, 3)
+        out["sf1"] = {
+            "sf": 1.0,
+            "queries": sf1_timings,
+            "ratio_vs_sf01": {
+                k: round(sf1_timings[k] / timings[k], 1)
+                for k in sf1_timings
+                if k in timings and timings[k] > 0
+            },
+        }
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -178,54 +178,69 @@ def _candidate_edges(banded: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """Linear candidate-edge families over banded rows — never the
     B²/2 in-bucket clique, and never a single-task whole-bucket sort.
 
-    Three families, ≤ 2 + small edges per (doc, band) row:
+    Every window below partitions by the SALTED sub-bucket key
+    (``xxhash64(_id) % salt_buckets``) or by a frame already reduced to
+    ≤ salt_buckets rows per bucket, so the largest single-task sort is
+    B/salt_buckets — a degenerate 90 %-one-cluster corpus never funnels
+    into one straggler task (the hazard of min()/lag() over a raw
+    (band_idx, band_hash) window, which AQE cannot split).
 
-    - STAR: member → bucket-min hub. The hub comes from a
-      ``groupBy().min()`` (map-side combinable partial aggregate — a
-      degenerate bucket is pre-shrunk to one row per map task before the
-      exchange) joined back on the bucket key. The join probe on a
-      skewed bucket is an AQE-skew-splittable hash join, NOT a Window
-      sort — this is the fix for the straggler-task hazard of
-      ``min().over(Window)``: windows can't be skew-split, joins can.
-    - CHAIN: member → id-order predecessor WITHIN A SALTED SUB-BUCKET
-      (``xxhash64(_id) % salt_buckets``). The per-task sort is bounded
-      by B/salt_buckets, so a 90 %-one-cluster corpus never funnels into
-      one sort task. Chains keep near neighbors connected even when the
-      hub is a Jaccard outlier.
-    - SUB-HUB CHAIN: the ≤ salt_buckets sub-bucket minima of each bucket
-      chained in id order (a Window over ≤ salt_buckets rows per bucket
-      — trivially bounded), restoring whole-bucket connectivity across
-      salt groups.
+    Two window passes, ≤ 2 + small edges per (doc, band) row:
+
+    1. over (band, hash, salt): sub-hub STAR (member → sub-bucket min)
+       and CHAIN (member → id-order predecessor) — min and lag share
+       one window spec, so this is ONE sort of the banded rows.
+    2. over (band, hash) on the ≤ salt_buckets sub-hub rows per bucket:
+       HUB STAR (sub-hub → bucket min) and HUB CHAIN (sub-hub →
+       predecessor sub-hub) — connects the salt groups; the frame is
+       salt_buckets× smaller than the corpus.
+
+    Connectivity: member → sub-hub → bucket-hub transitively links every
+    bucket member; chains give near-neighbor fallbacks when a hub is a
+    Jaccard outlier (all edges are exact-verified downstream).
     """
     from pyspark.sql import Window
 
-    hubs = banded.groupBy("band_idx", "band_hash").agg(
-        F.min("_id").alias("hub")
-    )
-    star = (
-        banded.join(hubs, ["band_idx", "band_hash"])
-        .filter(F.col("_id") != F.col("hub"))
-        .select(F.col("hub").alias("id_a"), F.col("_id").alias("id_b"))
-    )
     salted = banded.withColumn(
         "_salt", F.pmod(F.xxhash64("_id"), F.lit(salt_buckets))
     )
     w_sub = Window.partitionBy("band_idx", "band_hash", "_salt").orderBy("_id")
-    chain = (
-        salted.withColumn("prev", F.lag("_id").over(w_sub))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
+    # the three consumers below re-derive this frame, but they share one
+    # physical shuffle via ReusedExchange (same canonical Exchange on
+    # (band, hash, salt)) — no pinning needed, and the plan stays
+    # introspectable (tests/test_plans.py reads the Window specs)
+    first = salted.select(
+        "band_idx",
+        "band_hash",
+        "_salt",
+        "_id",
+        F.min("_id").over(w_sub).alias("sub_hub"),
+        F.lag("_id").over(w_sub).alias("prev"),
     )
-    sub_hubs = salted.groupBy("band_idx", "band_hash", "_salt").agg(
-        F.min("_id").alias("_id")
+    star = first.filter(F.col("_id") != F.col("sub_hub")).select(
+        F.col("sub_hub").alias("id_a"), F.col("_id").alias("id_b")
+    )
+    chain = first.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("id_a"), F.col("_id").alias("id_b")
+    )
+    sub_hubs = first.filter(F.col("_id") == F.col("sub_hub")).select(
+        "band_idx", "band_hash", "_id"
     )
     w_hub = Window.partitionBy("band_idx", "band_hash").orderBy("_id")
-    hub_chain = (
-        sub_hubs.withColumn("prev", F.lag("_id").over(w_hub))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("_id").alias("id_b"))
+    second = sub_hubs.select(
+        "_id",
+        F.min("_id").over(w_hub).alias("hub"),
+        F.lag("_id").over(w_hub).alias("prev"),
     )
-    return star.unionAll(chain).unionAll(hub_chain).distinct()
+    hub_star = second.filter(F.col("_id") != F.col("hub")).select(
+        F.col("hub").alias("id_a"), F.col("_id").alias("id_b")
+    )
+    hub_chain = second.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("id_a"), F.col("_id").alias("id_b")
+    )
+    return (
+        star.unionAll(chain).unionAll(hub_star).unionAll(hub_chain).distinct()
+    )
 
 
 def minhash_dedup_assign(
