@@ -169,3 +169,81 @@ def cosine_topk_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_dedup_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTER assignment — the scale twin of
+    the exact pairwise `dedup_embedding_cosine` (which is quadratic and
+    exists id-bounded for the oracle).
+
+    Same contract and edge machinery as MinHash's `minhash_dedup_assign`
+    (operators/minhash._candidate_edges — salted star/chain families,
+    linear in corpus × bands, skew-bounded per task), with SRP banding
+    in place of minhash banding: vectors sharing any signature band
+    become candidate neighbors (P[bit match] = 1 - angle/π), candidate
+    EDGES are verified with exact cosine ≥ threshold, and connected
+    components close transitive chains.
+
+    Returns (``id_col``, keeper_id): keeper = min id of the verified
+    near-dup cluster; singletons keep themselves. Cost: one signature
+    pass (JVM folds), one band shuffle, ≤ ~2·bands edges per vector to
+    verify, O(log diameter) component rounds.
+    """
+    from pyetl_spark.operators.components import connected_components
+    from pyetl_spark.operators.minhash import _candidate_edges
+
+    rows = n_bits // bands
+    mask = (1 << rows) - 1
+    sig = srp_signature(F.col(vec_col), n_bits, dim, seed)
+    banded = vectors.withColumn("_sig", sig).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sig"), rows * i).bitwiseAND(mask)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    edges = _candidate_edges(banded)
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    )
+    a = v.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"))
+    sim = (
+        _dot(F.col("_va"), F.col("_vb"))
+        / F.sqrt(_norm_sq(F.col("_va")))
+        / F.sqrt(_norm_sq(F.col("_vb")))
+    )
+    verified = (
+        edges.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(sim >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    return (
+        vectors.select(F.col(id_col).alias(id_col))
+        .join(
+            comp.select(
+                F.col("node").alias(id_col),
+                F.col("component").alias("keeper_id"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col, F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id")
+        )
+    )

@@ -306,3 +306,34 @@ def vec_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_probe.orderBy("probe_id")
+
+
+@query("dedup_embedding_lsh")  # Tier B — approximate, rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTER assignment at scale (north star:
+    embedding near-dup as a first-class corpus op): SRP banding proposes
+    neighbor candidates, exact cosine verifies ≤ ~2·bands edges per
+    vector, connected components assign keepers — the corpus-linear twin
+    of the quadratic `dedup_embedding_cosine` oracle fixture, sharing
+    the skew-hardened edge machinery with `dedup_minhash_lsh`
+    (operators/minhash._candidate_edges).
+
+    Parameters are the realistic near-dup setting: threshold 0.9 with
+    32-bit signatures in 8-bit bands — near pairs (cos ≥ 0.9) hit a
+    band with p ≈ 1-(1-0.857⁸)⁴ ≈ 75 %+ (and usually connect through
+    multiple routes), while random 64-d pairs land in the same band
+    only ~1.5 % of the time, keeping the verify join corpus-linear.
+    The synthetic fixture has no ≥ 0.9 pairs, so here every vector
+    keeps itself; the quality evidence is the planted-cluster recovery
+    test in tests/test_approx_operators.py (20 clusters × 8 members
+    among 100 spread singletons — all recovered, nothing over-merged)."""
+    from pyetl_spark.operators.knn import embedding_dedup_assign
+
+    e = load_tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return embedding_dedup_assign(
+        e, id_col="vec_id", vec_col="e", threshold=0.9,
+        n_bits=32, bands=4, dim=64,
+    ).orderBy("vec_id")

@@ -323,3 +323,57 @@ def test_minhash_assign_adversarial_skew(spark):
     tail = assign.filter(F.col("doc_id") >= int(n * 0.9))
     assert tail.filter(F.col("doc_id") != F.col("keeper_id")).count() == 0
     assign.unpersist()
+
+
+def test_embedding_dedup_assign_recovers_clusters(spark):
+    """SRP-banded embedding dedup must recover planted near-dup clusters:
+    20 clusters of 8 members (center + small noise, pairwise cos > 0.98)
+    among 100 spread singletons. Every cluster collapses to its min id;
+    no singleton is merged into anything."""
+    import math
+    import random
+
+    from pyetl_spark.operators.knn import embedding_dedup_assign
+
+    rng = random.Random(7)
+    dim = 64
+
+    def rand_unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    vid = 0
+    truth = {}  # vid -> cluster keeper
+    for c in range(20):
+        center = rand_unit()
+        keeper = vid
+        for _ in range(8):
+            noisy = [x + rng.gauss(0, 0.01) for x in center]
+            rows.append((vid, noisy))
+            truth[vid] = keeper
+            vid += 1
+    for _ in range(100):
+        rows.append((vid, rand_unit()))
+        truth[vid] = vid
+        vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+    got = {
+        r["vec_id"]: r["keeper_id"]
+        for r in embedding_dedup_assign(
+            vecs, id_col="vec_id", vec_col="e", threshold=0.95,
+            n_bits=32, bands=4, dim=dim,
+        ).collect()
+    }
+    assert len(got) == len(truth)
+    # singletons never merge (precision): random unit vectors in R^64
+    # are nowhere near cos 0.95
+    for v, k in truth.items():
+        if v == k and truth.get(k) == k and v >= 160:
+            assert got[v] == v
+    # clusters collapse (recall): allow SRP to miss at most 1 of 160
+    planted = [v for v in truth if v < 160]
+    hits = sum(1 for v in planted if got[v] == truth[v])
+    assert hits >= len(planted) - 1, (hits, len(planted))
