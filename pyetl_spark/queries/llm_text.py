@@ -2091,3 +2091,66 @@ def dedup_levenshtein_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "name_a", "name_b",
                 lev.alias("edit_dist"))
     )
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, n - 2),
+               i -> {TX.token_hash_sql(
+                   "array_to_string(list_slice(toks, i, i + 2), ' ')")}
+             ) AS gh
+      FROM g WHERE n >= 6
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(gh) - 3),
+               j -> list_aggregate(list_slice(gh, j, j + 3), 'min')
+             )) AS fps
+      FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (north star: robust document
+    fingerprinting; the MOSS algorithm): hash every k=3-gram of the token
+    stream, then keep the MINIMUM hash of every sliding w=4 window of
+    gram hashes — the classic guarantee that any shared substring of
+    length ≥ k+w-1 tokens between two documents yields at least one
+    shared fingerprint, while storing only ~1/w of the gram hashes.
+    Unlike the whole-doc rolling hash (`text_fingerprint`) this
+    fingerprints PARTIAL overlap: plagiarized/quoted spans, boilerplate,
+    near-identical docs with edits.
+
+    Scale shape: everything up to the final explode is per-doc ARRAY
+    algebra (slice/transform/array_min folds — JVM codegen, zero
+    shuffles, zero Python); output is ~grams/w rows per doc. The
+    cross-engine 24-bit md5 token hash (operators/text.py) keeps both
+    engines bit-identical."""
+    k, w = 3, 4
+    d = load_tables(spark, sf_dir).documents
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: TX.token_hash(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    return (
+        d.filter(n >= k + w - 1)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )

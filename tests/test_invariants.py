@@ -402,3 +402,40 @@ def test_global_shuffle_rank_partition_invariant(spark):
         .collect()
     }
     assert r_other != r4
+
+
+def test_winnowing_guarantee(spark, tmp_path):
+    """The winnowing contract (k=3, w=4): two docs sharing a contiguous
+    span of ≥ k+w-1 = 6 tokens MUST share at least one fingerprint;
+    docs with fully disjoint vocabularies must share none."""
+    import os
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "red blue green yellow purple orange pink brown black white"),
+    ]
+    base = os.path.join(str(tmp_path), "sf")
+    os.makedirs(base, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        dst = os.path.join(base, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+    from pyetl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["text_winnowing_fingerprint"](spark, base)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 10-token span must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
