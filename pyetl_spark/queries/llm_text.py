@@ -2144,13 +2144,15 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: TX.token_hash(F.concat_ws(" ", F.slice(toks, i, k))),
     )
+    # materialize the gram-hash array as its own projection: referenced
+    # from inside the window lambda it would be RE-COMPUTED per window
+    # element (O(m²) md5 calls per doc); as a column it hashes once per
+    # row (plan shows a single md5 transform)
+    base = d.filter(n >= k + w - 1).select("doc_id", grams.alias("_grams"))
     fps = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
-            lambda j: F.array_min(F.slice(grams, j, w)),
+            F.sequence(F.lit(1), F.size("_grams") - (w - 1)),
+            lambda j: F.array_min(F.slice("_grams", j, w)),
         )
     )
-    return (
-        d.filter(n >= k + w - 1)
-        .select("doc_id", F.explode(fps).alias("fp"))
-    )
+    return base.select("doc_id", F.explode(fps).alias("fp"))

@@ -409,3 +409,15 @@ def test_global_shuffle_rank_single_pinned_shuffle(spark):
     # dense-permutation sanity on the pinned path
     ranks = sorted(r[0] for r in out.select("shuffle_rank").collect())
     assert ranks == list(range(len(ranks)))
+
+
+def test_winnowing_hashes_grams_once(spark):
+    """The gram-hash array must be materialized as its own projection —
+    referenced from inside the window lambda it would be re-computed per
+    window element (O(m²) md5 calls per doc). One md5 transform in the
+    plan, one narrow WholeStageCodegen pass, read schema pruned to
+    (doc_id, text), no shuffle before the explode."""
+    plan = plan_of(spark, "text_winnowing_fingerprint", mode="simple")
+    assert plan.count("md5") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
