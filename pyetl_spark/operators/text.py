@@ -104,6 +104,124 @@ def fingerprint(toks: Column) -> Column:
     )
 
 
+def winnow_grams(toks: Column, k: int = 3) -> Column:
+    """Array of k-gram hashes over the token sequence (cross-engine
+    md5 token hash). NOTE: materialize this as its OWN projection before
+    sliding windows over it — referenced inside another array lambda,
+    Catalyst re-evaluates the whole transform per element (O(m²))."""
+    n = F.size(toks)
+    # total function: sequence(1, 0) yields a DESCENDING [1, 0] in Spark
+    # (slice start 0 then throws), and optimizers are free to evaluate
+    # this projection before any guarding filter — so guard in-expression
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: token_hash(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fps(grams_col: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint set from a MATERIALIZED gram-hash array
+    column: distinct minima of every sliding w-window — any shared
+    token span of length ≥ k+w-1 between two docs shares ≥ 1 value."""
+    return F.when(
+        F.size(grams_col) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(grams_col) - (w - 1)),
+                lambda j: F.array_min(F.slice(grams_col, j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnowing_dedup_assign(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.5,
+):
+    """Partial-overlap near-dup CLUSTER assignment via winnowing
+    fingerprints — the ordered-span sibling of MinHash dedup (token-SET
+    similarity) and SRP embedding dedup (semantic similarity): two docs
+    cluster when ≥ ``threshold`` of the smaller one's fingerprints are
+    shared, which winnowing guarantees happens whenever they share long
+    contiguous token spans (quotes, boilerplate, edited copies).
+
+    Same scale contract as `minhash_dedup_assign`, and literally the
+    same edge machinery (operators/minhash._candidate_edges with the
+    fingerprint VALUE as the bucket key): ≤ ~2 candidate edges per
+    (doc, fingerprint) row, salted windows bound per-task work on hot
+    fingerprints (common boilerplate phrases), containment-verified
+    edges, connected components. Docs too short to fingerprint
+    (< k+w-1 tokens) keep themselves.
+
+    Returns (``id_col``, keeper_id).
+    """
+    from pyetl_spark.operators.components import connected_components
+    from pyetl_spark.operators.minhash import _candidate_edges
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # gram hash here is xxhash64, NOT the cross-engine md5 hash the
+    # Tier-A fingerprint query needs: no oracle reads these values, and
+    # xxhash64 is JVM-codegen'd vs md5's hex round-trip (~4× cheaper on
+    # the hottest expression in the pipeline)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = docs.filter(n >= k + w - 1).select(
+        F.col(id_col).alias("_id"), grams.alias("_grams")
+    )
+    # PIN the fingerprint sets: they fan out to the edge union's window
+    # branches AND both sides of the containment verify — unpinned, the
+    # token→gram→winnow expression chain re-executes ~7× (measured 33 s
+    # → 9 s at sf0.01). Same lineage-truncation pattern as components.py.
+    fpsets = base.select(
+        "_id", winnow_fps(F.col("_grams"), w).alias("_fps")
+    ).localCheckpoint(eager=True)
+    banded = fpsets.select(
+        "_id",
+        F.lit(0).alias("band_idx"),
+        F.explode("_fps").alias("band_hash"),
+    )
+    edges = _candidate_edges(banded)
+    a = fpsets.select(F.col("_id").alias("id_a"), F.col("_fps").alias("_fa"))
+    b = fpsets.select(F.col("_id").alias("id_b"), F.col("_fps").alias("_fb"))
+    containment = F.size(F.array_intersect("_fa", "_fb")).cast(
+        "double"
+    ) / F.least(F.size("_fa"), F.size("_fb")).cast("double")
+    verified = (
+        edges.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(containment >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(verified, src="id_a", dst="id_b")
+    return (
+        docs.select(F.col(id_col).alias(id_col))
+        .join(
+            comp.select(
+                F.col("node").alias(id_col),
+                F.col("component").alias("keeper_id"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col, F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id")
+        )
+    )
+
+
 # ---------------------------------------------------------------- SQL twins
 
 def _stopword_hits_sql(toks: str, lang: str) -> str:

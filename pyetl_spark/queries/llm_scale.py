@@ -337,3 +337,22 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="e", threshold=0.9,
         n_bits=32, bands=4, dim=64,
     ).orderBy("vec_id")
+
+
+@query("dedup_winnowing")  # Tier B — approximate, rows-only
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap near-dup clusters via winnowing fingerprints
+    (north star: span-level dedup — quotes, boilerplate, edited copies
+    that token-set Jaccard under-scores): docs cluster when ≥ 50 % of
+    the smaller doc's fingerprints are shared. Reuses the salted edge
+    machinery (fingerprint value = bucket key) + containment verify +
+    connected components; corpus-linear, skew-bounded on hot
+    boilerplate fingerprints. Quality gates: planted-overlap tests in
+    tests/test_approx_operators.py; `text_winnowing_fingerprint` is the
+    Tier-A oracle-matched fingerprint layer underneath."""
+    from pyetl_spark.operators.text import winnowing_dedup_assign
+
+    d = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    return winnowing_dedup_assign(
+        d, id_col="doc_id", text_col="text", threshold=0.5
+    ).orderBy("doc_id")

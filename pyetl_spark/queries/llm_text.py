@@ -2139,20 +2139,13 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = 3, 4
     d = load_tables(spark, sf_dir).documents
     toks = TX.tokens(F.col("text"))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: TX.token_hash(F.concat_ws(" ", F.slice(toks, i, k))),
-    )
     # materialize the gram-hash array as its own projection: referenced
     # from inside the window lambda it would be RE-COMPUTED per window
     # element (O(m²) md5 calls per doc); as a column it hashes once per
     # row (plan shows a single md5 transform)
-    base = d.filter(n >= k + w - 1).select("doc_id", grams.alias("_grams"))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_grams") - (w - 1)),
-            lambda j: F.array_min(F.slice("_grams", j, w)),
-        )
+    base = d.filter(F.size(toks) >= k + w - 1).select(
+        "doc_id", TX.winnow_grams(toks, k).alias("_grams")
     )
-    return base.select("doc_id", F.explode(fps).alias("fp"))
+    return base.select(
+        "doc_id", F.explode(TX.winnow_fps(F.col("_grams"), w)).alias("fp")
+    )

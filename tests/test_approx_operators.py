@@ -377,3 +377,29 @@ def test_embedding_dedup_assign_recovers_clusters(spark):
     planted = [v for v in truth if v < 160]
     hits = sum(1 for v in planted if got[v] == truth[v])
     assert hits >= len(planted) - 1, (hits, len(planted))
+
+
+def test_winnowing_dedup_partial_overlap(spark):
+    """Winnowing dedup must catch ORDERED-SPAN overlap that token-set
+    similarity understates: an edited copy sharing a long span clusters
+    with its source; docs with disjoint vocabularies never merge; docs
+    shorter than k+w-1 tokens keep themselves."""
+    from pyetl_spark.operators.text import winnowing_dedup_assign
+
+    span = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (0, span + " tailA tailB tailC"),
+        (1, "headX headY " + span),               # shares the 30-token span
+        (2, " ".join(f"d2_{i}" for i in range(30))),
+        (3, " ".join(f"d3_{i}" for i in range(30))),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in winnowing_dedup_assign(docs, threshold=0.5).collect()
+    }
+    assert got[0] == 0 and got[1] == 0, got    # span overlap clusters
+    assert got[2] == 2 and got[3] == 3, got    # disjoint stay apart
+    assert got[4] == 4, got                    # short doc keeps itself
+    assert len(got) == 5
