@@ -53,9 +53,11 @@ HEADLINE = [
     "win_running_sum",
     "etl_latest_per_key",
     # r3: the full corpus pipeline + two-phase global rank, so the sf1
-    # ratios below have same-suite sf0.1 denominators
+    # ratios below have same-suite sf0.1 denominators, and the new
+    # winnowing dedup family's regression sentinel
     "pipeline_training_corpus_neardup",
     "text_global_shuffle",
+    "dedup_winnowing",
 ]
 
 
