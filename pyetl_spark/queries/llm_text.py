@@ -289,7 +289,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same lang-blocked pair join; MinHash banding is the scale path."""
     d = load_tables(spark, sf_dir).documents
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
+    # total function: for sub-3-token docs Spark's sequence(1, n-2) goes
+    # DESCENDING through 0 (element_at(0) throws) while the oracle's
+    # generate_series returns [] — guard to the oracle's semantics
+    shingles = F.when(F.size(toks) < 3, F.array().cast("array<string>")).otherwise(F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 2),
             lambda i: F.concat_ws(
@@ -299,7 +302,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(toks, i + 2),
             ),
         )
-    )
+    ))
     sh = d.filter(F.size(toks) >= 3).select(
         "doc_id", "lang", shingles.alias("s")
     )
@@ -1059,7 +1062,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join."""
     d = load_tables(spark, sf_dir).documents
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
+    # total function (same guard as the 3-gram site): sub-5-token docs
+    # must yield [] like the oracle's generate_series, not a descending
+    # sequence through element_at(0)
+    shingles = F.when(
+        F.size(toks) < 5, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 4),
             lambda i: F.concat_ws(
@@ -1071,7 +1079,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.element_at(toks, i + 4),
             ),
         )
-    )
+    ))
     sh = d.filter(F.size(toks) >= 5).select(
         "doc_id", shingles.alias("s")
     )
