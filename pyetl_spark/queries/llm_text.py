@@ -2157,3 +2157,46 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", F.explode(TX.winnow_fps(F.col("_grams"), w)).alias("fp")
     )
+
+
+@query(
+    "text_shard_assign",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS BIGINT) AS r
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(r % 8 AS BIGINT) AS shard,
+           CAST(r // 8 AS BIGINT) AS shard_pos
+    FROM ranked
+    """,
+)
+def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balanced corpus export assignment (north star: the step
+    after "shuffle the corpus" — training runs read N equal shards in
+    parallel): every doc gets (shard, shard_pos) from its position in
+    the seeded global permutation. Round-robin on the shuffle rank makes
+    shard sizes equal ±1 doc BY CONSTRUCTION — no skew, no reliance on
+    hash uniformity — and shard_pos is the read order within the shard,
+    so (shard, shard_pos) is a complete, reproducible shard layout.
+
+    Engine path: distributed two-phase rank (operators/global_rank.py,
+    pinned range shuffle, O(partitions) driver state) + two integer ops;
+    the oracle is the single-window form, so the hash match proves the
+    distributed rank exact. The matching SINK
+    (operators/corpus_shards.write_corpus_shards) writes
+    partitionBy(shard) parquet with shard_pos preserved."""
+    from pyetl_spark.operators.global_rank import global_shuffle_rank
+
+    n_shards = 8
+    d = load_tables(spark, sf_dir).documents.select("doc_id")
+    return global_shuffle_rank(d, "doc_id", seed=42).select(
+        "doc_id",
+        (F.col("shuffle_rank") % n_shards).cast("long").alias("shard"),
+        # integer div, not double-divide-and-truncate: exact at any rank
+        F.expr(f"shuffle_rank div {n_shards}").cast("long").alias("shard_pos"),
+    )

@@ -439,3 +439,52 @@ def test_winnowing_guarantee(spark, tmp_path):
     assert fps[1] & fps[2], "shared 10-token span must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_corpus_shards_balanced_and_reproducible(spark, tmp_path):
+    """Shard export contract: sizes equal ±1 BY CONSTRUCTION (round-robin
+    on the dense rank, not hash luck), same seed → identical layout,
+    different seed → different permutation, readback prunes to one
+    shard's file and recovers the exact within-shard order."""
+    import os
+
+    from pyetl_spark.operators.corpus_shards import (
+        assign_shards,
+        write_corpus_shards,
+    )
+    from pyetl_spark.tables import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001").documents.select(
+        "doc_id"
+    )
+    n = docs.count()
+    a1 = assign_shards(docs, n_shards=8, seed=7)
+    sizes = {r["shard"]: r["n"] for r in
+             a1.groupBy("shard").count().withColumnRenamed("count", "n").collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    assert sum(sizes.values()) == n
+    # reproducible across invocations; seed changes the permutation
+    r1 = sorted(map(tuple, a1.collect()))
+    r2 = sorted(map(tuple, assign_shards(docs, n_shards=8, seed=7).collect()))
+    r3 = sorted(map(tuple, assign_shards(docs, n_shards=8, seed=8).collect()))
+    assert r1 == r2
+    assert r1 != r3
+    # (shard, shard_pos) is a bijection onto 0..n-1 of the rank space
+    assert len({(s, p) for _, s, p in r1}) == n
+
+    out = os.path.join(str(tmp_path), "shards")
+    write_corpus_shards(docs, out, n_shards=8, seed=7)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    one = spark.read.parquet(os.path.join(out, "shard=3"))
+    rows = one.collect()
+    expect = sorted(
+        [(d, p) for d, s, p in r1 if s == 3], key=lambda t: t[1]
+    )
+    assert [(r["doc_id"], r["shard_pos"]) for r in
+            sorted(rows, key=lambda r: r["shard_pos"])] == expect
+    # one file per shard (the 1:1 shard:file contract)
+    files = [f for f in os.listdir(os.path.join(out, "shard=3"))
+             if f.endswith(".parquet")]
+    assert len(files) == 1, files
