@@ -315,3 +315,87 @@ def minhash_dedup_assign(
             F.coalesce("keeper_id", "doc_id").alias("keeper_id"),
         )
     )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable LSH index of a deduplicated corpus: one row per
+    (keeper doc, band) — ``(keeper_id, band_idx, band_hash)``. Build it
+    once from the kept docs (post ``minhash_dedup_assign``), write it as
+    a parquet table bucketed/partitioned however the store likes, and
+    incremental ingests join against it instead of re-banding 100 TB.
+    Size: bands rows per kept doc."""
+    return _banded(docs, id_col, tokens_col, num_hashes, bands, seed).select(
+        F.col("_id").alias("keeper_id"),
+        "band_idx",
+        "band_hash",
+    )
+
+
+def minhash_assign_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus_tokens: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign a NEW batch of docs against an EXISTING deduplicated corpus
+    without recomputing it — the daily-ingest contract: cost is
+    O(|new| · bands) signature work plus joins keyed on the (band, hash)
+    buckets and doc ids, never a corpus re-scan (the corpus participates
+    only through the prebuilt ``minhash_index`` and a token lookup for
+    verification).
+
+    Returns (``id_col``, keeper_id): keeper = the id of the matched
+    existing cluster representative (min id among verified band-bucket
+    matches), or the doc's own id when nothing matches (a NEW keeper —
+    the caller appends those to the index). New docs are matched against
+    the corpus only, not each other — run ``minhash_dedup_assign`` on
+    the batch first if intra-batch dups matter (the streaming twin's
+    within-watermark dedup usually owns that).
+
+    Semantics match the batch operator's star edges: a new doc joins the
+    cluster of any keeper sharing a band bucket whose exact Jaccard
+    clears the threshold; ties pick the smallest keeper id.
+    """
+    new_banded = _banded(new_docs, id_col, tokens_col, num_hashes, bands, seed)
+    cands = (
+        new_banded.join(index, ["band_idx", "band_hash"])
+        .select(F.col("_id").alias("new_id"), "keeper_id")
+        .distinct()
+    )
+    nt = new_docs.select(
+        F.col(id_col).alias("new_id"), F.col(tokens_col).alias("_tn")
+    )
+    kt = corpus_tokens.select(
+        F.col(id_col).alias("keeper_id"), F.col(tokens_col).alias("_tk")
+    )
+    inter = F.size(F.array_intersect("_tn", "_tk")).cast("double")
+    union = F.size(F.array_union("_tn", "_tk")).cast("double")
+    verified = (
+        cands.join(nt, "new_id")
+        .join(kt, "keeper_id")
+        .filter((inter / union) >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias(id_col))
+        .join(
+            verified.withColumnRenamed("new_id", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
+        )
+    )

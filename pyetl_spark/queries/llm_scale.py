@@ -356,3 +356,36 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_dedup_assign(
         d, id_col="doc_id", text_col="text", threshold=0.5
     ).orderBy("doc_id")
+
+
+@query("dedup_minhash_incremental")  # Tier B — approximate, rows-only
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest (north star: a 100 TB corpus is not
+    re-deduped per day — the daily batch joins a prebuilt LSH index):
+    the fixture's first 80 % of docs play the deduplicated corpus (batch
+    `minhash_dedup_assign` + `minhash_index`), the last 20 % arrive as
+    the new batch and get keepers via `minhash_assign_incremental` —
+    cost O(|new|·bands) signatures + bucket joins, no corpus re-band.
+    Agreement with one-shot batch dedup is pinned in
+    tests/test_approx_operators.py::test_minhash_incremental_matches_batch."""
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_dedup_assign,
+        minhash_index,
+    )
+
+    toks = _doc_tokens(spark, sf_dir)
+    n_max = toks.agg(F.max("doc_id")).first()[0] or 0
+    cut = int(n_max * 0.8)
+    corpus, new = toks.filter(F.col("doc_id") < cut), toks.filter(
+        F.col("doc_id") >= cut
+    )
+    assign = minhash_dedup_assign(corpus, threshold=0.8)
+    kept = corpus.join(
+        assign.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
+        "doc_id",
+    )
+    index = minhash_index(kept)
+    return minhash_assign_incremental(
+        new, index, kept, threshold=0.8
+    ).orderBy("doc_id")

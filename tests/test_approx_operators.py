@@ -403,3 +403,60 @@ def test_winnowing_dedup_partial_overlap(spark):
     assert got[2] == 2 and got[3] == 3, got    # disjoint stay apart
     assert got[4] == 4, got                    # short doc keeps itself
     assert len(got) == 5
+
+
+def test_minhash_incremental_matches_batch(spark, tmp_path):
+    """The daily-ingest contract: building the corpus in two steps
+    (batch dedup on part 1, then incremental assignment of part 2
+    against the part-1 index) must agree with what batch dedup says
+    about part-2 docs that near-duplicate part-1 keepers — and docs
+    with fresh content must come back as their own (new) keepers."""
+    import os
+
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_dedup_assign,
+        minhash_index,
+    )
+
+    base = [f"w{j}" for j in range(40)]
+    fresh = [f"f{j}" for j in range(40)]
+    part1 = [
+        (0, base + ["a0"]), (1, base + ["a1"]),        # cluster -> keeper 0
+        (2, [f"x{j}" for j in range(40)]),             # singleton
+    ]
+    part2 = [
+        (10, base + ["a9"]),     # near-dup of the existing cluster -> 0
+        (11, fresh + ["b0"]),    # genuinely new -> keeps itself
+        (12, [f"y{j}" for j in range(40)]),            # new singleton
+    ]
+    d1 = spark.createDataFrame(part1, "doc_id long, tokens array<string>")
+    d2 = spark.createDataFrame(part2, "doc_id long, tokens array<string>")
+
+    assign1 = minhash_dedup_assign(d1, threshold=0.8)
+    keepers = assign1.filter(F.col("doc_id") == F.col("keeper_id")).select(
+        "doc_id"
+    )
+    kept = d1.join(keepers, "doc_id")
+    # persist the index like a real pipeline would (parquet round-trip)
+    idx_path = os.path.join(str(tmp_path), "minhash_index")
+    minhash_index(kept).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_assign_incremental(
+            d2, index, kept, threshold=0.8
+        ).collect()
+    }
+    assert got == {10: 0, 11: 11, 12: 12}, got
+
+    # cross-check vs one-shot batch dedup over the union: doc 10 joins
+    # the same cluster there too
+    union_assign = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_dedup_assign(
+            d1.unionByName(d2), threshold=0.8
+        ).collect()
+    }
+    assert union_assign[10] == 0
