@@ -18,6 +18,7 @@ _MODULES = [
     "scalar_fns",
     "events_windows",
     "analytics",
+    "timeseries",
     "llm_text",
     "llm_vec",
     "llm_scale",

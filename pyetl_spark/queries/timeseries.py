@@ -1,0 +1,471 @@
+"""Time-series + table-maintenance operators: OHLC resampling, linear
+interpolation over a gap-filled spine, cascading multi-grain rollups
+(hypertable-style), interval-overlap joins, MERGE/upsert semantics, and
+deterministic per-group sampling. All Tier A (oracle-matched).
+
+Scale notes per operator live in the docstrings; the common theme is that
+every one is a single keyed shuffle (or a broadcast), with all arithmetic
+on exact integer grids (epoch-µs, cents) so the DuckDB oracle hashes
+bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyetl_spark.parity import FXP, R, fxp, msum, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+# Deterministic total-order key for arg_min/arg_max across engines: neither
+# DuckDB's arg_min nor Spark's min_by accepts a composite (struct) ordering
+# key, so ties on ts would be nondeterministic. A zero-padded
+# "epoch_us-event_id" string orders lexicographically == numerically and
+# both engines build the identical string.
+_OKEY_FMT = "%020d-%020d"
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle=f"""
+    SELECT user_id,
+           date_trunc('hour', ts) AS bucket,
+           arg_min(value, printf('{_OKEY_FMT}', epoch_us(ts), event_id))
+             AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('{_OKEY_FMT}', epoch_us(ts), event_id))
+             AS close,
+           count(*) AS n_ticks,
+           {{msum}} AS volume
+    FROM events
+    GROUP BY 1, 2
+    """.replace(
+        "{msum}",
+        R(f"CAST(sum({FXP('value', 100)}) AS DOUBLE) / 100.0", 2),
+    ),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling (tick stream → hourly bars): open/close via
+    min_by/max_by on a deterministic (ts, event_id) order key, high/low as
+    plain min/max, volume as an exact integer-cents sum. One partial+final
+    hash aggregate on (user_id, hour) — the canonical map-side-combinable
+    shape; at 100 TB each executor emits one partial bar per key before
+    the single shuffle, so network cost is bars, not ticks."""
+    ev = load_tables(spark, sf_dir).events
+    okey = F.format_string(
+        _OKEY_FMT, F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("value"),
+            okey.alias("okey"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.min_by("value", F.col("okey")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("okey")).alias("close"),
+            F.count("*").alias("n_ticks"),
+            msum(F.col("value"), 100).alias("volume"),
+        )
+    )
+
+
+_INTERP = (
+    "CAST(prev_v AS DOUBLE) + CAST(next_v - prev_v AS DOUBLE)"
+    " * (CAST(gap_pos AS DOUBLE) / CAST(gap_span AS DOUBLE))"
+)
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '2024-01-01'
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE)
+      FROM spine WHERE d < DATE '2024-02-10'
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, sum({FXP('value', 100)}) AS cents
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT spine.d AS day, daily.cents AS known
+      FROM spine LEFT JOIN daily ON spine.d = daily.d
+    ),
+    bounded AS (
+      SELECT day, known,
+             last_value(known IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN known IS NOT NULL THEN day END
+               IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS prev_d,
+             first_value(known IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN known IS NOT NULL THEN day END
+               IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS next_d
+      FROM joined
+    )
+    SELECT day, (known IS NULL) AS interpolated,
+           {R(f"(CASE WHEN known IS NOT NULL THEN CAST(known AS DOUBLE) "
+              f"WHEN prev_v IS NOT NULL AND next_v IS NOT NULL "
+              f"THEN {_INTERP} END) / 100.0", 4)} AS daily_value
+    FROM (
+      SELECT day, known, prev_v, next_v,
+             CAST(day - prev_d AS BIGINT) AS gap_pos,
+             CAST(next_d - prev_d AS BIGINT) AS gap_span
+      FROM bounded
+    )
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days in a daily revenue series:
+    gap-filled spine (sequence-explode; the oracle spells it as the
+    equivalent RECURSIVE CTE) left-joined with exact integer-cents daily
+    sums, then prev/next known anchors via IGNORE-NULLS running windows
+    and the standard lerp on integer day offsets. Head/tail gaps (no
+    anchor on one side) stay NULL rather than extrapolating.
+
+    Scale shape: the spine is rows=days (driver-trivial); the daily
+    aggregate is the only data-sized shuffle. The two unbounded windows
+    run over the *spine-sized* frame, not the event stream — at 100 TB of
+    events this is still a few-thousand-row window after aggregation
+    (partition it by series key when there are many series)."""
+    ev = load_tables(spark, sf_dir).events
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-02-10").cast("date"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(fxp(F.col("value"), 100)).alias("known"))
+    )
+    joined = spine.join(daily, spine.day == daily.d, "left").select(
+        "day", "known"
+    )
+    wb = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    known_day = F.when(F.col("known").isNotNull(), F.col("day"))
+    bounded = joined.select(
+        "day",
+        "known",
+        F.last("known", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(known_day, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("known", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    gapped = bounded.select(
+        "day",
+        "known",
+        "prev_v",
+        "next_v",
+        F.datediff("day", "prev_d").cast("long").alias("gap_pos"),
+        F.datediff("next_d", "prev_d").cast("long").alias("gap_span"),
+    )
+    lerp = F.col("prev_v").cast("double") + (
+        F.col("next_v") - F.col("prev_v")
+    ).cast("double") * (
+        F.col("gap_pos").cast("double") / F.col("gap_span").cast("double")
+    )
+    cents = F.when(
+        F.col("known").isNotNull(), F.col("known").cast("double")
+    ).when(F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(), lerp)
+    return gapped.select(
+        "day",
+        F.col("known").isNull().alias("interpolated"),
+        rnd(cents / F.lit(100.0), 4).alias("daily_value"),
+    )
+
+
+_GRAIN_ORACLE = f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n, sum({FXP('value', 100)}) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket, event_type,
+           n AS n_events, {R('CAST(cents AS DOUBLE) / 100.0', 2)} AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', date_trunc('day', bucket), event_type,
+           CAST(sum(n) AS BIGINT), {R('CAST(sum(cents) AS DOUBLE) / 100.0', 2)}
+    FROM hourly GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', date_trunc('week', bucket), event_type,
+           CAST(sum(n) AS BIGINT), {R('CAST(sum(cents) AS DOUBLE) / 100.0', 2)}
+    FROM hourly GROUP BY 2, 3
+"""
+
+
+@query("events_rollup_multi_grain", oracle=_GRAIN_ORACLE)
+def events_rollup_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: hour bars from raw events, then
+    day bars re-aggregated FROM the hour bars, week bars from the day
+    bars — the continuous-aggregate pattern where each coarser grain reads
+    the finer materialization, never the raw stream. Only the hourly
+    aggregate touches event-sized data; day/week shuffles are bar-sized
+    (thousands of rows at any corpus size). Counts and integer cents
+    re-aggregate exactly, which is why the cascade is lossless."""
+    ev = load_tables(spark, sf_dir).events
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(fxp(F.col("value"), 100)).alias("cents"),
+        )
+    )
+    # localCheckpoint would be overkill at fixture scale; at 100 TB the
+    # hourly frame is the natural persist()/materialization point.
+    hourly = hourly.persist()
+    descale = lambda c: rnd(c.cast("double") / F.lit(100.0), 2)  # noqa: E731
+    hour_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        "bucket",
+        "event_type",
+        F.col("n").alias("n_events"),
+        descale(F.col("cents")).alias("total_value"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    day_out = daily.select(
+        F.lit("day").alias("grain"),
+        "bucket",
+        "event_type",
+        F.col("n").alias("n_events"),
+        descale(F.col("cents")).alias("total_value"),
+    )
+    week_out = (
+        daily.groupBy(
+            F.date_trunc("week", F.col("bucket")).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            F.lit("week").alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n").alias("n_events"),
+            descale(F.col("cents")).alias("total_value"),
+        )
+    )
+    return hour_out.unionAll(day_out).unionAll(week_out)
+
+
+_WINDOWS_SQL = """
+      SELECT p_partkey AS window_id,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL 1 DAY * ((p_partkey * 7) % 25)
+               + INTERVAL 1 HOUR * (p_partkey % 24) AS w_start,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL 1 DAY * ((p_partkey * 7) % 25)
+               + INTERVAL 1 HOUR * (p_partkey % 24 + 6 + p_partkey % 36)
+               AS w_end
+      FROM part WHERE p_partkey <= 40
+"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH windows AS ({_WINDOWS_SQL}),
+    spans AS (
+      SELECT event_id, ts AS e_start,
+             ts + INTERVAL 1 SECOND * (60 + event_id % 7200) AS e_end
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT w.window_id, s.event_id,
+           epoch_us(CASE WHEN w.w_end < s.e_end THEN w.w_end ELSE s.e_end END)
+             - epoch_us(CASE WHEN w.w_start > s.e_start THEN w.w_start
+                             ELSE s.e_start END) AS overlap_us
+    FROM windows w JOIN spans s
+      ON w.w_start < s.e_end AND s.e_start < w.w_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (maintenance windows × event spans) WITHOUT a
+    nested-loop scan: both interval sets are exploded onto the day buckets
+    they cover (`sequence` over date_trunc'd endpoints), equi-joined on
+    the bucket, de-duplicated (a pair overlapping midnight matches on two
+    buckets), then the exact strict-overlap predicate filters the
+    candidates. The oracle spells the same join as the plain range
+    predicate.
+
+    Scale shape: bucketing turns O(|W|·|S|) into O(candidates) with a
+    hash join on the bucket key; bucket granularity is the tuning knob
+    (match it to typical interval length so each interval lands in ~1-2
+    buckets). The windows side here is dim-sized → broadcast, so the
+    event side never shuffles at all."""
+    t = load_tables(spark, sf_dir)
+    t.register_views()
+    windows = spark.sql(_WINDOWS_SQL)
+    spans = (
+        t.events.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            F.col("ts").alias("e_start"),
+            (
+                F.col("ts")
+                + F.make_interval(
+                    secs=(F.lit(60) + F.col("event_id") % 7200).cast("double")
+                )
+            ).alias("e_end"),
+        )
+    )
+    day = lambda c: F.date_trunc("day", c).cast("date")  # noqa: E731
+    w_days = windows.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(F.sequence(day(F.col("w_start")), day(F.col("w_end")))).alias(
+            "bucket"
+        ),
+    )
+    s_days = spans.select(
+        "event_id",
+        "e_start",
+        "e_end",
+        F.explode(F.sequence(day(F.col("e_start")), day(F.col("e_end")))).alias(
+            "bucket"
+        ),
+    )
+    cand = s_days.join(F.broadcast(w_days), "bucket").filter(
+        (F.col("w_start") < F.col("e_end"))
+        & (F.col("e_start") < F.col("w_end"))
+    )
+    pairs = cand.select(
+        "window_id", "event_id", "w_start", "w_end", "e_start", "e_end"
+    ).distinct()
+    return pairs.select(
+        "window_id",
+        "event_id",
+        (
+            F.unix_micros(F.least("w_end", "e_end"))
+            - F.unix_micros(F.greatest("w_start", "e_start"))
+        ).alias("overlap_us"),
+    )
+
+
+_UPD_PRICE = R("o_totalprice * 1.05", 2)
+
+
+@query(
+    "etl_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 != 0
+    ),
+    updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             {_UPD_PRICE} AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NULL THEN 'keep'
+                WHEN b.o_orderkey IS NULL THEN 'insert'
+                ELSE 'update' END AS merge_action
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse format: full-outer join of
+    the current snapshot against a change batch on the natural key, field
+    coalescing (update wins), and a merge_action audit column (keep /
+    update / insert). This is the upsert kernel Delta/Iceberg MERGE
+    compiles to; expressed directly it runs as one sort-merge join
+    shuffled on the key. At 100 TB the win is pre-bucketing the snapshot
+    by the merge key so only the (much smaller) change batch shuffles;
+    deletes are the same join with a tombstone column."""
+    o = load_tables(spark, sf_dir).orders
+    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        rnd(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    joined = b.join(
+        u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer"
+    )
+    pick = lambda c: F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}"))  # noqa: E731
+    return joined.select(
+        pick("o_orderkey").alias("o_orderkey"),
+        pick("o_custkey").alias("o_custkey"),
+        pick("o_orderstatus").alias("o_orderstatus"),
+        pick("o_totalprice").alias("o_totalprice"),
+        F.when(F.col("u.o_orderkey").isNull(), "keep")
+        .when(F.col("b.o_orderkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+@query(
+    "sample_hash_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, sample_rank
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS sample_rank
+      FROM orders
+    )
+    WHERE sample_rank <= 3
+    """,
+)
+def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows inside each
+    group by md5(key) — a fixed pseudo-random permutation both engines
+    compute identically — and keep the first k. The reproducible
+    alternative to rand()-based sampling for training-data curation
+    (same inputs → same sample, across engines and across reruns).
+    One window shuffle on the group key; for heavy-hitter groups the
+    same md5 order makes a pre-filter possible (hash < threshold) before
+    the exact rank, keeping per-group sort bounded."""
+    o = load_tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 3)
+    )

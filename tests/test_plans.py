@@ -421,3 +421,52 @@ def test_winnowing_hashes_grams_once(spark):
     assert plan.count("md5") == 1, plan
     assert "Exchange" not in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_ohlc_aggregate_is_partial_final(spark):
+    """OHLC bars must combine map-side: a partial aggregate below the
+    (user, hour) exchange so the shuffle carries bars, not ticks. min_by
+    forces SortAggregate (struct-carrying buffer) — still partial/final."""
+    plan = plan_of(spark, "ts_resample_ohlc", mode="simple")
+    assert "partial_min_by" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_interval_overlap_is_bucketed_broadcast_hash(spark):
+    """The interval-overlap join must run as a hash join on the day
+    bucket (windows side broadcast), with the exact overlap predicate as
+    the join's post-condition — never a nested loop over all pairs."""
+    plan = plan_of(spark, "join_interval_overlap", mode="simple")
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # event side reads only the two columns the spans need
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan, plan
+
+
+def test_merge_upsert_shuffles_on_merge_key_only(spark):
+    """MERGE kernel: one full-outer sort-merge join, both sides hashed on
+    the natural key, nothing else — the shape that lets a bucketed
+    snapshot absorb a small change batch with one small shuffle."""
+    plan = plan_of(spark, "etl_merge_upsert", mode="simple")
+    assert "SortMergeJoin [o_orderkey" in plan, plan
+    assert "FullOuter" in plan, plan
+    assert plan.count("Exchange hashpartitioning(o_orderkey") == 2, plan
+
+
+def test_rollup_cascade_reuses_hourly_materialization(spark):
+    """Cascading rollup contract: day and week grains re-aggregate the
+    persisted HOURLY bars (InMemoryTableScan), never re-reading raw
+    events — the continuous-aggregate shape."""
+    plan = plan_of(spark, "events_rollup_multi_grain", mode="simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "Union" in plan, plan
+
+
+def test_hash_sample_uses_window_group_limit(spark):
+    """k-per-group hash sampling must hit Spark's rank-limit pushdown:
+    WindowGroupLimit (partial below the exchange, final above) keeps
+    per-partition state at k rows per group instead of sorting whole
+    groups."""
+    plan = plan_of(spark, "sample_hash_per_group", mode="simple")
+    assert plan.count("WindowGroupLimit") == 2, plan
