@@ -389,3 +389,81 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_assign_incremental(
         new, index, kept, threshold=0.8
     ).orderBy("doc_id")
+
+
+@query("text_count_min_freq")  # Tier B — sketch estimates, rows-only
+def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies vs exact truth (north star:
+    streaming/merged frequency stats where an exact per-term groupBy is
+    too big to keep). The sketch is depth·width counters built in ONE
+    bounded aggregate (operators/sketches.py); the probe set (the exact
+    top-40 terms — the eval twin, same pattern as vec_ann_recall_eval)
+    is re-hashed and broadcast-joined against it. Output carries both
+    est and exact so the overestimate-only guarantee is visible; bounds
+    are pinned in tests/test_approx_operators.py."""
+    from pyetl_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load_tables(spark, sf_dir).documents
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_build(tokens, depth=4, width=4096)
+    exact = tokens.groupBy("token").agg(F.count("*").alias("exact_count"))
+    probes = exact.orderBy(F.desc("exact_count"), "token").limit(40)
+    est = cms_estimate(probes.select("token"), sketch, depth=4, width=4096)
+    return (
+        est.join(probes, "token")
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )
+
+
+@query("text_semdedup")  # Tier B — approximate (cluster-scoped), rows-only
+def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup removal over the embeddings table:
+    k-means partitions the space, exact cosine pairs are checked only
+    WITHIN a cluster, dropped rows point at their lowest-id
+    representative (operators/semdedup.py). The k×O((n/k)²) scale
+    contract and the recall-vs-brute-force gate live in
+    tests/test_approx_operators.py."""
+    from pyetl_spark.operators.semdedup import semdedup_assign
+
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return semdedup_assign(v, k=8, tau=0.99, iters=2).orderBy("vec_id")
+
+
+@query("vec_mmr_diversify")  # Tier B — ranking op, rows-only
+def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k (MMR λ=0.7): stage-1 brute-force cosine top-30
+    per probe (the distributed retrieval), stage-2 greedy MMR re-rank
+    per probe pool inside applyInPandas (operators/mmr.py). Exactness of
+    the greedy loop vs a NumPy reference is engine-tested in
+    tests/test_approx_operators.py."""
+    from pyetl_spark.operators.knn import cosine_topk_bruteforce
+    from pyetl_spark.operators.mmr import mmr_rerank
+
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec")
+    )
+    cands = cosine_topk_bruteforce(probes, corpus, k=30).select(
+        "probe_id", "cand_id", F.col("sim").alias("rel")
+    )
+    pool = cands.join(corpus, "cand_id")
+    return mmr_rerank(pool, k=10, lam=0.7).orderBy("probe_id", "mmr_rank")

@@ -460,3 +460,194 @@ def test_minhash_incremental_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert union_assign[10] == 0
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_overestimates_only_and_tightens_with_width(spark):
+    """CMS contract on a colliding sketch: estimates NEVER undercount,
+    and a wider sketch is (weakly) tighter. Width 16 over a 200-term
+    vocabulary forces collisions; width 4096 should be near-exact."""
+    from pyetl_spark.operators.sketches import cms_build, cms_estimate
+
+    tokens = spark.range(20_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 200)).alias("token")
+    )
+    exact = tokens.groupBy("token").agg(F.count("*").alias("exact"))
+    probes = exact.select("token")
+    for width, tight in ((16, False), (4096, True)):
+        sk = cms_build(tokens, depth=4, width=width)
+        est = cms_estimate(probes, sk, depth=4, width=width)
+        rows = est.join(exact, "token").collect()
+        assert len(rows) == 200
+        assert all(r["est_count"] >= r["exact"] for r in rows)
+        if tight:
+            assert all(r["est_count"] == r["exact"] for r in rows)
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    """The sketch DataFrame never exceeds depth*width rows no matter the
+    corpus — the property that makes it broadcastable."""
+    from pyetl_spark.operators.sketches import cms_build
+
+    tokens = spark.range(50_000).select(
+        F.concat(F.lit("w"), F.col("id") % 10_000).alias("token")
+    )
+    sk = cms_build(tokens, depth=3, width=64)
+    assert sk.count() <= 3 * 64
+
+
+def test_cms_weighted_matches_unweighted(spark):
+    """Weighted build over pre-aggregated (term, count) rows must equal
+    the raw-stream build — integer sums are associative."""
+    from pyetl_spark.operators.sketches import cms_build
+
+    tokens = spark.range(5_000).select(
+        F.concat(F.lit("x"), F.col("id") % 37).alias("token")
+    )
+    pre = tokens.groupBy("token").agg(F.count("*").alias("w"))
+    raw = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_build(tokens, depth=4, width=32).collect()
+    }
+    wtd = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_build(pre, weight_col="w", depth=4, width=32).collect()
+    }
+    assert raw == wtd
+
+
+# --- SemDeDup -----------------------------------------------------------------
+
+
+def test_semdedup_drops_are_true_dups_and_cluster_complete(spark):
+    """Every dropped vector must genuinely exceed tau cosine with its
+    recorded representative (no false drops), and within any cluster the
+    KEPT set must contain no pair above tau (cluster-scoped completeness
+    — cross-cluster misses are the documented approximation)."""
+    import numpy as np
+
+    from pyetl_spark.operators.semdedup import semdedup_assign
+
+    e = load_tables(spark, SF_ORACLE).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    tau = 0.95
+    out = semdedup_assign(v, k=8, tau=tau, iters=2).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["e"], dtype=np.float64)
+        for r in v.collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / ((na or 1.0) * (nb or 1.0)))
+
+    dropped = [r for r in out if not r["keep"]]
+    for r in dropped:
+        assert cos(vecs[r["vec_id"]], vecs[r["dup_of"]]) > tau
+        assert r["dup_of"] < r["vec_id"]  # representative is earlier id
+    # cluster-scoped completeness over the kept set
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    for r in out:
+        if r["keep"]:
+            by_cell[r["cell"]].append(r["vec_id"])
+    for ids in by_cell.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert cos(vecs[a], vecs[b]) <= tau, (a, b)
+
+
+def test_semdedup_cell_cap_guard(spark):
+    """A hot cluster beyond the cap must fail loudly (the documented
+    re-quadratization guard), not OOM a task."""
+    import pyspark
+
+    from pyetl_spark.operators.semdedup import semdedup_assign
+
+    v = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("e"),  # all identical → 1 cell
+    )
+    with pytest.raises(pyspark.errors.PythonException, match="exceeds cap"):
+        semdedup_assign(v, k=2, tau=0.99, iters=1, cap=10).collect()
+
+
+# --- MMR ----------------------------------------------------------------------
+
+
+def test_mmr_select_prefers_diversity():
+    """Hand-checkable pool: two near-identical high-relevance candidates
+    and one distinct lower-relevance one — MMR must pick one of the twins
+    then the distinct candidate, never both twins."""
+    import numpy as np
+
+    from pyetl_spark.operators.mmr import mmr_select
+
+    rel = np.array([1.0, 0.99, 0.6])
+    sim = np.array([[1.0, 0.999, 0.0], [0.999, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    ids = np.array([10, 11, 12])
+    picks = [i for i, _ in mmr_select(rel, sim, ids, k=2, lam=0.5)]
+    assert picks == [0, 2]
+
+
+def test_mmr_rerank_matches_local_reference(spark):
+    """The distributed applyInPandas path must reproduce the NumPy
+    reference exactly for every probe (same vectors, same tiebreaks)."""
+    import numpy as np
+
+    from pyetl_spark import registry
+    from pyetl_spark.operators.mmr import mmr_select
+
+    registry.load_all()
+    out = registry.QUERIES["vec_mmr_diversify"](spark, SF_ORACLE)
+    got = [
+        (r["probe_id"], r["cand_id"], r["mmr_rank"]) for r in out.collect()
+    ]
+    # rebuild the candidate pools exactly as the query does
+    from pyetl_spark.operators.knn import cosine_topk_bruteforce
+
+    e = load_tables(spark, SF_ORACLE).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    corpus = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec")
+    )
+    cands = (
+        cosine_topk_bruteforce(probes, corpus, k=30)
+        .select("probe_id", "cand_id", F.col("sim").alias("rel"))
+        .join(corpus, "cand_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    pools = defaultdict(list)
+    for r in cands:
+        pools[r["probe_id"]].append(r)
+    want = []
+    for pid, rows in pools.items():
+        rows.sort(key=lambda r: r["cand_id"])
+        E = np.stack([np.asarray(r["cand_vec"]) for r in rows])
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0.0] = 1.0
+        E = E / norms[:, None]
+        picks = mmr_select(
+            np.array([r["rel"] for r in rows]),
+            E @ E.T,
+            np.array([r["cand_id"] for r in rows]),
+            k=10,
+            lam=0.7,
+        )
+        for rank, (i, _) in enumerate(picks, 1):
+            want.append((pid, rows[i]["cand_id"], rank))
+    assert sorted(got) == sorted(want)
