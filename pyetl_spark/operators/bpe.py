@@ -1,0 +1,128 @@
+"""Byte-pair-encoding subword tokenizer training (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+method) in the industrial two-tier shape:
+
+- **Corpus-sized work is distributed**: the word-frequency table (ONE
+  partial/final groupBy over every token occurrence) and the final
+  encoding pass (Arrow-batched pandas UDF applying the learned merge
+  list). This mirrors how production trainers work — they train on word
+  COUNTS, never re-scanning the corpus per merge.
+- **The merge loop runs on the collected vocab table**: BPE's greedy
+  merge selection is inherently sequential (merge i+1's pair counts
+  depend on merge i), and its input is vocabulary-sized (≤ a few 100k
+  rows for web corpora — kB–MB, not corpus-sized), so the driver loop is
+  the right placement, same contract as IVF's k centroids.
+
+Determinism: ties on pair frequency break lexicographically, so the
+merge sequence is a pure function of the word-frequency table.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ship_module_by_value() -> None:
+    from pyspark import cloudpickle
+
+    import pyetl_spark.operators.bpe as _self
+
+    cloudpickle.register_pickle_by_value(_self)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus-sized pass: (word, freq) via one combinable aggregate."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pair_counts(
+    vocab: dict[tuple[str, ...], int],
+) -> Counter:
+    counts: Counter = Counter()
+    for syms, freq in vocab.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += freq
+    return counts
+
+
+def _merge_word(
+    syms: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    word_freq_rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` merges from a (word, freq) table.
+
+    Stops early when no pair occurs twice. Tie-break: highest count,
+    then lexicographically smallest pair — fully deterministic.
+    """
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in word_freq_rows:
+        vocab[tuple(word)] = vocab.get(tuple(word), 0) + int(freq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        # deterministic tiebreak: max count, then lexicographically min pair
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        if top < 2:
+            break
+        merges.append(best_pair)
+        vocab = {
+            _merge_word(syms, best_pair): freq for syms, freq in vocab.items()
+        }
+    return merges
+
+
+def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the merge list in learned order to one word."""
+    syms = tuple(word)
+    for pair in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, pair)
+    return list(syms)
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Distributed encoding pass: adds ``subwords array<string>``.
+
+    The merge list ships inside the task closure (it is the tokenizer —
+    kBs); encoding is per-row local, so this scales with a plain
+    Arrow-batched pandas UDF, no shuffle."""
+    _ship_module_by_value()
+
+    @F.pandas_udf("array<string>")
+    def encode(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: bpe_encode_word(w, merges))
+
+    return words.withColumn("subwords", encode(F.col(word_col)))

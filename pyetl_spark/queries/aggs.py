@@ -548,3 +548,35 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), rnd(r, 8).alias("corr_qty_disc")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregate surface: keys
+    bucket into fixed 32k-bit bitmaps (bitmap_bucket_number /
+    bitmap_bit_position), bitmaps OR-combine map-side per
+    (group, bucket), and the final count is the sum of per-bucket
+    popcounts. Same answer as count(DISTINCT) — the oracle — but the
+    shuffle carries constant-size bitmaps instead of the key universe,
+    the standard exact-distinct trick for dense integer keys at 100 TB
+    (HLL's agg_approx_distinct is the sparse/approximate sibling)."""
+    li = load_tables(spark, sf_dir).lineitem
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("l_partkey"))
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_parts")
+    )

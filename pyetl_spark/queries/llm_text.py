@@ -2200,3 +2200,132 @@ def text_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer div, not double-divide-and-truncate: exact at any rank
         F.expr(f"shuffle_rank div {n_shards}").cast("long").alias("shard_pos"),
     )
+
+
+_RAW_URL = (
+    "'HTTPS://WWW.' || upper(source) || '.Example.COM:443/p/' "
+    "|| (doc_id % 7) || '/?utm_source=feed&b=' || (doc_id % 3) "
+    "|| '&a=' || (doc_id % 5) || '#sec' || (doc_id % 4)"
+)
+
+
+@query(
+    "text_url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)),
+               ':443$', ''), '^www\\.', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+               x -> x NOT LIKE 'utm_%' AND x != '')), '&') AS q
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             'https://' || host || path
+               || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM parts
+    )
+    SELECT doc_id, url, canonical_url, md5(canonical_url) AS url_key,
+           CAST(count(*) OVER (PARTITION BY md5(canonical_url)) AS BIGINT)
+             AS n_same_url
+    FROM canon
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup (the key step before
+    URL-keyed exact dedup in crawl pipelines): lowercase scheme+host,
+    strip default port and www., strip trailing slash and fragment, drop
+    utm_* tracking params, sort the surviving query params. All JVM
+    string/regexp/array algebra — one narrow pass, then one window on the
+    canonical key to expose collision groups (the dedup candidates).
+    Fixture URLs are synthesized deterministically from doc fields so the
+    oracle builds the identical inputs."""
+    d = load_tables(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM:443/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/?utm_source=feed&b="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/]+)", 1)),
+            r":443$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/]+([^?#]*)", 1), r"/+$", ""
+    )
+    q = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+    )
+    canon = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)),
+        ).alias("canonical_url"),
+    )
+    w = Window.partitionBy(F.md5("canonical_url"))
+    return canon.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.md5("canonical_url").alias("url_key"),
+        F.count("*").over(w).cast("long").alias("n_same_url"),
+    )
+
+
+@query("text_bpe_tokenize")  # Tier B — learned tokenizer, rows-only
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword tokenizer trained on the corpus and applied back to
+    its vocabulary (operators/bpe.py): the word-frequency table is the
+    only corpus-sized aggregate; the greedy merge loop runs on that
+    bounded table driver-side (industrial trainer shape — HF/SentencePiece
+    train on word counts too); encoding is a no-shuffle Arrow pandas UDF.
+    Merge-sequence exactness vs an independent reference implementation
+    is pinned in tests/test_bpe.py."""
+    from pyetl_spark.operators.bpe import bpe_apply, bpe_train, word_freqs
+
+    d = load_tables(spark, sf_dir).documents
+    wf = word_freqs(d)
+    rows = [(r["word"], r["freq"]) for r in wf.collect()]
+    merges = bpe_train(rows, n_merges=24)
+    return (
+        bpe_apply(wf, merges)
+        .select(
+            "word",
+            "freq",
+            F.concat_ws(" ", "subwords").alias("segmentation"),
+            F.size("subwords").alias("n_subwords"),
+        )
+        .orderBy(F.desc("freq"), "word")
+    )
