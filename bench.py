@@ -58,6 +58,13 @@ HEADLINE = [
     "pipeline_training_corpus_neardup",
     "text_global_shuffle",
     "dedup_winnowing",
+    # r3 additions: the new heavy families' regression sentinels — the
+    # OHLC partial/final aggregate, the cascading multi-grain rollup,
+    # the MERGE full-outer join, and clustered semantic dedup
+    "ts_resample_ohlc",
+    "events_rollup_multi_grain",
+    "etl_merge_upsert",
+    "text_semdedup",
 ]
 
 

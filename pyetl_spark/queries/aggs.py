@@ -580,3 +580,37 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum(F.bitmap_count(F.col("bm"))).cast("long").alias("n_parts")
     )
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: (flag, status) has ~6 giant groups — the
+    worst case for a single hash shuffle (6 reducers own everything).
+    Phase 1 salts the key with hash(orderkey)%16 and aggregates
+    (key, salt); phase 2 re-aggregates by key alone. The salted exchange
+    spreads each hot group over 16 reducers; phase 2 moves only
+    6×16 partial rows. Hash-matches the PLAIN aggregate oracle — salting
+    is a pure execution-strategy change, invisible in the result. (Spark's
+    own partial aggregation covers this when upstream partitioning is
+    random; explicit salting is the tool when inputs arrive pre-clustered
+    by the hot key, e.g. reading a table sorted by the group column.)"""
+    li = load_tables(spark, sf_dir).lineitem
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16))
+    )
+    phase1 = salted.groupBy("l_returnflag", "l_linestatus", "salt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    return phase1.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("n").alias("n"), F.sum("sum_qty").alias("sum_qty")
+    )

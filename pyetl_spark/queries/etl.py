@@ -544,3 +544,58 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "last_ts",
     )
+
+
+@query(
+    "etl_cdc_compact",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey AS key, o_orderdate AS change_ts,
+             CASE WHEN o_orderstatus = 'F' THEN 'U'
+                  WHEN o_orderkey % 11 = 0 THEN 'D'
+                  ELSE 'I' END AS op,
+             o_custkey, o_totalprice
+      FROM orders
+    ),
+    latest AS (
+      SELECT key, change_ts, op, o_custkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY key ORDER BY change_ts DESC, op DESC
+             ) AS rn
+      FROM changes
+    )
+    SELECT key, change_ts, op, o_custkey, o_totalprice
+    FROM latest
+    WHERE rn = 1 AND op != 'D'
+    """,
+)
+def etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (the Debezium-feed → snapshot kernel): keep
+    each key's LATEST change (row_number over change time, deterministic
+    op tiebreak), then drop keys whose last op is a delete. One window
+    shuffle on the key; Spark's rank-limit pushdown (WindowGroupLimit)
+    keeps map-side state at one row per key, so compacting a month of
+    changelog costs one bounded shuffle at any scale. The change log is
+    synthesized deterministically from orders so the oracle sees the
+    identical feed."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir).orders
+    changes = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").alias("change_ts"),
+        F.when(F.col("o_orderstatus") == "F", "U")
+        .when(F.col("o_orderkey") % 11 == 0, "D")
+        .otherwise("I")
+        .alias("op"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.desc("change_ts"), F.desc("op")
+    )
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .drop("rn")
+    )

@@ -755,3 +755,44 @@ def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_c").cast("double") / 10000.0).alias("total_revenue"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 97 END AS grp
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    b AS (
+      SELECT o_orderkey AS b_key,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 97 END AS grp
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs, grp
+    FROM (
+      SELECT a.grp FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    )
+    GROUP BY grp
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (Spark `<=>` ≡ SQL IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of vanishing — the semantics
+    merge/reconciliation pipelines need for optional dimensions. Spark
+    plans `<=>` as a genuine hash join (EqualNullSafe is an equi
+    conjunct, keys hashed with null as a value), so this costs the same
+    as a plain join — no fallback to nested loop. NULL keys all hash to
+    one bucket: when nulls are a large fraction, route them through the
+    salted path (join_salted) or handle separately."""
+    o = load_tables(spark, sf_dir).orders
+    grp = lambda mod: F.when(  # noqa: E731
+        F.col("o_orderkey") % mod == 0, F.lit(None).cast("long")
+    ).otherwise(F.col("o_orderkey") % 97)
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(grp(7).alias("grp"))
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(grp(5).alias("b_grp"))
+    joined = a.join(b, a.grp.eqNullSafe(b.b_grp))
+    return joined.groupBy("grp").agg(F.count("*").alias("n_pairs"))

@@ -220,3 +220,43 @@ def subq_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "subq_any_all",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey > ALL (
+            SELECT o_orderkey / 100 FROM orders WHERE o_orderkey % 500 = 0
+          )
+      AND p_partkey % 3 = ANY (SELECT r_regionkey FROM region)
+    ORDER BY p_partkey
+    """,
+)
+def subq_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (> ALL / = ANY). Spark SQL has no ALL/ANY
+    subquery syntax, so the engine applies the standard optimizer
+    rewrite itself: `x > ALL (S)` → `x > (SELECT max(S))` (S is known
+    non-empty and null-free here) as a broadcast scalar, and
+    `x = ANY (S)` → LEFT SEMI join on the equality. Both sides stay
+    shuffle-free — the subqueries are scalar-/dim-sized. The oracle
+    keeps the quantified spelling DuckDB supports natively, so the hash
+    match proves the rewrite."""
+    t = load_tables(spark, sf_dir)
+    part, orders, region = t.part, t.orders, t.region
+    all_max = orders.filter(F.col("o_orderkey") % 500 == 0).agg(
+        F.max(F.col("o_orderkey") / 100).alias("all_max")
+    )
+    cand = part.join(F.broadcast(all_max)).filter(
+        F.col("p_partkey") > F.col("all_max")
+    )
+    return (
+        cand.join(
+            F.broadcast(region),
+            cand.p_partkey % 3 == region.r_regionkey,
+            "left_semi",
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
