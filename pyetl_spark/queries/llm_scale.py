@@ -467,3 +467,27 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = cands.join(corpus, "cand_id")
     return mmr_rerank(pool, k=10, lam=0.7).orderBy("probe_id", "mmr_rank")
+
+
+@query("multimodal_frame_sample")  # Tier B — stubbed decode, rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling pipeline: binary blobs → resize →
+    every-2nd-frame explode → per-frame content hash (the join key for
+    frame-level dedup). Decode is the honest deterministic stub
+    (operators/multimodal.py); the Spark plumbing — binary columns,
+    mapInPandas streaming batches, frame-row explosion, no blob ever in
+    a shuffle — is the production shape."""
+    from pyetl_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_images,
+        sample_frames,
+    )
+
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    media = resize_images(attach_fake_media(d), out_w=4, out_h=4)
+    frames = sample_frames(media, every_nth=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.sha2(F.col("frame"), 256).substr(1, 16).alias("frame_hash"),
+    ).orderBy("media_id", "frame_idx")

@@ -2329,3 +2329,69 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("freq"), "word")
     )
+
+
+@query("dedup_exact_substring_spans")  # Tier B — hash spans, rows-only
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection at span level (the
+    'dedup training data at the substring, not document, granularity'
+    op from Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — public method): every k-token window is hashed
+    (k=8), windows whose hash occurs in >=2 DISTINCT docs are duplicated
+    text, and per doc the overlapping hits merge into maximal cut ranges
+    via gaps-and-islands. Cost is linear: ~n_tokens span hashes per doc,
+    one groupBy on the span hash, one window per doc for the merge —
+    never a doc×doc comparison. (Suffix arrays give the same answer for
+    unbounded match length; fixed-k span hashing is the standard
+    MapReduce-able form, catching every duplication of length >= k.)"""
+    k = 8
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= k)
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, k))),
+            )
+        ).alias("span_start", "span_hash"),
+    )
+    # spans duplicated ACROSS documents (distinct-doc count >= 2)
+    dup_hashes = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    hits = spans.join(dup_hashes, "span_hash").select(
+        "doc_id", "span_start", "n_docs"
+    )
+    # gaps-and-islands: overlapping/adjacent k-windows merge to one range
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    islands = (
+        hits.withColumn(
+            "new_island",
+            F.when(
+                F.lag("span_start").over(w).isNull()
+                | (F.col("span_start") - F.lag("span_start").over(w) > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("cut_from_token"),
+            (F.max("span_start") + k - 1).alias("cut_to_token"),
+            F.max("n_docs").alias("max_span_docs"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "cut_from_token")
+    )

@@ -651,3 +651,65 @@ def test_mmr_rerank_matches_local_reference(spark):
         for rank, (i, _) in enumerate(picks, 1):
             want.append((pid, rows[i]["cand_id"], rank))
     assert sorted(got) == sorted(want)
+
+
+# --- exact substring spans ----------------------------------------------------
+
+
+def test_exact_substring_spans_finds_planted_run(spark):
+    """Two docs share an exact 12-token run; a third is disjoint. The
+    k=8 span detector must flag exactly the sharing docs, and the merged
+    cut range must cover the full planted run (k-window islands merge)."""
+    from pyetl_spark.operators import __name__ as _  # noqa: F401
+    from pyetl_spark import registry
+
+    registry.load_all()
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three four {shared} five six"),
+        (3, "totally different words " + " ".join(f"u{i}" for i in range(12))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # run the same plan as the declared query but over the planted frame
+    import pyetl_spark.queries.llm_text as lt
+    from unittest import mock
+
+    class _T:
+        documents = docs
+
+    with mock.patch.object(lt, "load_tables", lambda s, d: _T()):
+        out = lt.dedup_exact_substring_spans(spark, "ignored").collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    # doc 1: shared run occupies 0-based tokens 2..13 → k=8 windows start
+    # at 2..6 → merged range [2, 13]
+    (r1,) = by_doc[1]
+    assert r1["cut_from_token"] == 2
+    assert r1["cut_to_token"] == 13
+    (r2,) = by_doc[2]
+    assert r2["cut_from_token"] == 4
+    assert r2["cut_to_token"] == 15
+
+
+def test_exact_substring_spans_linear_no_pair_join(spark):
+    """Plan lint: the span detector must contain no doc×doc join — its
+    only joins are span-hash equi-joins (linear shapes)."""
+    import contextlib
+    import io
+
+    from pyetl_spark import registry
+    from tests.conftest import SF_ORACLE
+
+    registry.load_all()
+    df = registry.QUERIES["dedup_exact_substring_spans"](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
