@@ -2395,3 +2395,39 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("island")
         .orderBy("doc_id", "cut_from_token")
     )
+
+
+@query("text_quality_classifier")  # Tier B — learned scorer, rows-only
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / score-at-scale quality filter
+    (operators/quality_model.py): a deterministic hash-sampled labeled
+    subset (labels from the rule-based text_quality_score heuristic —
+    standing in for human labels) trains a NumPy logistic regression
+    driver-side; the learned weights fold back into ONE sigmoid(w·x+b)
+    column expression, so the corpus-wide scoring pass is pure
+    whole-stage-codegen arithmetic — no Python, no shuffle. Output:
+    doc_id, quality_prob, accept flag. Model determinism and
+    rule-agreement are pinned in tests/test_quality_model.py."""
+    from pyetl_spark.operators.quality_model import (
+        featurize,
+        fit_quality_model,
+        score_expr,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    feats = featurize(d)
+    # deterministic pseudo-label: the rule the model must recover
+    labeled = feats.withColumn(
+        "label",
+        (
+            (F.col("n_chars") > 120)
+            & (F.col("digit_ratio") < 0.2)
+        ).cast("double"),
+    )
+    sample = labeled.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    w, b = fit_quality_model(sample)
+    return feats.select(
+        "doc_id",
+        F.round(score_expr(w, b), 6).alias("quality_prob"),
+        (score_expr(w, b) > 0.5).alias("accept"),
+    ).orderBy("doc_id")
