@@ -131,3 +131,38 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_enriched(spark, sf_dir)
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
     return spark.read.parquet(path).orderBy("event_id")
+
+
+@query("sink_compact_small_files")  # Tier B
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every long-lived
+    lake table needs (streaming ingests and fine-grained partitions leave
+    thousands of KB-sized files; scan cost then is per-FILE, not
+    per-byte). Phase 1 simulates the problem (64-way repartition write);
+    phase 2 reads it back and rewrites sized-to-target via coalesce —
+    coalesce, not repartition: compaction must not pay a shuffle, it
+    only concatenates map-side. Output is the audit row per phase
+    (file count, rows, bytes) proving rows survived and files collapsed.
+    At 100 TB this runs per-partition with dynamic partition overwrite
+    (compact only partitions whose small-file count crosses a threshold)."""
+    import glob
+
+    fragmented = _scratch("compact_fragmented")
+    compacted = _scratch("compact_done")
+    docs = load_tables(spark, sf_dir).documents
+    docs.repartition(64).write.mode("overwrite").parquet(fragmented)
+
+    back = spark.read.parquet(fragmented)
+    target_files = 4
+    back.coalesce(target_files).write.mode("overwrite").parquet(compacted)
+
+    def stats(path: str, phase: str):
+        files = glob.glob(os.path.join(path, "part-*"))
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        n_rows = spark.read.parquet(path).count()
+        return (phase, len(files), n_rows, n_bytes)
+
+    rows = [stats(fragmented, "fragmented"), stats(compacted, "compacted")]
+    return spark.createDataFrame(
+        rows, "phase string, n_files int, n_rows long, n_bytes long"
+    ).orderBy("phase")

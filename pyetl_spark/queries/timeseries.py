@@ -469,3 +469,142 @@ def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= 3)
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_id, event_type, value,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             {FXP('value', 100)} AS c
+      FROM events
+    ),
+    profile AS (
+      SELECT hod, CAST(sum(c) AS BIGINT) AS sc, count(*) AS n
+      FROM cents GROUP BY hod
+    )
+    SELECT cents.event_id, cents.hod, cents.value,
+           {R('(CAST(profile.sc AS DOUBLE) / profile.n) / 100.0', 4)}
+             AS seasonal_avg,
+           {R('cents.value - ((CAST(profile.sc AS DOUBLE) / profile.n)'
+              ' / 100.0)', 4)} AS residual
+    FROM cents JOIN profile ON cents.hod = profile.hod
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, profile form: the hour-of-day mean (the
+    'seasonal' component) from one 24-row aggregate, broadcast back onto
+    every event to leave the residual. Classic two-pass detrending — the
+    profile is group-count-sized, so at 100 TB it's one combinable
+    aggregate plus a broadcast hash join; the event stream shuffles
+    never. Exactness: profile means come from integer-cent sums divided
+    once, identically on both engines."""
+    from pyspark.sql import Window  # noqa: F401  (module-level style parity)
+
+    ev = load_tables(spark, sf_dir).events
+    cents = ev.select(
+        "event_id",
+        "value",
+        F.hour("ts").cast("long").alias("hod"),
+        fxp(F.col("value"), 100).alias("c"),
+    )
+    profile = cents.groupBy("hod").agg(
+        F.sum("c").alias("sc"), F.count("*").alias("n")
+    )
+    mean = (F.col("sc").cast("double") / F.col("n")) / F.lit(100.0)
+    joined = cents.join(F.broadcast(profile), "hod")
+    return joined.select(
+        "event_id",
+        "hod",
+        "value",
+        rnd(mean, 4).alias("seasonal_avg"),
+        rnd(F.col("value") - mean, 4).alias("residual"),
+    )
+
+
+@query(
+    "ts_autocorr_lag1",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, {FXP('value', 100)} AS x,
+             lag({FXP('value', 100)}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy
+      FROM s WHERE y IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           {R('''(n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt(n * sxx - CAST(sx AS DOUBLE) * sx)
+                 / sqrt(n * syy - CAST(sy AS DOUBLE) * sy)''', 8)} AS acf1
+    FROM m
+    WHERE n * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND n * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user series (burst/trend detector for
+    telemetry): one window (lag) and one aggregate on the same user key
+    — a single shuffle. The Pearson algebra runs on exact integer-cent
+    sums (the agg_corr_exact discipline), so both engines divide the
+    same integers; degenerate zero-variance series are filtered on both
+    sides rather than comparing NaN conventions."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = fxp(F.col("value"), 100)
+    s = ev.select(
+        "user_id", x.alias("x"), F.lag(x).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = s.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = (
+        (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / F.sqrt(vx)
+        / F.sqrt(vy)
+    )
+    return (
+        m.filter((vx > 0) & (vy > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_pairs"),
+            rnd(r, 8).alias("acf1"),
+        )
+    )
+
+
+@query("ts_forecast_holt")  # Tier B — iterative recursion, rows-only
+def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecasting per user (operators/holt.py): daily
+    exact-cents totals per user (one combinable aggregate), then the
+    level/trend recursion per series inside applyInPandas — sequential
+    within a series, parallel across series, two floats of state. The
+    3-day-ahead forecasts are what a capacity planner joins back against
+    actuals. Recursion exactness vs the pure-Python reference is pinned
+    in tests/test_holt.py."""
+    from pyetl_spark.operators.holt import holt_forecast
+
+    ev = load_tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg((F.sum(fxp(F.col("value"), 100)) / F.lit(100.0)).alias("x"))
+    return holt_forecast(daily, horizon=3).orderBy("user_id", "h")
