@@ -166,3 +166,73 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "phase string, n_files int, n_rows long, n_bytes long"
     ).orderBy("phase")
+
+
+@query("sink_bucketed_join")  # Tier B
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout (plans/layout.py): pay the shuffle ONCE at
+    write time — both tables land bucketed+sorted on the join key — and
+    every subsequent join on that key plans SortMergeJoin with ZERO
+    Exchange nodes (pinned in tests/test_layout.py). This is the
+    100 TB fact-to-fact answer when broadcast is impossible: nightly
+    jobs joining the same keys amortize one layout write across every
+    downstream run. Output: per-priority order counts from the
+    bucket-local join."""
+    from pyetl_spark.plans.layout import bucketed_join, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    write_bucketed(
+        t.orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+        "bkt_orders_q",
+        "o_custkey",
+    )
+    write_bucketed(
+        t.customer.select("c_custkey", "c_mktsegment").withColumnRenamed(
+            "c_custkey", "o_custkey"
+        ),
+        "bkt_cust_q",
+        "o_custkey",
+    )
+    joined = bucketed_join(spark, "bkt_orders_q", "bkt_cust_q")
+    return (
+        joined.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+@query("sink_zorder_layout")  # Tier B
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (plans/layout.py): events range-sorted
+    along the Morton curve of (user_id, epoch-day), then per output
+    partition the min/max of BOTH dimensions — the rectangles parquet
+    min/max file stats would expose to the scanner. The audit row shape
+    makes the data-skipping claim measurable: tight rectangles on both
+    axes ⇒ a predicate on EITHER column prunes most files (a plain sort
+    by user_id would give day ranges spanning the whole month in every
+    file). tests/test_layout.py quantifies the pruning win."""
+    from pyspark.sql.functions import spark_partition_id
+
+    from pyetl_spark.plans.layout import zorder_repartition
+
+    ev = load_tables(spark, sf_dir).events
+    dims = ev.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("u"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    zed = zorder_repartition(dims, ["u", "d"], num_partitions=16, bits=10)
+    return (
+        zed.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("u").alias("min_user"),
+            F.max("u").alias("max_user"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+        )
+        .orderBy("pid")
+    )
