@@ -1722,3 +1722,78 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(slope_c / 100.0, 6).alias("slope_per_day"),
         rnd(intercept_c / 100.0, 4).alias("intercept"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, count(*) AS n FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_both AS DOUBLE)
+             / (sa.n + sb.n - i.n_both) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix (exact Jaccard between the user sets of
+    every event-type pair): distinct (type, user) pass, self-join on
+    user with an ordered type predicate (each pair once), then broadcast
+    the per-type sizes back. Cost is Σ_user (types-per-user choose 2) —
+    types is a small enum, so this is linear in users. At billions of
+    users per type, swap the exact intersection for MinHash set
+    signatures (operators/minhash.py) or the bitmap aggregates of
+    agg_bitmap_distinct; the exact form here is the oracle-checkable
+    contract. The jaccard division happens once per pair on exact
+    integer counts — no float-order hazard."""
+    ev = load_tables(spark, sf_dir).events
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    b = tu.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    inter = (
+        a.join(b, ["u"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    joined = inter.join(F.broadcast(sa), "type_a").join(
+        F.broadcast(sb), "type_b"
+    )
+    return joined.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+        ).alias("jaccard"),
+    )

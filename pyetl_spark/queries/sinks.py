@@ -178,9 +178,22 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs joining the same keys amortize one layout write across every
     downstream run. Output: per-priority order counts from the
     bucket-local join."""
+    import shutil
+
     from pyetl_spark.plans.layout import bucketed_join, write_bucketed
 
     t = load_tables(spark, sf_dir)
+    for tbl in ("bkt_orders_q", "bkt_cust_q"):
+        # a stale warehouse dir from a previous PROCESS blocks saveAsTable
+        # even after DROP (the new session's catalog never knew the table)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(
+            spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:"),
+            tbl,
+        )
+        shutil.rmtree(loc, ignore_errors=True)
     write_bucketed(
         t.orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
         "bkt_orders_q",

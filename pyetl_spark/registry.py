@@ -44,11 +44,18 @@ ORACLE: dict[str, str] = {}
 #:   r3 (this): list below — analytics/events head, windows extras,
 #:       extras.py, joins tail, text head. All pre-gated by the canon
 #:       sweep at sf0.01 + sf0.1.
-#:   r4: remaining ~24 never-verified oracle keys (subqueries, tpch_more
-#:       tail, llm_text/vec tail, windows tail) + the 16 never-verified
-#:       rows-only keys + ~5 RE-VERIFY slots for the oldest r1 evidence
-#:       (scan_parquet_project, scan_pushdown_filter, source_json_parse,
-#:       proj_expr, filter_compound) so no green row ages past 3 rounds.
+#:   r4: remaining never-verified oracle keys — the pre-r3 tail
+#:       (subqueries, tpch_more tail, llm_text/vec tail, windows tail)
+#:       FIRST, then the r3-session additions in registration order
+#:       (timeseries.py: ts_resample_ohlc … ts_autocorr_lag1;
+#:       etl_cdc_compact, agg_salted_twophase, agg_bitmap_distinct,
+#:       join_null_safe, subq_any_all, sample_hash_per_group,
+#:       join_interval_overlap, etl_merge_upsert, events_rollup_*,
+#:       text_url_canonicalize) + ~5 RE-VERIFY slots for the oldest r1
+#:       evidence (scan_parquet_project, scan_pushdown_filter,
+#:       source_json_parse, proj_expr, filter_compound) so no green row
+#:       ages past 3 rounds. Never-verified rows-only keys (sketches/
+#:       semdedup/mmr/bpe/layout/compaction etc.) take any spare slots.
 #:   r5+: steady-state re-verify rotation — oldest evidence first, plus
 #:       any new keys and any reds from the prior round.
 #: Mechanically: PRIORITY = (reds from last round) + (oracle keys with no
