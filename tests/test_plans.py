@@ -306,6 +306,13 @@ _NESTED_LOOP_OK = {
                            # frequency-share threshold
     "text_heavy_hitters_mg",  # same scalar threshold as text_heavy_hitters
     "text_lm_score",       # 1-row vocab-size scalar crossJoined in
+    "subq_any_all",        # 1-row ALL-bound scalar (max) crossJoined in —
+                           # the standard quantified-subquery rewrite
+    "text_semdedup",       # k-means cell assignment: vectors × broadcast
+                           # k-centroid table, same intended BNLJ as
+                           # vec_ann_ivf
+    "vec_mmr_diversify",   # stage-1 candidates via the same broadcast-
+                           # probe pass as vec_cosine_topk
 }
 
 registry.load_all()
