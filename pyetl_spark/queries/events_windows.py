@@ -334,3 +334,48 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("n_sessions"),
         F.countDistinct(converted).alias("n_converted"),
     )
+
+
+@query(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH RECURSIVE starts(s) AS (
+      SELECT TIMESTAMP '2024-01-01 00:00:00'
+      UNION ALL
+      SELECT s + INTERVAL 1 HOUR FROM starts
+      WHERE s < TIMESTAMP '2024-01-31 00:00:00'
+    )
+    SELECT starts.s AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM starts JOIN events
+      ON events.ts >= starts.s
+     AND events.ts < starts.s + INTERVAL 6 HOUR
+    GROUP BY 1
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding 6-hour window, hopping hourly — the
+    rolling-reach metric. Spark's window() generator assigns each event
+    to its ≤6 overlapping hops (one Expand node — rows × 6, no join),
+    then one partial/final aggregate per hop; the oracle spells the same
+    thing as a spine×events range join. distinct-per-window is the
+    non-mergeable part — at extreme cardinality swap count_distinct for
+    the bitmap (agg_bitmap_distinct) or HLL forms, which partial-combine.
+    Windows outside the fixture's event range simply don't appear (inner
+    join semantics on both sides)."""
+    ev = load_tables(spark, sf_dir).events
+    hopped = ev.select(
+        F.window("ts", "6 hours", "1 hour").alias("w"), "user_id"
+    )
+    return (
+        hopped.groupBy(F.col("w.start").alias("window_start"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(
+            (F.col("window_start") >= F.lit("2024-01-01 00:00:00"))
+            & (F.col("window_start") <= F.lit("2024-01-31 00:00:00"))
+        )
+    )
