@@ -608,3 +608,56 @@ def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg((F.sum(fxp(F.col("value"), 100)) / F.lit(100.0)).alias("x"))
     return holt_forecast(daily, horizon=3).orderBy("user_id", "h")
+
+
+_U52 = 4503599627370496.0  # 2^52 — md5's first 13 hex chars as uniform
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ln((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 13)) AS UBIGINT) + 1.0)
+                / {_U52:.1f}) / o_totalprice AS es_key
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY es_key DESC, o_orderkey)
+                AS BIGINT) AS draw_order
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed (Efraimidis &
+    Spirakis 2006, public algorithm): each row draws a deterministic
+    pseudo-uniform u from md5(key) (first 52 bits → (0,1]), computes
+    ln(u)/weight, and the k LARGEST keys are exactly a weight-
+    proportional sample without replacement. The whole draw is one
+    TakeOrderedAndProject — no shuffle of the population, map-side top-k
+    per partition, k rows to the driver — the ONLY scalable way to
+    weighted-sample 100 TB (rand()-per-row is nondeterministic across
+    retries; this replays bit-identically, and both engines compute the
+    identical IEEE ln/division)."""
+    o = load_tables(spark, sf_dir).orders
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(_U52)
+    keyed = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    top = keyed.orderBy(F.desc("es_key"), "o_orderkey").limit(20)
+    w = Window.orderBy(F.desc("es_key"), "o_orderkey")
+    return top.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("draw_order"),
+    )

@@ -713,3 +713,41 @@ def test_exact_substring_spans_linear_no_pair_join(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- weighted sampling --------------------------------------------------------
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Efraimidis-Spirakis property check: across 40 independent draws
+    (seed folded into the hash), items with 9x weight must be included
+    much more often than 1x items — and every draw is without
+    replacement (k distinct ids)."""
+    from collections import Counter
+
+    n, k, draws = 200, 20, 40
+    pop = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") < 20, 9.0).otherwise(1.0).alias("w"),
+    )
+    counts: Counter = Counter()
+    for seed in range(draws):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"s{seed}-"), F.col("id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        u = (h + F.lit(1.0)) / F.lit(4503599627370496.0)
+        keyed = pop.select("id", (F.log(u) / F.col("w")).alias("es"))
+        ids = [r["id"] for r in keyed.orderBy(F.desc("es"), "id").limit(k).collect()]
+        assert len(set(ids)) == k
+        counts.update(ids)
+    heavy = sum(counts[i] for i in range(20)) / 20.0
+    light = sum(counts[i] for i in range(20, n)) / 180.0
+    # expected inclusion ratio is well above 4x for 9x weights at this
+    # sampling fraction; require a conservative 3x to avoid flakiness
+    assert heavy > 3.0 * light, (heavy, light)
