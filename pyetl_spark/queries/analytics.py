@@ -1797,3 +1797,117 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
         ).alias("jaccard"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(string_split(lower(text), ' '))),
+                 i -> array_to_string(
+                        string_split(lower(text), ' ')[i:i+1], ' ')
+               )) AS g
+        FROM documents
+      )
+    ),
+    firsts AS (
+      SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN firsts.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+    FROM grams JOIN firsts ON grams.g = firsts.g
+    GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty score per document: the share of a doc's distinct
+    trigram-free bigrams whose FIRST corpus occurrence (min doc_id) is
+    this doc — the curation metric that separates fresh content from
+    recombinations of already-seen text (ingestion-order novelty; swap
+    doc_id for an ingest timestamp in production). Two combinable
+    aggregates on the gram hash + one join back — linear, and the
+    first-occurrence table is exactly the structure an incremental
+    ingest maintains as a running index. The novelty division happens
+    once on exact integer counts."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("t", i, 2)
+                    ),
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.alias("n_novel"),
+        (novel.cast("double") / F.count("*")).alias("novelty"),
+    )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, e.user_id, f.first_day
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily
+    GROUP BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split (the growth-accounting core):
+    per-user first-seen day (one combinable min), distinct active
+    (day, user) pairs, then the day-level split on first_day equality.
+    The firsts table is user-cardinality — broadcast it when users fit,
+    shuffle-join on user_id when they don't; either way the event
+    stream is touched once."""
+    ev = load_tables(spark, sf_dir).events
+    day = F.col("ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = (
+        ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return daily.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+        ).alias("returning_users"),
+    )
