@@ -491,3 +491,89 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.sha2(F.col("frame"), 256).substr(1, 16).alias("frame_hash"),
     ).orderBy("media_id", "frame_idx")
+
+
+@query("pipeline_curation_full")  # Tier B — composed pipeline, rows-only
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation funnel, composed from this
+    engine's own stages — the query a reference user runs end-to-end:
+
+      raw → URL-key dedup (crawl layer) → exact content dedup →
+      MinHash near-dup cluster drop → learned quality gate →
+      audit funnel
+
+    Output is the per-stage audit table (stage_idx, stage, n_docs) every
+    production curation run ships with its dataset card. Each stage is
+    the scale-shape documented at its home operator: URL/content dedup
+    are hash-groupBys, near-dup is banding + components
+    (minhash_dedup_assign), the quality gate is the broadcast-weights
+    sigmoid (quality_model) — so the funnel inherits linearity from its
+    parts. Counts are actions over lazily-chained frames; Spark reuses
+    the upstream stages via shuffle reuse within one job where possible.
+    """
+    from pyspark.sql import Window
+
+    from pyetl_spark.operators.minhash import minhash_dedup_assign
+    from pyetl_spark.operators.quality_model import (
+        featurize,
+        fit_quality_model,
+        score_expr,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    stages: list[tuple[str, int]] = [("raw", d.count())]
+
+    # 1. URL-key dedup — same deterministic synthetic URLs as
+    # text_url_canonicalize, keep the lowest doc_id per canonical key
+    url_key = F.md5(
+        F.concat(
+            F.lower("source"),
+            F.lit("/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?b="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a="),
+            (F.col("doc_id") % 5).cast("string"),
+        )
+    )
+    w_url = Window.partitionBy(url_key).orderBy("doc_id")
+    by_url = d.withColumn("_r", F.row_number().over(w_url)).filter(
+        F.col("_r") == 1
+    ).drop("_r")
+    stages.append(("url_dedup", by_url.count()))
+
+    # 2. exact content dedup (md5 of text, keep lowest doc_id)
+    w_txt = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = by_url.withColumn("_r", F.row_number().over(w_txt)).filter(
+        F.col("_r") == 1
+    ).drop("_r")
+    stages.append(("exact_dedup", exact.count()))
+
+    # 3. near-dup cluster drop (keepers only)
+    toks = exact.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    assign = minhash_dedup_assign(toks, threshold=0.8)
+    keepers = exact.join(
+        assign.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
+        "doc_id",
+    )
+    stages.append(("near_dedup", keepers.count()))
+
+    # 4. learned quality gate (train on a hash sample of the survivors)
+    feats = featurize(keepers)
+    labeled = feats.withColumn(
+        "label",
+        ((F.col("n_chars") > 120) & (F.col("digit_ratio") < 0.2)).cast(
+            "double"
+        ),
+    )
+    sample = labeled.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    wts, b = fit_quality_model(sample)
+    accepted = feats.filter(score_expr(wts, b) > 0.5)
+    stages.append(("quality_gate", accepted.count()))
+
+    return spark.createDataFrame(
+        [(i, name, n) for i, (name, n) in enumerate(stages)],
+        "stage_idx int, stage string, n_docs long",
+    ).orderBy("stage_idx")
