@@ -537,16 +537,26 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_url = Window.partitionBy(url_key).orderBy("doc_id")
-    by_url = d.withColumn("_r", F.row_number().over(w_url)).filter(
-        F.col("_r") == 1
-    ).drop("_r")
+    # each surviving-set frame is persisted: the funnel takes one action
+    # per stage, and without pinning, stage N's count would re-execute
+    # stages 1..N-1 (at 100 TB that's the difference between one pass
+    # per stage and a quadratic replay of the whole funnel)
+    by_url = (
+        d.withColumn("_r", F.row_number().over(w_url))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        .persist()
+    )
     stages.append(("url_dedup", by_url.count()))
 
     # 2. exact content dedup (md5 of text, keep lowest doc_id)
     w_txt = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = by_url.withColumn("_r", F.row_number().over(w_txt)).filter(
-        F.col("_r") == 1
-    ).drop("_r")
+    exact = (
+        by_url.withColumn("_r", F.row_number().over(w_txt))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        .persist()
+    )
     stages.append(("exact_dedup", exact.count()))
 
     # 3. near-dup cluster drop (keepers only)
@@ -557,7 +567,7 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = exact.join(
         assign.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
         "doc_id",
-    )
+    ).persist()
     stages.append(("near_dedup", keepers.count()))
 
     # 4. learned quality gate (train on a hash sample of the survivors)
@@ -572,6 +582,10 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     wts, b = fit_quality_model(sample)
     accepted = feats.filter(score_expr(wts, b) > 0.5)
     stages.append(("quality_gate", accepted.count()))
+
+    # all counts are materialized ints now; release the pinned stages
+    for frame in (by_url, exact, keepers):
+        frame.unpersist()
 
     return spark.createDataFrame(
         [(i, name, n) for i, (name, n) in enumerate(stages)],
