@@ -1,0 +1,113 @@
+"""Bloom-filter semi-join prefilter — the 100 TB fact-reduction kernel.
+
+Problem shape: a fact⋈dim join where the dim side is too big to broadcast
+as ROWS (tens of millions of keys ⇒ GBs hashed) but the join is selective —
+most fact rows match no dim key. A plain sort-merge join shuffles the whole
+fact table first and discards the misses after; at 100 TB that discarded
+shuffle is the dominant cost. The classic fix is to broadcast a *bit-set
+fingerprint* of the dim keys instead: a Bloom filter of m bits costs
+m/8 bytes regardless of key width (128 MB covers ~10^9 keys at ~2% fp),
+the fact side drops non-members *before* the exchange, and the exact join
+afterwards removes the false positives — the final result is bit-identical
+to the plain join, which is why `join_bloom_prefilter` can be Tier-A
+hash-matched against the plain-join oracle.
+
+Spark 4 grows an internal runtime bloom rewrite
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`, InjectRuntimeFilter),
+but it only fires under its own selectivity/size heuristics and cannot be
+directed. This operator is the explicit, deterministic version: build the
+bits with DataFrame algebra (k seeded xxhash64 positions per key, map-side
+combinable `bit_or` into m/64 words), collect the BOUNDED word table
+(m/64 longs — 16 KB at the default m=2^17, the same bounded-collect
+contract as ivf.py's centroids), and test membership with pure JVM bitwise
+expressions so the prefilter rides inside WholeStageCodegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_BITS = 1 << 17
+DEFAULT_NUM_HASHES = 5
+
+# Words are 32-bit (stored in longs): the per-bit mask is pow(2.0, bit),
+# exact as a double for bit ≤ 31 and cast back to long — the Python DSL's
+# shiftleft() only takes a literal shift amount, so a column-indexed shift
+# has to come from arithmetic that both engines and codegen keep exact.
+_WORD_BITS = 32
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The k bit positions of one key: pmod(xxhash64(seed_i, key), m)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits)).cast("int")
+        for i in range(num_hashes)
+    ]
+
+
+def _word_idx(pos: Column) -> Column:
+    return F.floor(pos / F.lit(_WORD_BITS)).cast("int")
+
+
+def _bit_mask(pos: Column) -> Column:
+    return F.pow(F.lit(2.0), pos % F.lit(_WORD_BITS)).cast("long")
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> list[int]:
+    """Build the filter over ``keys[key_col]``; returns m/64 words.
+
+    Fully distributed until the last step: each key explodes to k
+    (word_idx, bit_mask) pairs, `bit_or` partial-aggregates map-side, and
+    the one shuffle is bounded by m/64 distinct words — independent of key
+    count. The collect is the bounded word table, never the keys.
+    """
+    if num_bits % _WORD_BITS:
+        raise ValueError(f"num_bits must be a multiple of {_WORD_BITS}")
+    pairs = [
+        F.struct(_word_idx(pos).alias("w"), _bit_mask(pos).alias("m"))
+        for pos in _positions(F.col(key_col), num_bits, num_hashes)
+    ]
+    words = (
+        keys.select(F.explode(F.array(*pairs)).alias("p"))
+        .groupBy(F.col("p.w").alias("w"))
+        .agg(F.bit_or("p.m").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (num_bits // _WORD_BITS)
+    for row in words:
+        arr[row["w"]] = row["bits"]
+    return arr
+
+
+def bloom_might_contain(
+    key: Column,
+    words: list[int],
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """Membership predicate: true for every inserted key (no false
+    negatives), true for a non-member with probability ≈ (1-e^{-kn/m})^k.
+
+    Pure JVM expression (element_at + bitwiseAND over an array<long>
+    literal), so Catalyst keeps it inside the scan's codegen stage and the
+    words array ships once per task with the serialized plan.
+    """
+    arr = F.lit(words)
+    cond: Column | None = None
+    for pos in _positions(key, num_bits, num_hashes):
+        word = F.element_at(arr, _word_idx(pos) + F.lit(1))
+        hit = word.bitwiseAND(_bit_mask(pos)) != F.lit(0)
+        cond = hit if cond is None else cond & hit
+    assert cond is not None
+    return cond
+
+
+def bloom_fill_ratio(words: list[int]) -> float:
+    """Fraction of set bits — sanity metric (0.5 ⇒ fp ≈ 2^-k at k=ln2·m/n)."""
+    return sum(bin(w).count("1") for w in words) / (_WORD_BITS * len(words))

@@ -796,3 +796,57 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.filter(F.col("o_orderkey") % 2 == 1).select(grp(5).alias("b_grp"))
     joined = a.join(b, a.grp.eqNullSafe(b.b_grp))
     return joined.groupBy("grp").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {MSUM('o_totalprice', 100)} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'MACHINERY' AND o_totalprice > 100000
+    GROUP BY n_name
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join (operators/bloom.py): MACHINERY customers'
+    high-value order volume per nation, with the fact side thinned by a
+    Bloom filter of the qualifying custkeys BEFORE any exchange.
+
+    Why Tier-A against the PLAIN join oracle: the Bloom pass has no false
+    negatives and the exact join afterwards removes the false positives,
+    so the result set is identical — the filter only changes how much of
+    the fact table reaches the shuffle. At fixture scale Spark would
+    broadcast the dim anyway; the operator exists for the 100 TB regime
+    where the dim's rows blow past the broadcast threshold but its bit-set
+    (m/8 bytes, key-width-independent) does not, turning a full fact
+    shuffle into a ~selectivity-sized one. Spark's own runtime bloom
+    rewrite (InjectRuntimeFilter) makes the same move only when its
+    heuristics fire; this is the explicit, deterministic form.
+    """
+    from pyetl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t.customer.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    words = bloom_build(dim.select("c_custkey"), "c_custkey")
+    fact = t.orders.filter(F.col("o_totalprice") > 100000).filter(
+        bloom_might_contain(F.col("o_custkey"), words)
+    )
+    return (
+        fact.join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            msum(F.col("o_totalprice"), 100).alias("revenue"),
+        )
+    )

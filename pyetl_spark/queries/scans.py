@@ -80,3 +80,58 @@ def source_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k").isNotNull())
     )
+
+
+@query(
+    "source_json_corrupt_records",
+    oracle="""
+    WITH fed AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{' || props
+                  WHEN event_id % 17 = 0 THEN 'not-json'
+                  ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE NOT json_valid(payload)) AS BIGINT)
+             AS n_quarantined,
+           CAST(count(*) FILTER (WHERE json_valid(payload)) AS BIGINT)
+             AS n_parsed,
+           CAST(sum(CASE WHEN json_valid(payload)
+                    THEN CAST(json_extract(payload, '$.k') AS INT) END)
+                AS BIGINT) AS sum_k
+    FROM fed GROUP BY event_type
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-JSON ingestion with dead-lettering — the reference's consumer
+    loop meets real feeds: records that fail to parse must be counted and
+    quarantined, never dropped silently or allowed to kill the job.
+
+    The fixture's props are all valid, so malformedness is injected
+    deterministically (event_id % 13 → truncated-brace prefix, % 17 →
+    non-JSON text; both engines corrupt identically, so the oracle is
+    exact). Spark-side validity is `get_json_object(payload, '$.k') IS
+    NOT NULL` — the JVM parser returns NULL on malformed input, and every
+    genuine fixture payload carries `k`, so null ⇔ quarantine (DuckDB
+    spells the same split with json_valid; its json_extract ERRORS on
+    malformed input rather than returning NULL, hence the CASE guard
+    there). The full pipeline form would route `n_quarantined` rows to a
+    dead-letter sink (sink_multi's second leg) with the raw payload
+    preserved for replay; at 100 TB this classification is a pure
+    map-side expression — no shuffle beyond the final aggregate."""
+    ev = load_tables(spark, sf_dir).events
+    payload = (
+        F.when(F.col("event_id") % 13 == 0, F.concat(F.lit("{"), F.col("props")))
+        .when(F.col("event_id") % 17 == 0, F.lit("not-json"))
+        .otherwise(F.col("props"))
+    )
+    k = F.get_json_object(payload, "$.k").cast("int")
+    fed = ev.select("event_type", k.alias("k"))
+    return fed.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_quarantined"),
+        F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_parsed"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )

@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyetl_spark.parity import fxp
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -248,4 +249,75 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_day"),
         )
         .orderBy("pid")
+    )
+
+
+@query("sink_schema_evolution")  # Tier B
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across landed batches — long-lived lake tables
+    gain columns over time, and old files must stay readable without a
+    rewrite. Batch 1 lands (o_orderkey, o_totalprice); batch 2 adds
+    o_orderstatus. A plain read would serve whichever file's schema got
+    sampled first; `mergeSchema=true` unions the per-file schemas and
+    null-backfills the missing column for batch-1 rows — the audit output
+    proves both the union (column exists everywhere) and the backfill
+    (nulls confined to batch 1). At 100 TB, mergeSchema's footer-listing
+    cost is why real deployments record the merged schema once in a
+    catalog/table format; the read semantics verified here are the same."""
+    path = _scratch("schema_evolution")
+    o = load_tables(spark, sf_dir).orders
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "basePath", path
+    ).parquet(path)
+    return (
+        back.groupBy("batch")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias(
+                "n_null_status"
+            ),
+            F.countDistinct("o_orderstatus").alias("n_status_values"),
+        )
+        .orderBy("batch")
+    )
+
+
+@query("sink_dpp_partitioned_join")  # Tier B
+def sink_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a Hive-partitioned sink: orders land
+    partitioned by order year, then a join against a filtered dimension
+    prunes fact PARTITIONS at runtime — the dim's qualifying keys become a
+    `dynamicpruningexpression` on the fact scan (tests/test_plans.py pins
+    it), so only 2 of the ~7 year directories are ever read. This is the
+    mechanism that makes date-dimension joins cheap on a 100 TB
+    partitioned lake: static pruning can't see through the join, DPP
+    turns the broadcast dim into a partition filter. Output re-aggregates
+    the joined slice (counts + exact cent revenue per year)."""
+    path = _scratch("dpp_orders_by_year")
+    t = load_tables(spark, sf_dir)
+    fact = t.orders.withColumn("o_year", F.year("o_orderdate"))
+    fact.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    years = (
+        fact.select("o_year")
+        .distinct()
+        .withColumn("is_focus", F.col("o_year").isin(2000, 2001))
+    )
+    dim = years.filter(F.col("is_focus")).withColumnRenamed("o_year", "d_year")
+    joined = back.join(
+        F.broadcast(dim), F.col("o_year") == F.col("d_year")
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(fxp(F.col("o_totalprice"), 100)).alias("revenue_cents"),
+        )
+        .orderBy("o_year")
     )

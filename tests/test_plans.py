@@ -477,3 +477,21 @@ def test_hash_sample_uses_window_group_limit(spark):
     groups."""
     plan = plan_of(spark, "sample_hash_per_group", mode="simple")
     assert plan.count("WindowGroupLimit") == 2, plan
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark):
+    """sink_dpp_partitioned_join: the filtered dim must turn into a
+    dynamicpruningexpression on the partitioned fact scan — the runtime
+    partition-pruning mechanism that keeps date-dim joins cheap at 100 TB."""
+    plan = plan_of(spark, "sink_dpp_partitioned_join", mode="extended")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_bloom_prefilter_runs_in_scan_stage(spark):
+    """join_bloom_prefilter: the membership test is a JVM expression in the
+    fact scan's codegen stage (no Python eval, no pre-join exchange added
+    beyond the join's own)."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the totalprice conjunct still reaches the parquet reader
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
