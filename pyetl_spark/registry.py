@@ -51,7 +51,8 @@ ORACLE: dict[str, str] = {}
 #:       etl_cdc_compact, agg_salted_twophase, agg_bitmap_distinct,
 #:       join_null_safe, subq_any_all, sample_hash_per_group,
 #:       join_interval_overlap, etl_merge_upsert, events_rollup_*,
-#:       text_url_canonicalize) + ~5 RE-VERIFY slots for the oldest r1
+#:       text_url_canonicalize, join_bloom_prefilter,
+#:       source_json_corrupt_records) + ~5 RE-VERIFY slots for the oldest r1
 #:       evidence (scan_parquet_project, scan_pushdown_filter,
 #:       source_json_parse, proj_expr, filter_compound) so no green row
 #:       ages past 3 rounds. Never-verified rows-only keys (sketches/
