@@ -1911,3 +1911,94 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
         ).alias("returning_users"),
     )
+
+
+@query(
+    "events_training_examples",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    )
+    SELECT event_id, user_id, us AS label_us,
+           n_click_7d, n_view_7d, n_error_7d, spend_7d_cents, n_any_7d
+    FROM (
+      SELECT event_id, user_id, event_type, us,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS n_click_7d,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS n_view_7d,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS n_error_7d,
+        CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(sign(value) * floor(abs(value) * 100.0 + 0.5) AS BIGINT)
+             ELSE 0 END) OVER w, 0) AS BIGINT) AS spend_7d_cents,
+        CAST(count(*) OVER w AS BIGINT) AS n_any_7d
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-example assembly — the point-in-time feature
+    join every supervised pipeline over behavioral data needs: for each
+    label event (a purchase), features computed from the SAME user's
+    strictly-prior activity inside a 7-day lookback. Strictness is the
+    whole game — a feature window that includes the label instant leaks
+    the target (and ties at the exact same microsecond exclude each
+    other symmetrically, so the result is deterministic).
+
+    Implementation is pure window algebra over a RANGE frame on epoch
+    micros ([-7d, -1µs]) with conditional sums per feature — ONE shuffle
+    on user_id for any number of features, never a per-label self-join
+    (the naive events⋈events within-7d join is O(activity²) per user).
+    Spend is an exact cent-integer sum (parity.py fxp domain). At 100 TB
+    this is Shape 4: pre-bucketing events by user_id makes example
+    assembly shuffle-free, and the frame buffer is O(7d activity) per
+    user, spill-backed. The label filter runs AFTER the windows (features
+    come from all event types) — Catalyst still prunes unused columns."""
+    ev = load_tables(spark, sf_dir).events
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-604_800_000_000, -1)
+    )
+
+    def n_of(t: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .over(w)
+            .cast("bigint")
+        )
+
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("us").alias("label_us"),
+        n_of("click").alias("n_click_7d"),
+        n_of("view").alias("n_view_7d"),
+        n_of("error").alias("n_error_7d"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    fxp(F.col("value"), 100),
+                ).otherwise(F.lit(0))
+            ).over(w),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("spend_7d_cents"),
+        F.count("*").over(w).cast("bigint").alias("n_any_7d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").drop("event_type")

@@ -488,3 +488,32 @@ def test_corpus_shards_balanced_and_reproducible(spark, tmp_path):
     files = [f for f in os.listdir(os.path.join(out, "shard=3"))
              if f.endswith(".parquet")]
     assert len(files) == 1, files
+
+
+def test_training_examples_no_leakage(spark):
+    """events_training_examples: the feature window is strictly prior —
+    verified against a brute-force per-label recount (which is exactly the
+    O(n²) join the operator exists to avoid; fine at fixture scale)."""
+    ex = registry.QUERIES["events_training_examples"](spark, SF_ORACLE)
+    ev = load_tables(spark, SF_ORACLE).events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    labels = ex.select("event_id", "user_id", "label_us", "n_any_7d")
+    brute = (
+        labels.join(ev.withColumnRenamed("user_id", "u2"), 
+                    (F.col("u2") == F.col("user_id"))
+                    & (F.col("us") >= F.col("label_us") - 604_800_000_000)
+                    & (F.col("us") <= F.col("label_us") - 1),
+                    "left")
+        .groupBy("event_id", "n_any_7d")
+        .agg(F.count("us").alias("brute_n"))
+    )
+    mismatch = brute.filter(F.col("brute_n") != F.col("n_any_7d")).count()
+    assert mismatch == 0
+    # every label event produces exactly one example row
+    n_purchases = load_tables(spark, SF_ORACLE).events.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert ex.count() == n_purchases

@@ -495,3 +495,55 @@ def test_bloom_prefilter_runs_in_scan_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the totalprice conjunct still reaches the parquet reader
     assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan
+
+
+#: Queries whose PURPOSE is the Python boundary (SURVEY §2.11 UDF surface)
+#: or that are pandas-backed custom operators where no built-in DataFrame
+#: composition expresses the semantics (SURVEY's operator-implementation
+#: ladder). Everything else must stay wholly JVM-side.
+_PYTHON_EVAL_OK = {
+    "udf_scalar_python",       # the mandated row-UDF boundary proof
+    "udf_pandas_scalar",       # the mandated Arrow-UDF twin
+    "udaf_pandas_grouped",     # mandated grouped-agg pandas UDAF
+    "udtf_python",             # mandated Python UDTF
+    "grouped_map_applyInPandas",  # mandated grouped-map surface
+    "map_partitions_arrow",    # mandated mapInPandas escape hatch
+    "win_udaf_pandas",         # windowed pandas UDAF (bounded frames)
+    "win_ewma",                # recursive EWMA: no closed JVM form
+    "ts_forecast_holt",        # Holt recursion, reference-pinned pandas
+    "text_pack_greedy",        # exact first-fit packer (stateful scan)
+    "text_bpe_tokenize",       # trained-merges encode (Arrow UDF)
+    "text_semdedup",           # within-cell NumPy cosine block
+    "text_heavy_hitters_mg",   # per-partition Misra-Gries summaries
+    "vec_mmr_diversify",       # NumPy-reference-exact rerank stage
+    "vec_pca_project",         # mapInPandas moment aggregation
+    "graph_pagerank",          # iterative solve bookkeeping
+    "multimodal_features",     # Arrow decode plumbing (stubbed decoder)
+    "multimodal_cdc_chunks",   # content-defined chunking over binary
+    "multimodal_frame_sample",  # frame-sampling over binary payloads
+    "pipeline_curation_full",  # composes the pandas-backed stages above
+}
+
+_PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "AggregateInPandas",
+    "PythonUDTF",
+)
+
+
+@pytest.mark.parametrize("key", _ALL_KEYS)
+def test_plan_lint_no_accidental_python_eval(spark, key):
+    """The hot path stays JVM-side: outside the declared UDF surface and
+    the pandas-backed custom operators, NO query's physical plan may
+    contain a Python evaluation node — a stray .udf() in a helper would
+    silently serialize every row across the Python boundary (the 10-100×
+    cliff SURVEY §2.11 exists to fence off)."""
+    if key in _PYTHON_EVAL_OK:
+        pytest.skip("Python boundary is this operator's documented design")
+    plan = plan_of(spark, key, mode="simple")
+    found = [m for m in _PY_MARKERS if m in plan]
+    assert not found, f"{key}: unexpected Python eval {found}"
