@@ -65,6 +65,11 @@ HEADLINE = [
     "events_rollup_multi_grain",
     "etl_merge_upsert",
     "text_semdedup",
+    # r3 late additions: the explicit Bloom semi-join prefilter (build +
+    # prefiltered join, SCALE shape 16) and the windowed point-in-time
+    # training-example assembly (leakage-free feature join, Shape 4)
+    "join_bloom_prefilter",
+    "events_training_examples",
 ]
 
 

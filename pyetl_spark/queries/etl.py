@@ -599,3 +599,99 @@ def etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .drop("rn")
     )
+
+
+@query(
+    "etl_fk_integrity",
+    oracle="""
+    SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphan AS BIGINT) AS n_orphan
+    FROM (
+      SELECT 'orders->customer' AS rel, count(*) AS n_child,
+             count(*) FILTER (WHERE c_custkey IS NULL) AS n_orphan
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      UNION ALL
+      SELECT 'lineitem->orders', count(*),
+             count(*) FILTER (WHERE o_orderkey IS NULL)
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'lineitem->part', count(*),
+             count(*) FILTER (WHERE p_partkey IS NULL)
+      FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      UNION ALL
+      SELECT 'customer->nation', count(*),
+             count(*) FILTER (WHERE n_nationkey IS NULL)
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    )
+    """,
+)
+def etl_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the pre-training data-quality gate:
+    count orphaned foreign keys across the star schema's four FK edges in
+    one report (a training pipeline that joins facts to dims silently
+    DROPS orphans with an inner join; this measures what would vanish).
+
+    Each edge is a left join + null-count — Catalyst prunes both sides to
+    the key columns, dims broadcast, and the fact edges shuffle on their
+    FK. A cheaper 100 TB variant aggregates distinct child keys first
+    (orphan KEYS not orphan ROWS) — one distinct per edge, then an anti
+    join against the parent's key set; the per-row form here is chosen
+    because the oracle needs row counts. The four edges are independent
+    jobs Spark schedules concurrently under the union."""
+    t = load_tables(spark, sf_dir)
+
+    def edge(child: DataFrame, ck: str, parent: DataFrame, pk: str, rel: str) -> DataFrame:
+        j = child.select(ck).join(
+            parent.select(pk), F.col(ck) == F.col(pk), "left"
+        )
+        return j.agg(
+            F.lit(rel).alias("rel"),
+            F.count("*").alias("n_child"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphan"),
+        ).select("rel", "n_child", "n_orphan")
+
+    return (
+        edge(t.orders, "o_custkey", t.customer, "c_custkey", "orders->customer")
+        .unionByName(edge(t.lineitem, "l_orderkey", t.orders, "o_orderkey", "lineitem->orders"))
+        .unionByName(edge(t.lineitem, "l_partkey", t.part, "p_partkey", "lineitem->part"))
+        .unionByName(edge(t.customer, "c_nationkey", t.nation, "n_nationkey", "customer->nation"))
+    )
+
+
+@query(
+    "etl_freshness_lag",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS global_max FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', max(ts), (SELECT global_max FROM m))
+                AS BIGINT) AS lag_secs
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def etl_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness monitoring: how far each event_type's newest
+    record trails the newest record overall — the lag alarm every
+    continuously-landing table needs (a stuck upstream shows up as one
+    source's lag growing while the others stay near zero).
+
+    Two tiny aggregates: per-type max (partial/final on ≤ #types groups)
+    and the 1-row global max crossJoined back (broadcast scalar — same
+    whitelisted pattern as text_bm25_search's corpus constants). Second
+    precision keeps the µs-vs-ns storage question out of the hash."""
+    ev = load_tables(spark, sf_dir).events
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("type_max")
+    )
+    global_max = ev.agg(F.max("ts").alias("global_max"))
+    return (
+        per_type.crossJoin(F.broadcast(global_max))
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.unix_timestamp("global_max") - F.unix_timestamp("type_max")
+            ).cast("bigint").alias("lag_secs"),
+        )
+    )

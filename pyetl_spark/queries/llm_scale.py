@@ -591,3 +591,49 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, name, n) for i, (name, n) in enumerate(stages)],
         "stage_idx int, stage string, n_docs long",
     ).orderBy("stage_idx")
+
+
+@query("vec_ann_ivf_persisted")  # Tier B — approximate, rows-only
+def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index LIFECYCLE: build once, persist, query from the persisted
+    form — the shape that matters at 100 TB, where the k-means fit + cell
+    assignment is a nightly job and every retrieval query afterwards must
+    NOT repeat it. The index is two parquet artifacts: the k-row centroid
+    table and the corpus partitioned BY CELL (Hive layout), so a probe
+    that searches nprobe cells reads only those cell directories —
+    partition pruning turns nprobe/k into a file-listing fraction, not
+    just a row fraction. Query phase re-reads both artifacts cold (no
+    lineage back to the build) and must produce the same neighbors as the
+    in-memory path (asserted in tests/test_ivf.py)."""
+    import os
+    import tempfile
+
+    from pyetl_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
+
+    base = os.path.join(
+        os.environ.get("PYETL_SCRATCH", tempfile.gettempdir()),
+        "pyetl_spark_index",
+        "ivf",
+    )
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    # build + persist (the nightly job)
+    cents = kmeans_fit(v, k=8, iters=2)
+    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    ivf_assign(v, cents).write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(base, "corpus")
+    )
+    # query phase: cold read of the persisted index only
+    cents_idx = spark.read.parquet(os.path.join(base, "centroids"))
+    corpus_idx = spark.read.parquet(os.path.join(base, "corpus")).select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec"), "cell"
+    )
+    probes = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    return ivf_topk(probes, corpus_idx, cents_idx, k=5, nprobe=2).orderBy(
+        "probe_id", "rank"
+    )

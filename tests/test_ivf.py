@@ -150,3 +150,18 @@ def test_farthest_seeds_cover_extent(spark, corpus):
     far = min_pairwise(seed_centroids_farthest(corpus, k=4))
     spread = min_pairwise(seed_centroids(corpus, k=4, spread=True))
     assert far >= spread * 0.99
+
+
+def test_persisted_index_matches_in_memory_path(spark):
+    """vec_ann_ivf_persisted must return exactly the in-memory IVF
+    result: persisting the index (centroid parquet + cell-partitioned
+    corpus) is a layout change, never a semantic one."""
+    from pyetl_spark import registry
+
+    registry.load_all()
+    mem = registry.QUERIES["vec_ann_ivf"](spark, SF_ORACLE).collect()
+    per = registry.QUERIES["vec_ann_ivf_persisted"](spark, SF_ORACLE).collect()
+    assert sorted([(r["probe_id"], r["rank"], r["cand_id"],
+                    round(r["sim"], 9)) for r in mem]) == \
+           sorted([(r["probe_id"], r["rank"], r["cand_id"],
+                    round(r["sim"], 9)) for r in per])
