@@ -637,3 +637,63 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(probes, corpus_idx, cents_idx, k=5, nprobe=2).orderBy(
         "probe_id", "rank"
     )
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    today AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_today,
+           CAST(count(*) FILTER (WHERE h IN (SELECT h FROM hist))
+                AS BIGINT) AS n_dup_vs_history,
+           CAST(count(*) FILTER (WHERE h NOT IN (SELECT h FROM hist))
+                AS BIGINT) AS n_new
+    FROM today GROUP BY source
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup with a Bloom seen-set (operators/bloom.py):
+    classify today's batch against the full corpus HISTORY without joining
+    the whole batch to the whole history. The history's content hashes
+    fold into a bit-set once (a nightly artifact, like the IVF index);
+    today's docs that MISS the filter are definitely-new — no join needed,
+    and on a mostly-novel feed that is most of the batch; only bloom HITS
+    (true dups + ~fp%) join the history hash set for exact confirmation.
+    The join's left side shrinks from |batch| to |dups|+fp, which is what
+    makes per-batch dedup against a 100 TB history affordable; the md5
+    hash set itself is the compact join side (32-byte keys, not documents).
+
+    Tier-A: no false negatives + exact confirmation join ⇒ identical to
+    the plain semi-join split the oracle computes. History/today are
+    deterministic halves of the fixture (doc_id parity)."""
+    from pyetl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    d = load_tables(spark, sf_dir).documents
+    hist = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    words = bloom_build(hist, "h")
+    today = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    candidates = today.filter(bloom_might_contain(F.col("h"), words))
+    confirmed = candidates.join(hist, "h", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    tagged = today.join(confirmed, "doc_id", "left").select(
+        "source", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup")
+    )
+    return tagged.groupBy("source").agg(
+        F.count("*").alias("n_today"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_vs_history"),
+        F.count(F.when(~F.col("is_dup"), 1)).alias("n_new"),
+    )
