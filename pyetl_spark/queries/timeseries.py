@@ -661,3 +661,84 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.row_number().over(w).cast("long").alias("draw_order"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(sign(value) * floor(abs(value) * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sq
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, st.n, st.s, st.sq,
+             CAST(sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day)
+                  AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY d.event_type
+                                     ORDER BY d.day) AS BIGINT) AS t
+      FROM daily d JOIN stats st USING (event_type)
+    )
+    SELECT event_type, day,
+           CAST(n * prefix - t * s AS BIGINT) AS cusum_n_cents,
+           (CAST(n * prefix - t * s AS DOUBLE)
+            * CAST(n * prefix - t * s AS DOUBLE))
+           > 4.0 * CAST(n * sq - s * s AS DOUBLE) AS is_shift
+    FROM cum
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series (daily cent-sums per
+    event_type): the cumulative deviation from the series mean,
+    flagged where |cusum_t| exceeds 2σ of the daily values — the
+    classic drift detector for landed-volume monitoring (a level shift
+    shows as a sustained cusum ramp long before any single day is an
+    outlier).
+
+    Exactness discipline (parity.py): everything stays INTEGER until the
+    final comparison. cusum_t = prefix_t − t·S/N is scaled by N to
+    N·prefix−t·S (exact bigint), and |cusum|>2σ is squared into
+    (N·prefix−t·S)² > 4(N·Σx²−S²) — both sides exact bigints cast to
+    double THROUGH THE SAME VALUES on both engines, so the boolean can
+    never tie-flip (the square lives in double only because bigint² can
+    exceed 2^63; two engines casting the same int64 get the same double).
+    DuckDB's hugeint-promoting sums are pinned back to BIGINT per the
+    canon rules. Plan: one daily partial/final aggregate, a ≤|types|-row
+    stats join broadcast back, one window pass — Shape 4 with a
+    broadcast scalar, no self-join. Works to ~sf10 before N·Σx² needs a
+    dollar-scaled rebase (documented trade, same fxp-domain move)."""
+    ev = load_tables(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(fxp(F.col("value"), 100)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sq"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("prefix", F.sum("x").over(w))
+        .withColumn("t", F.row_number().over(w).cast("bigint"))
+    )
+    cusum = (F.col("n") * F.col("prefix") - F.col("t") * F.col("s")).cast(
+        "bigint"
+    )
+    rhs = (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).cast("double")
+    return cum.select(
+        "event_type",
+        "day",
+        cusum.alias("cusum_n_cents"),
+        (cusum.cast("double") * cusum.cast("double") > 4.0 * rhs).alias(
+            "is_shift"
+        ),
+    )
