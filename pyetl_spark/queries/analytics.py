@@ -2002,3 +2002,88 @@ def events_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_any_7d"),
     )
     return feat.filter(F.col("event_type") == "purchase").drop("event_type")
+
+
+@query(
+    "basket_association_rules",
+    oracle=f"""
+    WITH item AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    singles AS (
+      SELECT l_partkey, count(*) AS n_item FROM item GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM item a JOIN item b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 3
+    ),
+    total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM item)
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           {R('CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)', 6)}
+             AS support,
+           {R('CAST(n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE)', 6)}
+             AS confidence,
+           {R('CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) / (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE))', 6)}
+             AS lift
+    FROM pairs
+    JOIN singles sa ON part_a = sa.l_partkey
+    JOIN singles sb ON part_b = sb.l_partkey
+    CROSS JOIN total
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules a→b over order baskets: support, confidence and
+    lift for every part pair co-occurring in ≥3 orders — the first rung
+    of market-basket mining (and of co-occurrence-based related-item
+    retrieval). Itemization is DISTINCT (order, part) so multi-lineitem
+    quantities don't inflate counts.
+
+    All three ratios divide EXACT integer counts (pair/single/total) so
+    the 6dp rounding is tie-stable cross-engine. Plan: the pair self-join
+    is basket-id-keyed (quadratic only in basket size, ≤7 here — linear
+    in rows at 100 TB); singles join back by part key (dim-sized,
+    broadcastable); the 1-row basket total crossJoins in (whitelisted
+    scalar). Apriori's next rungs (triples, …) reuse the same shape with
+    pairs as the new 'items'."""
+    li = load_tables(spark, sf_dir).lineitem
+    item = li.select("l_orderkey", "l_partkey").distinct()
+    singles = item.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = item.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = item.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b.o2) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    total = item.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    sa = singles.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    out = (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(total))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return out.select(
+        "part_a",
+        "part_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        rnd(dbl("n_ab") / dbl("n_orders"), 6).alias("support"),
+        rnd(dbl("n_ab") / dbl("n_a"), 6).alias("confidence"),
+        rnd(dbl("n_ab") * dbl("n_orders") / (dbl("n_a") * dbl("n_b")), 6).alias(
+            "lift"
+        ),
+    )

@@ -695,3 +695,57 @@ def etl_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("lag_secs"),
         )
     )
+
+
+@query(
+    "etl_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+             count(*) AS grp_n
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_qi_groups,
+           CAST(sum(grp_n) AS BIGINT) AS n_customers,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size,
+           CAST(count(*) FILTER (WHERE grp_n < 5) AS BIGINT)
+             AS n_violating_groups,
+           CAST(coalesce(sum(grp_n) FILTER (WHERE grp_n < 5), 0) AS BIGINT)
+             AS n_customers_at_risk
+    FROM qi GROUP BY c_nationkey
+    """,
+)
+def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set — the governance
+    check a training corpus carrying user-derived records needs before
+    release: any (nation, segment, balance-bucket) combination matching
+    fewer than k=5 individuals re-identifies them by linkage. Reports,
+    per nation, the group count, population, smallest group, and how many
+    groups/customers fall under k — the inputs to a suppress-or-coarsen
+    decision (drop violating rows, or widen bal_bucket until min ≥ k).
+
+    Two stacked aggregations: QI groupBy (one shuffle, uniform keys) then
+    a ≤25-group rollup. At 100 TB the QI aggregate is partial/final
+    map-combined like any count — anonymity auditing is not harder than
+    counting. Bucket floor is integer-exact on both engines."""
+    c = load_tables(spark, sf_dir).customer
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    ).agg(F.count("*").alias("grp_n"))
+    return qi.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_qi_groups"),
+        F.sum("grp_n").cast("bigint").alias("n_customers"),
+        F.min("grp_n").cast("bigint").alias("min_group_size"),
+        F.count(F.when(F.col("grp_n") < 5, 1)).alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_customers_at_risk"),
+    )

@@ -306,6 +306,7 @@ _NESTED_LOOP_OK = {
                            # frequency-share threshold
     "text_heavy_hitters_mg",  # same scalar threshold as text_heavy_hitters
     "text_lm_score",       # 1-row vocab-size scalar crossJoined in
+    "basket_association_rules",  # 1-row basket-total scalar crossJoined in
     "etl_freshness_lag",   # 1-row global-max timestamp crossJoined in
     "subq_any_all",        # 1-row ALL-bound scalar (max) crossJoined in —
                            # the standard quantified-subquery rewrite
