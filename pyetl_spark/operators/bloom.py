@@ -17,8 +17,8 @@ Spark 4 grows an internal runtime bloom rewrite
 but it only fires under its own selectivity/size heuristics and cannot be
 directed. This operator is the explicit, deterministic version: build the
 bits with DataFrame algebra (k seeded xxhash64 positions per key, map-side
-combinable `bit_or` into m/64 words), collect the BOUNDED word table
-(m/64 longs — 16 KB at the default m=2^17, the same bounded-collect
+combinable `bit_or` into m/32 32-bit words), collect the BOUNDED word
+table (m/32 longs — 32 KB at the default m=2^17, the same bounded-collect
 contract as ivf.py's centroids), and test membership with pure JVM bitwise
 expressions so the prefilter rides inside WholeStageCodegen on the scan.
 """
@@ -60,11 +60,11 @@ def bloom_build(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> list[int]:
-    """Build the filter over ``keys[key_col]``; returns m/64 words.
+    """Build the filter over ``keys[key_col]``; returns m/32 words.
 
     Fully distributed until the last step: each key explodes to k
     (word_idx, bit_mask) pairs, `bit_or` partial-aggregates map-side, and
-    the one shuffle is bounded by m/64 distinct words — independent of key
+    the one shuffle is bounded by m/32 distinct words — independent of key
     count. The collect is the bounded word table, never the keys.
     """
     if num_bits % _WORD_BITS:

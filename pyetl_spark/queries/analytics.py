@@ -1924,12 +1924,12 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_click_7d, n_view_7d, n_error_7d, spend_7d_cents, n_any_7d
     FROM (
       SELECT event_id, user_id, event_type, us,
-        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-             OVER w AS BIGINT) AS n_click_7d,
-        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-             OVER w AS BIGINT) AS n_view_7d,
-        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-             OVER w AS BIGINT) AS n_error_7d,
+        CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER w, 0) AS BIGINT) AS n_click_7d,
+        CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER w, 0) AS BIGINT) AS n_view_7d,
+        CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER w, 0) AS BIGINT) AS n_error_7d,
         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
              THEN CAST(sign(value) * floor(abs(value) * 100.0 + 0.5) AS BIGINT)
              ELSE 0 END) OVER w, 0) AS BIGINT) AS spend_7d_cents,
@@ -1974,9 +1974,14 @@ def events_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def n_of(t: str) -> F.Column:
+        # coalesce: an empty lookback (user's first event) is 0 prior
+        # events, not a NULL feature — downstream trainers treat NULL as
+        # missing, and "no history" is real information, not missingness
         return (
-            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
-            .over(w)
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).over(w),
+                F.lit(0),
+            )
             .cast("bigint")
         )
 

@@ -676,24 +676,30 @@ def etl_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously-landing table needs (a stuck upstream shows up as one
     source's lag growing while the others stay near zero).
 
-    Two tiny aggregates: per-type max (partial/final on ≤ #types groups)
-    and the 1-row global max crossJoined back (broadcast scalar — same
-    whitelisted pattern as text_bm25_search's corpus constants). Second
-    precision keeps the µs-vs-ns storage question out of the hash."""
+    ONE events scan: the per-type max (partial/final on ≤ #types groups)
+    is computed first, and the global max is a window max OVER that
+    ≤ #types-row aggregate — never a second pass of the fact table, and
+    no join at all (the unpartitioned window is safe precisely because
+    its input is the group-count-bounded aggregate, not the fact).
+    Second precision keeps the µs-vs-ns storage question out of the
+    hash."""
+    from pyspark.sql import Window
+
     ev = load_tables(spark, sf_dir).events
     per_type = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"), F.max("ts").alias("type_max")
     )
-    global_max = ev.agg(F.max("ts").alias("global_max"))
-    return (
-        per_type.crossJoin(F.broadcast(global_max))
-        .select(
-            "event_type",
-            "n_events",
-            (
-                F.unix_timestamp("global_max") - F.unix_timestamp("type_max")
-            ).cast("bigint").alias("lag_secs"),
+    global_max = F.max("type_max").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        (F.unix_timestamp(global_max) - F.unix_timestamp("type_max"))
+        .cast("bigint")
+        .alias("lag_secs"),
     )
 
 

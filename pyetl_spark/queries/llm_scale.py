@@ -610,11 +610,17 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyetl_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
 
-    base = os.path.join(
+    # per-run directory: the query phase READS this path back as its
+    # correctness-critical input, so concurrent runs (test suite + bench,
+    # parallel CI) must never interleave overwrite with read. mkdtemp is
+    # unique per call; the artifacts persist like every scratch sink's
+    # (the returned DataFrame is lazy — the caller collects later).
+    root = os.path.join(
         os.environ.get("PYETL_SCRATCH", tempfile.gettempdir()),
         "pyetl_spark_index",
-        "ivf",
     )
+    os.makedirs(root, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="ivf_", dir=root)
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
         "vec_id",

@@ -165,11 +165,16 @@ def run_corpus_ingest(
     checkpoint: str,
     watermark: str = "1 hour",
     min_quality: float = 0.5,
+    max_files_per_trigger: int | None = None,
 ):
     """Wire the full ingest: source → gate → dedup(accepted only) →
-    multi-sink. Returns the started streaming query (availableNow)."""
+    multi-sink. Returns the started streaming query (availableNow).
+    ``max_files_per_trigger`` bounds each micro-batch — availableNow
+    honors it, so a backlog drains as a SEQUENCE of batches (real state
+    handoff between batches) instead of one mega-batch."""
     scored = score_and_gate(
-        read_docs_stream(spark, src_path), min_quality=min_quality
+        read_docs_stream(spark, src_path, max_files_per_trigger),
+        min_quality=min_quality,
     )
     accepted = dedup_stream(
         scored.filter(F.col("reject_reason").isNull()), watermark

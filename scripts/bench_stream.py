@@ -52,7 +52,12 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     copies = max(1, args.rows // n_docs)
-    # replicate with distinct doc_ids + a synthetic ingest timestamp ramp
+    # replicate with distinct doc_ids, a synthetic ingest-time ramp, AND
+    # per-copy distinct text (gen_sf1.py's replication pattern): without
+    # the text prefix every copy shares one content hash and the dedup
+    # stage drops (copies-1)/copies of the feed — the bench would then
+    # measure the drop path, not an ingest that lands data. The fixture's
+    # own intra-corpus dup rate still flows through unchanged.
     feed = (
         docs.crossJoin(
             spark.range(copies).withColumnRenamed("id", "copy")
@@ -62,7 +67,10 @@ def main() -> None:
             F.timestamp_seconds(
                 F.lit(1_700_000_000) + F.col("doc_id") + F.col("copy")
             ).alias("ingest_ts"),
-            "text",
+            F.concat(
+                F.lit("r"), F.col("copy").cast("string"), F.lit("_"),
+                F.col("text"),
+            ).alias("text"),
             "lang",
             "source",
         )
@@ -76,7 +84,10 @@ def main() -> None:
         quarantine = os.path.join(base, f"quarantine_{run}")
         ckpt = os.path.join(base, f"ckpt_{run}")
         t0 = time.time()
-        q = run_corpus_ingest(spark, src, corpus, quarantine, ckpt)
+        q = run_corpus_ingest(
+            spark, src, corpus, quarantine, ckpt,
+            max_files_per_trigger=max(1, args.files // 4),
+        )
         q.awaitTermination()
         wall = time.time() - t0
         landed = spark.read.parquet(corpus).count()
