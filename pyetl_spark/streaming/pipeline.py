@@ -342,3 +342,29 @@ def stateful_anomaly_counter_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_scd2_enrich(
+    events: DataFrame,
+    scd2_dim: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension — the streaming
+    twin of the batch `join_point_in_time`: each event picks the dim
+    version whose [valid_from, valid_to) interval covers the EVENT time,
+    not the processing time (joining a type-1 "current" dim instead is the
+    classic feature-leakage bug: replays and late events would see future
+    attributes).
+
+    Stream-static joins accept arbitrary non-equi conjuncts on the static
+    side, so the interval predicate rides the same broadcast the plain
+    enrichment uses; the static dim re-resolves per micro-batch, picking
+    up SCD2 appends without restart. Versions must be non-overlapping per
+    key (the SCD2 contract) — at most one match per event."""
+    cond = (
+        (events[on] == scd2_dim[on])
+        & (events[ts_col] >= scd2_dim["valid_from"])
+        & (events[ts_col] < scd2_dim["valid_to"])
+    )
+    return events.join(scd2_dim, cond, "left").drop(scd2_dim[on])

@@ -499,3 +499,44 @@ def test_stateful_ewma_carries_recurrence_across_batches(spark, scratch):
     latest = max(rows, key=lambda r: r["n_seen"])
     assert latest["n_seen"] == 3
     assert latest["ewma"] == pytest.approx(y, abs=1e-12)
+
+
+def test_stream_scd2_point_in_time_enrich(spark, scratch):
+    """Events pick the SCD2 dim version valid AT EVENT TIME: rows before
+    the tier change enrich with v1, rows after with v2 — never the
+    current version for historical events (the leakage mode this operator
+    exists to prevent), and events outside all intervals stay unmatched."""
+    from pyetl_spark.streaming.pipeline import stream_scd2_enrich
+
+    src = os.path.join(scratch, "src")
+    # user 1: 12 events across 09:00..09:11; tier flips at 09:06
+    _write_batch(src, "b1.json", [_row(i, h=9, m=i, user=1) for i in range(12)])
+    # user 2: no dim coverage after 09:03 (open interval ends)
+    _write_batch(src, "b2.json", [_row(100 + i, h=9, m=i, user=2) for i in range(6)])
+    dim = spark.createDataFrame(
+        [
+            (1, "free", "2024-01-01T00:00:00", "2024-01-01T09:06:00"),
+            (1, "pro", "2024-01-01T09:06:00", "2200-01-01T00:00:00"),
+            (2, "trial", "2024-01-01T00:00:00", "2024-01-01T09:03:00"),
+        ],
+        "user_id long, tier string, valid_from string, valid_to string",
+    ).select(
+        "user_id",
+        "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    out = _run_available_now(
+        stream_scd2_enrich(read_events_stream(spark, src), dim),
+        os.path.join(scratch, "ck"),
+        "scd2_enrich_out",
+        spark,
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 18
+    for i in range(12):
+        want = "free" if i < 6 else "pro"
+        assert rows[i]["tier"] == want, (i, rows[i]["tier"])
+    for i in range(6):
+        want = "trial" if i < 3 else None
+        assert rows[100 + i]["tier"] == want, (i, rows[100 + i]["tier"])
