@@ -26,6 +26,8 @@ from pyetl_spark.streaming.pipeline import (
     session_agg,
     sliding_agg,
     stateful_anomaly_counter,
+    stream_scd2_enrich,
+    stream_static_enrich,
     tumbling_agg,
 )
 
@@ -37,5 +39,7 @@ __all__ = [
     "session_agg",
     "dedup_within_watermark",
     "stateful_anomaly_counter",
+    "stream_static_enrich",
+    "stream_scd2_enrich",
     "foreach_batch_multi_sink",
 ]
