@@ -2092,3 +2092,129 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift"
         ),
     )
+
+
+@query(
+    "orders_survival_km",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_custkey, min(o_orderdate) AS d0 FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT f.o_custkey, min(o.o_orderdate) AS d1
+      FROM f JOIN orders o
+        ON o.o_custkey = f.o_custkey AND o.o_orderdate > f.d0
+      GROUP BY f.o_custkey
+    ),
+    hz AS (SELECT max(o_orderdate) AS horizon FROM orders),
+    subj AS (
+      SELECT f.o_custkey,
+             CASE WHEN s.d1 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(floor(date_diff('day', f.d0,
+                    coalesce(s.d1, hz.horizon)) / 7.0) AS BIGINT) AS wk
+      FROM f LEFT JOIN s ON f.o_custkey = s.o_custkey CROSS JOIN hz
+    ),
+    wkagg AS (
+      SELECT wk, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leave_n
+      FROM subj GROUP BY wk
+    ),
+    risk AS (
+      SELECT wk, d,
+             CAST((SELECT count(*) FROM subj) -
+                  coalesce(sum(leave_n) OVER (ORDER BY wk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM wkagg
+    ),
+    km AS (
+      SELECT wk, d, n_risk,
+             exp(sum(ln(greatest(
+                     1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE),
+                     1e-300)))
+                 OVER (ORDER BY wk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS surv
+      FROM risk WHERE d > 0
+    )
+    SELECT wk AS week, n_risk, d AS n_events,
+           {R('surv', 6)} AS survival
+    FROM km
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-second-order: for each weekly
+    horizon, the estimated share of customers who have NOT yet reordered
+    — the product-limit estimator with right-censoring (single-order
+    customers are censored at the corpus horizon, which a naive
+    'average gap of reorderers' silently throws away, biasing retention
+    optimistic).
+
+    Determinism: risk sets and event counts are exact integer window
+    prefix-sums over per-week aggregates; the product Π(1-d/n) is
+    computed as exp of a RUNNING sum of ln factors over weeks in
+    ascending order — both engines add the same doubles in the same
+    sequence (the ordered-fold technique of text_source_divergence,
+    window form), then one 6dp round. The unpartitioned windows are safe
+    at any corpus size: their input is the per-WEEK aggregate, bounded by
+    the calendar span, never by customers. Plan: two custkey aggregates
+    (one shuffle each), the 1-row horizon broadcast back (whitelisted
+    scalar), week aggregate, two small windows."""
+    o = load_tables(spark, sf_dir).orders
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    s = (
+        o.join(f, "o_custkey")
+        .filter(F.col("o_orderdate") > F.col("d0"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("d1"))
+    )
+    horizon = o.agg(F.max("o_orderdate").alias("horizon"))
+    subj = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("d1").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.floor(
+                F.datediff(F.coalesce("d1", "horizon"), F.col("d0")) / 7.0
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+    )
+    wkagg = subj.groupBy("wk").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("leave_n"),
+    )
+    n_subjects = subj.count()
+    w_prev = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = wkagg.withColumn(
+        "n_risk",
+        (
+            F.lit(n_subjects)
+            - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
+        ).cast("bigint"),
+    ).filter(F.col("d") > 0)
+    # greatest(·, 1e-300): the terminal event week can absorb the whole
+    # risk set (d == n_risk) — ln(0) errors in DuckDB and nulls in Spark;
+    # the floor makes S collapse to 0 (post-round) identically on both
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.greatest(
+                    F.lit(1.0)
+                    - F.col("d").cast("double")
+                    / F.col("n_risk").cast("double"),
+                    F.lit(1e-300),
+                )
+            )
+        ).over(w_run)
+    )
+    return risk.select(
+        F.col("wk").alias("week"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        rnd(surv, 6).alias("survival"),
+    )

@@ -2431,3 +2431,82 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score_expr(w, b), 6).alias("quality_prob"),
         (score_expr(w, b) > 0.5).alias("accept"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH ph AS (
+      SELECT unnest(string_split_regex(
+               regexp_replace(text,
+                 '\\b(the|a|of|and|to|in|is|on|for|with)\\b', '|', 'g'),
+               '\\|')) AS phrase
+      FROM documents
+    ),
+    tok AS (
+      SELECT string_split_regex(trim(phrase), ' +') AS toks
+      FROM ph WHERE trim(phrase) <> ''
+    ),
+    w AS (SELECT unnest(toks) AS word, len(toks) AS n FROM tok),
+    sc AS (
+      SELECT word, count(*) AS freq, sum(n) AS degree
+      FROM w WHERE word <> '' GROUP BY word
+    )
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(degree AS BIGINT) AS degree,
+           {R('CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)', 6)} AS rake_score
+    FROM sc WHERE freq >= 5
+    ORDER BY rake_score DESC, word LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010, simplified to the
+    word-score level): stopwords delimit candidate phrases, and each
+    word's score is degree/frequency, where degree sums the lengths of
+    every phrase the word appears in — words that ride inside LONG
+    multi-word phrases outrank equally-frequent words that stand alone,
+    which is what separates keyword-y terms from merely common ones
+    (tf-idf can't see phrase context; this is its cheap phrase-aware
+    complement for corpus exploration and tag generation).
+
+    Determinism: freq and degree are exact integer aggregates; the score
+    is ONE division of those ints rounded 6dp — no float summation chain
+    anywhere (the reason this declares word-level RAKE: phrase-level
+    scores would sum doubles in engine-specific order). Plan: regex
+    phrase split + two explodes are map-side; the only shuffle is the
+    word aggregate (uniform keys), then a 20-row TakeOrdered. At 100 TB
+    this is text_top_terms' cost shape with a constant-factor wider
+    explode."""
+    d = load_tables(spark, sf_dir).documents
+    ph = d.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    "text", r"\b(the|a|of|and|to|in|is|on|for|with)\b", "|"
+                ),
+                r"\|",
+            )
+        ).alias("phrase")
+    )
+    ph = ph.select(F.trim("phrase").alias("p")).filter(F.col("p") != "")
+    tok = ph.select(F.split("p", " +").alias("toks"))
+    w = tok.select(
+        F.explode("toks").alias("word"), F.size("toks").alias("n")
+    ).filter(F.col("word") != "")
+    sc = w.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("n").alias("degree")
+    )
+    return (
+        sc.filter(F.col("freq") >= 5)
+        .select(
+            "word",
+            F.col("freq").cast("bigint").alias("freq"),
+            F.col("degree").cast("bigint").alias("degree"),
+            rnd(
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+                6,
+            ).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "word")
+        .limit(20)
+    )
