@@ -2218,3 +2218,121 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         rnd(surv, 6).alias("survival"),
     )
+
+
+@query(
+    "events_bot_detection",
+    oracle="""
+    WITH per_hour AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n_hr
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(n_hr) AS BIGINT) AS n_events,
+             CAST(max(n_hr) AS BIGINT) AS peak_per_hour,
+             CAST(count(*) AS BIGINT) AS active_hours
+      FROM per_hour GROUP BY user_id
+    )
+    SELECT user_id, n_events, peak_per_hour, active_hours,
+           peak_per_hour >= 3 OR n_events >= active_hours * 2 AS is_bot
+    FROM per_user
+    WHERE peak_per_hour >= 2
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based bot flagging — the traffic-hygiene gate a behavioral
+    training corpus needs before events become features or labels:
+    sustained superhuman event rates poison engagement aggregates and
+    leak automation artifacts into models. Flags users whose peak
+    events-per-hour or overall events-per-active-hour crosses
+    thresholds; the report keeps the raw counters so thresholds stay
+    auditable and tunable downstream (the hour grain and low cutoffs
+    are fixture-calibrated — the sparse synthetic feed peaks at
+    ~4/hour; production would run minute-grain with 10-100× cutoffs,
+    same plan).
+
+    Two stacked integer aggregates ((user, minute) then user) — both
+    partial/final map-combined, keys uniform; the boolean is pure integer
+    comparison, so the whole report is hash-exact. At 100 TB the (user,
+    hour) grain is the big shuffle and it is the SAME key layout the
+    sessionization family already shuffles on — a shared user_id
+    bucketing serves them all."""
+    ev = load_tables(spark, sf_dir).events
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_hr"))
+    per_user = per_hour.groupBy("user_id").agg(
+        F.sum("n_hr").cast("bigint").alias("n_events"),
+        F.max("n_hr").cast("bigint").alias("peak_per_hour"),
+        F.count("*").cast("bigint").alias("active_hours"),
+    )
+    return per_user.filter(F.col("peak_per_hour") >= 2).select(
+        "user_id",
+        "n_events",
+        "peak_per_hour",
+        "active_hours",
+        (
+            (F.col("peak_per_hour") >= 3)
+            | (F.col("n_events") >= F.col("active_hours") * 2)
+        ).alias("is_bot"),
+    )
+
+
+@query(
+    "events_stickiness_dau_mau",
+    oracle=f"""
+    WITH dau AS (
+      SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+             count(DISTINCT user_id) AS n_dau
+      FROM events GROUP BY date_trunc('month', ts), CAST(ts AS DATE)
+    ),
+    mau AS (
+      SELECT date_trunc('month', ts) AS month,
+             count(DISTINCT user_id) AS n_mau
+      FROM events GROUP BY date_trunc('month', ts)
+    )
+    SELECT CAST(d.month AS DATE) AS month,
+           CAST(sum(d.n_dau) AS BIGINT) AS dau_days_sum,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(m.n_mau) AS BIGINT) AS mau,
+           {R('CAST(sum(d.n_dau) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(max(m.n_mau) AS DOUBLE)', 6)}
+             AS stickiness
+    FROM dau d JOIN mau m ON d.month = m.month
+    GROUP BY d.month
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement-intensity ratio
+    (how much of the monthly audience shows up on an average day).
+    Computed as (Σ daily-distinct / days) / monthly-distinct: both
+    numerators are EXACT count-distincts, the ratio is one division of
+    integer-derived doubles rounded 6dp.
+
+    Plan note: the daily and monthly distincts are separate grains of
+    the same (time, user) shuffle — Spark plans each count(DISTINCT) as
+    partial-distinct + final (two-stage), keys uniform. A 100 TB
+    deployment with many such grains would switch to the mergeable-HLL
+    pre-aggregate (agg_hll_sketch_merge) and accept the ±2%; this exact
+    form is the oracle-checkable default."""
+    ev = load_tables(spark, sf_dir).events
+    dau = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("n_dau"))
+    mau = ev.groupBy(F.date_trunc("month", "ts").alias("m2")).agg(
+        F.countDistinct("user_id").alias("n_mau")
+    )
+    joined = dau.join(mau, dau.month == mau.m2)
+    return joined.groupBy(F.col("month").cast("date").alias("month")).agg(
+        F.sum("n_dau").cast("bigint").alias("dau_days_sum"),
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("n_mau").cast("bigint").alias("mau"),
+        rnd(
+            F.sum("n_dau").cast("double")
+            / F.count("*").cast("double")
+            / F.max("n_mau").cast("double"),
+            6,
+        ).alias("stickiness"),
+    )
