@@ -2336,3 +2336,131 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stickiness"),
     )
+
+
+@query(
+    "agg_rate_wilson_ci",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           {R('CAST(k AS DOUBLE) / CAST(n AS DOUBLE)', 6)} AS rate,
+           {R('(CAST(k AS DOUBLE)/CAST(n AS DOUBLE) + 1.9208/CAST(n AS DOUBLE) - 1.96 * sqrt((CAST(k AS DOUBLE)/CAST(n AS DOUBLE))*(1.0-CAST(k AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) + 0.9604/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))) / (1.0 + 3.8416/CAST(n AS DOUBLE))', 6)} AS ci_lo,
+           {R('(CAST(k AS DOUBLE)/CAST(n AS DOUBLE) + 1.9208/CAST(n AS DOUBLE) + 1.96 * sqrt((CAST(k AS DOUBLE)/CAST(n AS DOUBLE))*(1.0-CAST(k AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) + 0.9604/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))) / (1.0 + 3.8416/CAST(n AS DOUBLE))', 6)} AS ci_hi
+    FROM seg
+    """,
+)
+def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion with a Wilson 95% score interval per segment (urgent-
+    order rate by market segment) — the honest way to report rates from
+    finite samples: unlike the naive ±1.96√(p̂q̂/n) Wald interval, Wilson
+    stays inside [0,1] and behaves at small n or extreme p̂, which is why
+    experiment dashboards use it. The z=1.96 constants are pre-squared
+    literals (1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4) so both engines
+    evaluate the IDENTICAL closed-form expression over the same exact
+    integer (k, n) — one shared double pipeline, 6dp round, no float
+    aggregation anywhere. Plan: one broadcast dim join + one partial/
+    final count aggregate; CI math is free map-side arithmetic."""
+    t = load_tables(spark, sf_dir)
+    seg = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            ).alias("k"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    half = 1.96 * F.sqrt(p * (1.0 - p) / n + 0.9604 / (n * n))
+    denom = 1.0 + 3.8416 / n
+    return seg.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        rnd(p, 6).alias("rate"),
+        rnd((p + 1.9208 / n - half) / denom, 6).alias("ci_lo"),
+        rnd((p + 1.9208 / n + half) / denom, 6).alias("ci_hi"),
+    )
+
+
+@query(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, min(ts) AS t_buy FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT (epoch_us(p.t_buy) - epoch_us(v.t_view)) // 1000000
+               AS gap_secs
+      FROM v JOIN p ON v.user_id = p.user_id
+      WHERE p.t_buy >= v.t_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           {R('quantile_cont(gap_secs, 0.5)', 4)} AS median_secs,
+           {R('quantile_cont(gap_secs, 0.9)', 4)} AS p90_secs,
+           CAST(min(gap_secs) AS BIGINT) AS min_secs,
+           CAST(max(gap_secs) AS BIGINT) AS max_secs
+    FROM gaps
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: for users whose first purchase
+    follows their first view, the view→purchase latency summarized as
+    exact interpolated median/p90 plus min/max — the funnel-velocity
+    companion to events_funnel's conversion COUNTS (two funnels with the
+    same rate can have 10× different time-to-value).
+
+    Gaps are integer seconds: the µs timestamp difference floor-divided
+    by 10^6 with INTEGER division on both engines (DuckDB
+    date_diff('second') would count boundary crossings instead); percentiles use the exact
+    interpolated definition (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the agg_percentile pairing), rounded 4dp. Plan: two
+    filtered per-user min aggregates on the same user_id shuffle key, an
+    equi-join, then a single-group aggregate — at 100 TB the two
+    first-event scans fuse into one pass with conditional mins if events
+    are bucketed by user."""
+    ev = load_tables(spark, sf_dir).events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    gaps = (
+        v.join(p, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_view"))
+        .select(
+            # floored µs→s division on BOTH engines (DuckDB's
+            # date_diff('second') counts boundary crossings, not deltas)
+            F.expr(
+                "(unix_micros(t_buy) - unix_micros(t_view)) DIV 1000000"
+            ).alias("gap_secs")
+        )
+    )
+    return gaps.agg(
+        F.count("*").alias("n_converted"),
+        rnd(F.expr("percentile(gap_secs, 0.5)"), 4).alias("median_secs"),
+        rnd(F.expr("percentile(gap_secs, 0.9)"), 4).alias("p90_secs"),
+        F.min("gap_secs").alias("min_secs"),
+        F.max("gap_secs").alias("max_secs"),
+    )

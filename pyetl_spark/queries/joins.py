@@ -787,7 +787,13 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunct, keys hashed with null as a value), so this costs the same
     as a plain join — no fallback to nested loop. NULL keys all hash to
     one bucket: when nulls are a large fraction, route them through the
-    salted path (join_salted) or handle separately."""
+    salted path (join_salted) or handle separately.
+
+    Fixture-scale note: grp has a FIXED 97-value domain, so matched pair
+    counts grow quadratically with SF (fine at the driver's sf0.01,
+    ~5.8B intermediate pairs by sf1) — this key is a null-safe-SEMANTICS
+    proof like join_cross, not a scale shape; a production null-safe join
+    has real key cardinality and scales like any equi-join."""
     o = load_tables(spark, sf_dir).orders
     grp = lambda mod: F.when(  # noqa: E731
         F.col("o_orderkey") % mod == 0, F.lit(None).cast("long")
