@@ -84,6 +84,9 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "pipeline_training_corpus_neardup",
     "text_global_shuffle",
+    # r3: the bloom prefilter's build+query cost must stay ~linear in the
+    # dim/fact sizes — its whole pitch is cheapness relative to the join
+    "join_bloom_prefilter",
 ]
 
 
