@@ -755,3 +755,103 @@ def etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_customers_at_risk"),
     )
+
+
+@query(
+    "etl_dataset_fingerprint",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0
+                    + 0.5) AS BIGINT) AS VARCHAR),
+               CAST(epoch_us(o_orderdate) AS VARCHAR))), 1, 12))
+             AS BIGINT) % 1000000007) AS BIGINT) % 1000000007 AS fp,
+             CAST(count(*) AS BIGINT) AS n FROM orders
+    ),
+    c AS (
+      SELECT CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(c_custkey AS VARCHAR), c_name, c_mktsegment,
+               CAST(c_nationkey AS VARCHAR))), 1, 12))
+             AS BIGINT) % 1000000007) AS BIGINT) % 1000000007 AS fp,
+             CAST(count(*) AS BIGINT) AS n FROM customer
+    ),
+    d AS (
+      SELECT CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(doc_id AS VARCHAR), lang, source, md5(text))), 1, 12))
+             AS BIGINT) % 1000000007) AS BIGINT) % 1000000007 AS fp,
+             CAST(count(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT 'orders' AS table_name, n AS n_rows, fp AS fingerprint FROM o
+    UNION ALL
+    SELECT 'customer', n, fp FROM c
+    UNION ALL
+    SELECT 'documents', n, fp FROM d
+    """,
+)
+def etl_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset fingerprints — the reproducibility
+    manifest a training run should record: an ORDER-FREE, PARTITION-FREE
+    hash of each input table's canonical content, so "did the data
+    change since the last run" is one manifest diff, not a row-level
+    reconciliation. Any row edit, insert, or delete moves the
+    fingerprint; re-partitioning, re-ordering, or rewriting files does
+    not (summing per-row hashes is commutative — exactly what file-level
+    checksums can't give you on a distributed rewrite).
+
+    Per row: md5 over a '|'-joined CANONICAL projection (floats through
+    the fxp cent grid, timestamps as epoch-µs integers — raw
+    double/timestamp string casts differ across engines), 12 hex chars
+    → 48-bit int, reduced mod 1e9+7 per row so the sum stays in bigint
+    at any corpus size, summed and reduced again. One partial/final
+    aggregate per table — fingerprinting costs one narrow scan."""
+    t = load_tables(spark, sf_dir)
+    P = F.lit(1000000007)
+
+    def fp_of(df: DataFrame, name: str, cols: list) -> DataFrame:
+        row_h = (
+            F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 12), 16, 10)
+            .cast("bigint")
+            % P
+        )
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            (F.sum(row_h) % P).cast("bigint").alias("fingerprint"),
+        ).select("table_name", "n_rows", "fingerprint")
+
+    o = fp_of(
+        t.orders,
+        "orders",
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            fxp(F.col("o_totalprice"), 100).cast("string"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast(
+                "string"
+            ),
+        ],
+    )
+    c = fp_of(
+        t.customer,
+        "customer",
+        [
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+        ],
+    )
+    d = fp_of(
+        t.documents,
+        "documents",
+        [
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("source"),
+            F.md5("text"),
+        ],
+    )
+    return o.unionByName(c).unionByName(d)
