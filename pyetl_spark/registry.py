@@ -51,8 +51,14 @@ ORACLE: dict[str, str] = {}
 #:       etl_cdc_compact, agg_salted_twophase, agg_bitmap_distinct,
 #:       join_null_safe, subq_any_all, sample_hash_per_group,
 #:       join_interval_overlap, etl_merge_upsert, events_rollup_*,
-#:       text_url_canonicalize, join_bloom_prefilter,
-#:       source_json_corrupt_records) + ~5 RE-VERIFY slots for the oldest r1
+#:       text_url_canonicalize, and every third-session addition —
+#:       join_bloom_prefilter, source_json_corrupt_records,
+#:       events_training_examples, etl_fk_integrity, etl_freshness_lag,
+#:       etl_k_anonymity, etl_dataset_fingerprint, ts_changepoint_cusum,
+#:       basket_association_rules, orders_survival_km, text_rake_keywords,
+#:       events_bot_detection, events_stickiness_dau_mau,
+#:       agg_rate_wilson_ci, events_time_to_convert,
+#:       dedup_incremental_bloom) + ~5 RE-VERIFY slots for the oldest r1
 #:       evidence (scan_parquet_project, scan_pushdown_filter,
 #:       source_json_parse, proj_expr, filter_compound) so no green row
 #:       ages past 3 rounds. Never-verified rows-only keys (sketches/
