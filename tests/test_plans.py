@@ -309,6 +309,8 @@ _NESTED_LOOP_OK = {
     "fn_array_outer",      # cartesian of two tiny exploded arrays
     "vec_ann_ivf",         # IVF assignment: vectors × broadcast centroid
                            # table (k rows) — the intended BNLJ
+    "vec_ann_ivf_persisted",  # same IVF assignment BNLJ, persisted-index
+                           # lifecycle variant
     "vec_ann_recall_eval",  # IVF assignment + broadcast-probe ground truth
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
     "text_bm25_search",    # 1-row (N, avgdl) corpus scalar crossJoined in
