@@ -307,3 +307,51 @@ def chunk_payloads(
         f"{id_col} long, chunk_idx long, offset long, n_bytes long,"
         " chunk_hash string",
     )
+
+
+def media_ahash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    allow_fake: bool = True,
+) -> DataFrame:
+    """binary payload → 64-bit average-hash (aHash) fingerprint.
+
+    The classic perceptual fingerprint: decode → grayscale → 8×8 block
+    means → threshold each cell against the global mean → 64 bits. With a
+    REAL decoder, visually-near images land hamming-close and
+    `simhash.hamming_band_pairs` finds them with one banded join; with
+    this environment's sha256-seeded stub decode, only byte-identical
+    payloads collide (the stub has hash avalanche by construction), so
+    fixtures exercise exact-dup clustering while the plumbing — Arrow
+    batches in, bigint fingerprints out, band join downstream — is the
+    production shape.
+    """
+    _ship_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                img = _decode_image(bytes(payload), allow_fake)
+                g = img.astype(np.float64)
+                if g.ndim == 3:
+                    g = g.mean(axis=2)
+                h, w = g.shape
+                bh, bw = max(1, h // 8), max(1, w // 8)
+                small = (
+                    g[: bh * 8, : bw * 8]
+                    .reshape(8, bh, 8, bw)
+                    .mean(axis=(1, 3))
+                )
+                thresh = small.mean()
+                bits = 0
+                for i, v in enumerate(small.flatten()):
+                    if v > thresh:
+                        bits |= 1 << i
+                if bits >= 1 << 63:  # two's-complement into signed i64
+                    bits -= 1 << 64
+                hashes.append(bits)
+            yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
+
+    return media.mapInPandas(run, f"{id_col} long, ahash long")

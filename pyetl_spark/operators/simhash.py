@@ -95,20 +95,23 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    tokens_col: str = "tokens",
+def hamming_band_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 16-bit-band
-    blocking (guaranteed complete for max_hamming <= 3 by pigeonhole).
+    """Near-dup pairs with hamming(hash) <= max_hamming over ANY 64-bit
+    fingerprint column via 16-bit-band blocking (pigeonhole: hamming <= 3
+    guarantees at least one of the 4 bands is identical, so the blocked
+    join is COMPLETE, not approximate). Shared by simhash (text) and
+    media average-hash (multimodal) dedup.
 
-    One narrow simhash pass, one explode to 4 band rows/doc, one shuffle on
-    (band_idx, band_value), in-bucket join + exact hamming verify.
+    One explode to 4 band rows/row, one shuffle on (band_idx, band_val),
+    in-bucket join + exact popcount verify.
     """
-    sh = simhash_df(docs, id_col, tokens_col).select(
-        F.col(id_col).alias("_id"), F.col("sh").alias("_sh")
+    sh = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
     )
     bands = sh.select(
         "_id",
@@ -149,3 +152,15 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming (see
+    hamming_band_pairs for the blocking scheme)."""
+    sh = simhash_df(docs, id_col, tokens_col)
+    return hamming_band_pairs(sh, id_col, "sh", max_hamming)

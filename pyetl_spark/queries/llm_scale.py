@@ -703,3 +703,52 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_dup"), 1)).alias("n_dup_vs_history"),
         F.count(F.when(~F.col("is_dup"), 1)).alias("n_new"),
     )
+
+
+@query("multimodal_ahash_dedup")  # Tier B: stub decode, rows-only
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup for media payloads: average-hash
+    fingerprints (operators/multimodal.media_ahash) → banded hamming
+    pair join (operators/simhash.hamming_band_pairs, complete for
+    hamming ≤ 3 by pigeonhole) → connected components → per-cluster
+    keeper assignment, mirroring the text-side MinHash dedup contract
+    (cluster assignment, never the pair list). With a real decoder this
+    collapses re-encoded/resized variants of the same image; with this
+    environment's stub decode (sha256-seeded → avalanche) only
+    byte-identical payloads cluster, which the dup-heavy fixture
+    provides. Output: one row per media id with its cluster keeper and
+    cluster size."""
+    from pyetl_spark.operators.components import connected_components
+    from pyetl_spark.operators.multimodal import attach_fake_media, media_ahash
+    from pyetl_spark.operators.simhash import hamming_band_pairs
+
+    d = load_tables(spark, sf_dir).documents
+    base = d.filter(F.col("doc_id") < 2000)
+    # the fixture has no byte-identical docs — plant the classic asset
+    # duplication (the SAME bytes re-ingested under a new id) for a
+    # deterministic slice, the way re-uploads look in a real media lake
+    reingested = d.filter(F.col("doc_id") < 200).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    media = attach_fake_media(base.unionByName(reingested))
+    hashes = media_ahash(media)
+    pairs = hamming_band_pairs(hashes, "media_id", "ahash", max_hamming=3)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    clustered = hashes.join(
+        comp.select(
+            F.col("node").alias("media_id"), F.col("component").alias("keeper")
+        ),
+        "media_id",
+        "left",
+    ).select(
+        "media_id",
+        F.coalesce("keeper", "media_id").alias("keeper"),
+    )
+    sizes = clustered.groupBy("keeper").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clustered.join(sizes, "keeper").select(
+        "media_id", "keeper", "cluster_size"
+    )

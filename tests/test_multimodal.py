@@ -180,3 +180,45 @@ def test_decode_dispatcher_uses_real_lib_when_present(monkeypatch):
     assert out.dtype == np.float64
     assert out.shape == (4, 4)
     assert out.max() <= 1.0 and out.min() >= 0.0
+
+
+def test_hamming_band_pairs_complete_and_tight(spark):
+    """The banded join must find EVERY pair with hamming <= 3 (pigeonhole
+    over 4x16-bit bands) and never emit pairs above the threshold."""
+    from pyetl_spark.operators.simhash import hamming_band_pairs
+
+    base = 0x0123456789ABCDEF - (1 << 64) if 0x0123456789ABCDEF >= 1 << 63 \
+        else 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),            # hamming 1
+        (3, base ^ 0b111),          # hamming 3 from id=1
+        (4, base ^ (1 << 5) ^ (1 << 21) ^ (1 << 37) ^ (1 << 53)),
+        # ^ hamming 4, one flip in EVERY band — must NOT match id=1
+        (5, 42),                    # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_band_pairs(df, "id", "h", max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_ahash_dedup_clusters_reingested_assets(spark):
+    """multimodal_ahash_dedup: every planted re-ingest (same bytes, new
+    id) clusters with its original under the original's keeper id."""
+    from pyetl_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_ahash_dedup"](
+        spark, SF_ORACLE
+    ).collect()
+    by_id = {r["media_id"]: r for r in rows}
+    planted = [r for r in rows if r["media_id"] >= 1_000_000]
+    assert planted, "expected planted re-ingests"
+    for r in planted:
+        orig = by_id[r["media_id"] - 1_000_000]
+        assert r["keeper"] == orig["keeper"] == orig["media_id"]
+        assert r["cluster_size"] >= 2

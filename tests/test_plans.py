@@ -537,6 +537,7 @@ _PYTHON_EVAL_OK = {
     "multimodal_features",     # Arrow decode plumbing (stubbed decoder)
     "multimodal_cdc_chunks",   # content-defined chunking over binary
     "multimodal_frame_sample",  # frame-sampling over binary payloads
+    "multimodal_ahash_dedup",  # average-hash fingerprints over binary
     "pipeline_curation_full",  # composes the pandas-backed stages above
 }
 
