@@ -855,3 +855,78 @@ def etl_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return o.unionByName(c).unionByName(d)
+
+
+@query(
+    "etl_forget_propagation",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o_del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_delete,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM forget) AS BIGINT) AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM o_del) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM o_del) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) -
+                (SELECT count(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+                AS BIGINT)
+    """,
+)
+def etl_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion-request key
+    set (deterministic fixture stand-in: custkey % 97 = 0), count what a
+    compliant purge removes at every FK hop — customers, their orders,
+    those orders' lineitems — and what remains. Running the AUDIT before
+    the purge is the operational pattern: the counts are the review
+    artifact, and the same semi-/anti-join frames then drive the
+    rewrite (delete = anti-join rewrite of each table, partition-scoped
+    at 100 TB via dynamic partition overwrite, exactly the
+    sink_parquet_partitioned layout).
+
+    Plan: the forget set and the cascaded order-key set are semi-joins
+    that broadcast their (small) key sides; counts are partial/final
+    aggregates. The cascade depth is the FK graph depth (2 hops here) —
+    each hop one broadcast semi-join, never a fact-fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    forget = t.customer.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey"
+    )
+    o_del = t.orders.join(
+        F.broadcast(forget),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey")
+    li_del = t.lineitem.join(
+        F.broadcast(o_del),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def row(name: str, full: DataFrame, dele: DataFrame) -> DataFrame:
+        n_full = full.count()
+        n_del = dele.count()
+        return spark.createDataFrame(
+            [(name, n_del, n_full - n_del)],
+            "table_name string, n_delete long, n_remaining long",
+        )
+
+    return (
+        row("customer", t.customer, forget)
+        .unionByName(row("orders", t.orders, o_del))
+        .unionByName(row("lineitem", t.lineitem, li_del))
+    )
