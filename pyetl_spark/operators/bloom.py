@@ -66,15 +66,25 @@ class BloomFilter:
         )
 
 
+#: Hard cap on m: word indices are cast to 32-bit ints for element_at, so
+#: m/32 must stay under 2^31 — m <= 2^36 (8 GiB of bits) has headroom;
+#: positions themselves stay BIGINT so no bit position ever overflows.
+MAX_NUM_BITS = 1 << 36
+
+
 def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """The k bit positions of one key: pmod(xxhash64(seed_i, key), m)."""
+    """The k bit positions of one key: pmod(xxhash64(seed_i, key), m).
+    Kept as BIGINT — an int32 cast would wrap for m >= 2^31 and silently
+    corrupt words (false NEGATIVES, the one failure this filter must
+    never have)."""
     return [
-        F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits)).cast("int")
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
         for i in range(num_hashes)
     ]
 
 
 def _word_idx(pos: Column) -> Column:
+    # int32 is safe here: word count = m/32 < 2^31 enforced by MAX_NUM_BITS
     return F.floor(pos / F.lit(_WORD_BITS)).cast("int")
 
 
@@ -98,9 +108,15 @@ def bloom_build(
     the one shuffle is bounded by m/32 distinct words — independent of
     key count. The collect is the bounded word table, never the keys.
     """
-    if num_bits is None:
+    sized_here = num_bits is None
+    if sized_here:
+        # the count AND the bit-build both scan keys — pin it so the
+        # caller's upstream lineage (joins, distincts) runs once
+        keys = keys.persist()
         n = keys.count()
         num_bits = max(_MIN_BITS, 1 << math.ceil(math.log2(max(1, n) * bits_per_key)))
+    if num_bits > MAX_NUM_BITS:
+        raise ValueError(f"num_bits {num_bits} exceeds MAX_NUM_BITS {MAX_NUM_BITS}")
     if num_bits % _WORD_BITS:
         raise ValueError(f"num_bits must be a multiple of {_WORD_BITS}")
     pairs = [
@@ -113,6 +129,8 @@ def bloom_build(
         .agg(F.bit_or("p.m").alias("bits"))
         .collect()
     )
+    if sized_here:
+        keys.unpersist()
     arr = [0] * (num_bits // _WORD_BITS)
     for row in words:
         arr[row["w"]] = row["bits"]

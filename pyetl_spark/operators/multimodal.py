@@ -338,12 +338,12 @@ def media_ahash(
                 if g.ndim == 3:
                     g = g.mean(axis=2)
                 h, w = g.shape
-                bh, bw = max(1, h // 8), max(1, w // 8)
-                small = (
-                    g[: bh * 8, : bw * 8]
-                    .reshape(8, bh, 8, bw)
-                    .mean(axis=(1, 3))
-                )
+                # linspace index sampling (resize_images' scheme): exact
+                # for the 8x8 stub and safe for ANY real-decoder shape —
+                # a block-mean reshape would crash on images under 8px
+                ri = np.linspace(0, h - 1, 8).astype(int)
+                ci = np.linspace(0, w - 1, 8).astype(int)
+                small = g[np.ix_(ri, ci)]
                 thresh = small.mean()
                 bits = 0
                 for i, v in enumerate(small.flatten()):

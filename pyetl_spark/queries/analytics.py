@@ -2121,9 +2121,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
       SELECT wk, d,
-             CAST((SELECT count(*) FROM subj) -
-                  coalesce(sum(leave_n) OVER (ORDER BY wk
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             CAST(sum(leave_n) OVER (ORDER BY wk
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                   AS BIGINT) AS n_risk
       FROM wkagg
     ),
@@ -2185,17 +2184,17 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ev").cast("bigint").alias("d"),
         F.count("*").cast("bigint").alias("leave_n"),
     )
-    n_subjects = subj.count()
-    w_prev = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, -1)
+    # n_risk = subjects still under observation at week wk = the SUFFIX
+    # sum of departures — derivable from wkagg itself, no extra driver
+    # count() action replaying the subject build
+    w_suffix = Window.orderBy("wk").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
     w_run = Window.orderBy("wk").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     risk = wkagg.withColumn(
-        "n_risk",
-        (
-            F.lit(n_subjects)
-            - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0))
-        ).cast("bigint"),
+        "n_risk", F.sum("leave_n").over(w_suffix).cast("bigint")
     ).filter(F.col("d") > 0)
     # greatest(·, 1e-300): the terminal event week can absorb the whole
     # risk set (d == n_risk) — ln(0) errors in DuckDB and nulls in Spark;
@@ -2253,7 +2252,7 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4/hour; production would run minute-grain with 10-100× cutoffs,
     same plan).
 
-    Two stacked integer aggregates ((user, minute) then user) — both
+    Two stacked integer aggregates ((user, hour) then user) — both
     partial/final map-combined, keys uniform; the boolean is pure integer
     comparison, so the whole report is hash-exact. At 100 TB the (user,
     hour) grain is the big shuffle and it is the SAME key layout the

@@ -803,9 +803,11 @@ def etl_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per row: md5 over a '|'-joined CANONICAL projection (floats through
     the fxp cent grid, timestamps as epoch-µs integers — raw
     double/timestamp string casts differ across engines), 12 hex chars
-    → 48-bit int, reduced mod 1e9+7 per row so the sum stays in bigint
-    at any corpus size, summed and reduced again. One partial/final
-    aggregate per table — fingerprinting costs one narrow scan."""
+    → 48-bit int, reduced mod 1e9+7 per row, then a TWO-LEVEL modular
+    sum (4096 hash-groups, partials reduced before the final fold) so no
+    intermediate exceeds bigint below ~3.7e13 rows per group. Two stacked
+    partial/final aggregates per table — fingerprinting costs one narrow
+    scan."""
     t = load_tables(spark, sf_dir)
     P = F.lit(1000000007)
 
@@ -815,10 +817,20 @@ def etl_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             % P
         )
-        return df.agg(
+        # two-level mod: a single sum of ~1e9-sized terms overflows
+        # bigint past ~9.2e9 rows (Spark wraps, DuckDB widens — they
+        # would diverge). 4096 sub-sums keep each partial < 2^63 up to
+        # ~3.7e13 rows/group; modular arithmetic makes the nesting exact.
+        sub = df.select(
+            row_h.alias("h"),
+            F.pmod(F.xxhash64(F.md5(F.concat_ws("|", *cols))), F.lit(4096)).alias("g"),
+        ).groupBy("g").agg(
+            (F.sum("h") % P).alias("hsub"), F.count("*").alias("nsub")
+        )
+        return sub.agg(
             F.lit(name).alias("table_name"),
-            F.count("*").alias("n_rows"),
-            (F.sum(row_h) % P).cast("bigint").alias("fingerprint"),
+            F.sum("nsub").cast("bigint").alias("n_rows"),
+            (F.sum("hsub") % P).cast("bigint").alias("fingerprint"),
         ).select("table_name", "n_rows", "fingerprint")
 
     o = fp_of(
@@ -898,21 +910,29 @@ def etl_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB via dynamic partition overwrite, exactly the
     sink_parquet_partitioned layout).
 
-    Plan: the forget set and the cascaded order-key set are semi-joins
-    that broadcast their (small) key sides; counts are partial/final
-    aggregates. The cascade depth is the FK graph depth (2 hops here) —
-    each hop one broadcast semi-join, never a fact-fact shuffle."""
+    Plan: the forget SET (deletion requests over a dim table) is small
+    and broadcasts; the CASCADED order-key set scales with the fact
+    table, so that hop is a plain semi-join — broadcast while it fits,
+    shuffle beyond (no forced hint). Each hop is pinned before its count
+    so the cascade computes once, not once per downstream action."""
     t = load_tables(spark, sf_dir)
     forget = t.customer.filter(F.col("c_custkey") % 97 == 0).select(
         "c_custkey"
     )
+    # pin each hop: every count below (and each next hop) reuses the
+    # prior frame — unpinned, the lineitem hop would replay the whole
+    # cascade (the pipeline_curation_full per-stage-count pattern)
+    forget = forget.persist()
     o_del = t.orders.join(
         F.broadcast(forget),
         F.col("o_custkey") == F.col("c_custkey"),
         "left_semi",
-    ).select("o_orderkey")
+    ).select("o_orderkey").persist()
+    # NO forced broadcast here: o_del scales with the fact table (~1% of
+    # all orders) — Catalyst/AQE picks broadcast while it fits and falls
+    # back to a shuffle semi-join beyond, instead of OOMing the driver
     li_del = t.lineitem.join(
-        F.broadcast(o_del),
+        o_del,
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
     )
@@ -925,8 +945,11 @@ def etl_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table_name string, n_delete long, n_remaining long",
         )
 
-    return (
+    out = (
         row("customer", t.customer, forget)
         .unionByName(row("orders", t.orders, o_del))
         .unionByName(row("lineitem", t.lineitem, li_del))
     )
+    forget.unpersist()
+    o_del.unpersist()
+    return out

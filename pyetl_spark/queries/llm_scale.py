@@ -731,7 +731,9 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
     media = attach_fake_media(base.unionByName(reingested))
-    hashes = media_ahash(media)
+    # pin: the Python decode pass feeds the pair join AND the cluster
+    # join AND the size aggregate — unpinned it would re-decode 3×
+    hashes = media_ahash(media).persist()
     pairs = hamming_band_pairs(hashes, "media_id", "ahash", max_hamming=3)
     comp = connected_components(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -745,7 +747,7 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "media_id",
         F.coalesce("keeper", "media_id").alias("keeper"),
-    )
+    ).persist()
     sizes = clustered.groupBy("keeper").agg(
         F.count("*").alias("cluster_size")
     )
