@@ -2463,3 +2463,57 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_secs").alias("min_secs"),
         F.max("gap_secs").alias("max_secs"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    hist AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM ud
+    )
+    SELECT day,
+           CAST(count(*) FILTER (WHERE prev_day IS NULL) AS BIGINT)
+             AS n_new,
+           CAST(count(*) FILTER (WHERE prev_day IS NOT NULL
+                 AND date_diff('day', prev_day, day) <= 7) AS BIGINT)
+             AS n_retained,
+           CAST(count(*) FILTER (WHERE prev_day IS NOT NULL
+                 AND date_diff('day', prev_day, day) > 7) AS BIGINT)
+             AS n_resurrected,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM hist GROUP BY day
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — every active user classified as NEW
+    (first day ever), RETAINED (last active ≤ 7 days ago) or RESURRECTED
+    (returned after a 7+ day lapse). The decomposition growth teams live
+    on: flat DAU can hide churn masked by resurrection, and the three
+    series expose it. Same-gap churn is the complement (yesterday's
+    actives minus today's retained) — derivable from this output.
+
+    One (user, day) distinct, one lag window on user_id (the
+    sessionization family's shuffle key — shared bucketing serves all),
+    one daily aggregate. date_diff on DATE grain is exact on both
+    engines (no boundary-crossing trap: both count whole-day deltas of
+    DATE values)."""
+    ev = load_tables(spark, sf_dir).events
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    hist = ud.withColumn("prev_day", F.lag("day").over(w))
+    gap = F.datediff("day", "prev_day")
+    return hist.groupBy("day").agg(
+        F.count(F.when(F.col("prev_day").isNull(), 1)).alias("n_new"),
+        F.count(F.when(F.col("prev_day").isNotNull() & (gap <= 7), 1)).alias(
+            "n_retained"
+        ),
+        F.count(F.when(F.col("prev_day").isNotNull() & (gap > 7), 1)).alias(
+            "n_resurrected"
+        ),
+        F.count("*").alias("n_active"),
+    )
