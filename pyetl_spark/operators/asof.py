@@ -37,6 +37,7 @@ def asof_join(
     *,
     allow_exact_match: bool = True,
     direction: str = "backward",
+    tolerance_secs: int | None = None,
 ) -> DataFrame:
     """As-of join; right payload columns land on each left row.
 
@@ -45,6 +46,12 @@ def asof_join(
     left-time — implemented by reversing the sort order so ``last()``
     still carries the nearest match. ``allow_exact_match=False`` makes the
     comparison strict on both directions.
+
+    ``tolerance_secs`` bounds staleness (pandas merge_asof's tolerance):
+    a carried match farther than the bound from the left time is nulled
+    out — the feature-join guard against silently serving hours-stale
+    values across a gap in the right stream. Applied AFTER the window
+    scan, so it adds one map-side conditional, no extra shuffle.
 
     ``right``'s non-key columns (including ``right_time``) must not collide
     with ``left``'s column names — alias them before calling.
@@ -98,7 +105,18 @@ def asof_join(
         .withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(win))
         .filter(F.col(_TAG) == 0)
     )
-    return matched.select(
+    payload = F.col(_PAYLOAD)
+    if tolerance_secs is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(_T).cast("timestamp"))
+            - F.unix_micros(
+                F.col(f"{_PAYLOAD}.{right_time}").cast("timestamp")
+            )
+        )
+        payload = F.when(
+            gap <= F.lit(int(tolerance_secs) * 1_000_000), F.col(_PAYLOAD)
+        )
+    return matched.withColumn(_PAYLOAD, payload).select(
         *keys,
         *left_cols,
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols],

@@ -856,3 +856,51 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("o_totalprice"), 100).alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH m AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             p.ts AS purchase_ts, p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN purchase_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(purchase_ts) <= 21600000000
+                THEN purchase_ts END AS purchase_ts,
+           CASE WHEN purchase_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(purchase_ts) <= 21600000000
+                THEN purchase_value END AS purchase_value
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof `tolerance`;
+    operators/asof.py `tolerance_secs`): the prior purchase enriches the
+    error event ONLY if it happened within the last 6 hours — the
+    feature-join guard that keeps a gap in the right stream from
+    silently serving hours-stale attributes as if current. Same one
+    union+window shuffle as join_asof; the bound is a map-side
+    conditional after the scan (DuckDB's native ASOF JOIN has no
+    tolerance, so the oracle applies the identical µs-gap CASE on top)."""
+    ev = load_tables(spark, sf_dir).events
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        tolerance_secs=6 * 3600,
+    ).select("event_id", "user_id", "ts", "purchase_ts", "purchase_value")

@@ -162,3 +162,27 @@ def test_multi_key_asof(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    """tolerance_secs: a match farther back than the bound is nulled;
+    within-bound matches are untouched."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (2, "2024-01-01 10:00:00", "b")],
+        "user_id long, ts string, tag string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0), (2, "2024-01-01 02:00:00", 7.0)],
+        "user_id long, r_ts string, val double",
+    ).select(
+        "user_id", F.col("r_ts").cast("timestamp").alias("r_ts"), "val"
+    )
+    out = {
+        r["user_id"]: r
+        for r in asof_join(
+            left, right, on="user_id", left_time="ts", right_time="r_ts",
+            tolerance_secs=3600,
+        ).collect()
+    }
+    assert out[1]["val"] == 5.0 and out[1]["r_ts"] is not None
+    assert out[2]["val"] is None and out[2]["r_ts"] is None
