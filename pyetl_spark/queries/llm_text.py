@@ -2510,3 +2510,83 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), "word")
         .limit(20)
     )
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle="""
+    WITH fed AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'corpus header notice terms apply all rights reserved ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, source, text,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix8,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM fed
+    ),
+    freq AS (
+      SELECT prefix8, count(*) AS n_docs FROM pref GROUP BY prefix8
+    )
+    SELECT p.doc_id, p.source,
+           f.n_docs >= 20 AS is_boilerplate,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens_raw,
+           CAST(CASE WHEN f.n_docs >= 20 THEN p.n_tokens - 8
+                     ELSE p.n_tokens END AS BIGINT) AS n_tokens_clean
+    FROM pref p JOIN freq f ON p.prefix8 = f.prefix8
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate prefix detection + stripping — the corpus-cleaning
+    step that removes shared headers/licenses/cookie banners BEFORE
+    dedup and quality scoring (boilerplate inflates n-gram overlap and
+    drags near-dup thresholds): the 8-token document prefix is counted
+    corpus-wide, prefixes shared by ≥ 20 docs are declared boilerplate
+    (DETECTED from frequency, not a hard-coded pattern list), and
+    flagged docs report their stripped token count. The fixture has no
+    natural boilerplate, so a deterministic header is planted on
+    doc_id % 5 = 0 identically on both engines.
+
+    Plan: one narrow map pass (split + slice + count), one prefix
+    aggregate (uniform md5-like keys — identical prefixes collapse
+    map-side), one join back; corpus-linear. At 100 TB the prefix table
+    is tiny (distinct prefixes ≪ docs) and broadcasts."""
+    d = load_tables(spark, sf_dir).documents
+    fed = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(
+                    "corpus header notice terms apply all rights reserved "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split("text", " ")
+    pref = fed.select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("prefix8"),
+        F.size(toks).alias("n_tokens"),
+    )
+    freq = pref.groupBy("prefix8").agg(F.count("*").alias("n_docs"))
+    joined = pref.join(freq, "prefix8")
+    is_bp = F.col("n_docs") >= 20
+    return joined.select(
+        "doc_id",
+        "source",
+        is_bp.alias("is_boilerplate"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens_raw"),
+        F.when(is_bp, F.col("n_tokens") - 8)
+        .otherwise(F.col("n_tokens"))
+        .cast("bigint")
+        .alias("n_tokens_clean"),
+    )
