@@ -2517,3 +2517,87 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_active"),
     )
+
+
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_SQL = " ".join(
+    f"WHEN {d} THEN {v!r}" for d, v in _BENFORD.items()
+)
+
+
+@query(
+    "agg_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(sign(o_totalprice) *
+               floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    tot AS (SELECT count(*) AS n FROM digits)
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           {R('CAST(count(*) AS DOUBLE) / CAST(max(n) AS DOUBLE)', 6)}
+             AS share,
+           {R('CASE digit ' + _BENFORD_SQL + ' END', 6)} AS benford_expected,
+           {R('CAST(count(*) AS DOUBLE) / CAST(max(n) AS DOUBLE) - (CASE digit ' + _BENFORD_SQL + ' END)', 6)}
+             AS deviation
+    FROM digits CROSS JOIN tot
+    GROUP BY digit
+    """,
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening of order amounts — the classic
+    fabricated-data / fraud smell test: organically-grown magnitudes put
+    ~30.1% of first significant digits at 1, and a flat or spiked digit
+    histogram flags synthetic or manipulated values. Emits per-digit
+    observed share, the Benford expectation, and the deviation (no
+    cross-digit chi-square SUM — a 9-term double sum would be
+    aggregation-order-dependent; per-digit deviations carry the same
+    signal hash-safely).
+
+    Exactness: the first digit comes from the DECIMAL STRING of the
+    exact cent integer (fxp grid) — never floor(log10(x)), whose libm
+    rounding at exact powers of ten differs across engines. Benford
+    probabilities are shared literal constants. One scan + 9-group
+    aggregate + 1-row total broadcast."""
+    o = load_tables(spark, sf_dir).orders
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(fxp(F.col("o_totalprice"), 100).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count("*").alias("n_obs"),
+            (F.count("*").cast("double") / F.max("n").cast("double")).alias(
+                "share_raw"
+            ),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            rnd(F.col("share_raw"), 6).alias("share"),
+            rnd(expected, 6).alias("benford_expected"),
+            # deviation rounds the RAW difference (the oracle's form) —
+            # rounding the two rounded terms instead can differ by 1e-6
+            rnd(F.col("share_raw") - expected, 6).alias("deviation"),
+        )
+    )

@@ -2590,3 +2590,87 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens_clean"),
     )
+
+
+@query(
+    "text_zipf_exponent",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t.term, count(*) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      WHERE t.term <> '' GROUP BY t.term
+    ),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rnk
+      FROM tf
+    ),
+    pts AS (
+      SELECT CAST(sign(ln(CAST(rnk AS DOUBLE))) *
+               floor(abs(ln(CAST(rnk AS DOUBLE))) * 1000000.0 + 0.5)
+               AS BIGINT) AS xs,
+             CAST(sign(ln(CAST(freq AS DOUBLE))) *
+               floor(abs(ln(CAST(freq AS DOUBLE))) * 1000000.0 + 0.5)
+               AS BIGINT) AS ys
+      FROM ranked WHERE rnk <= 1000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           {R('(CAST(count(*) AS DOUBLE) * CAST(sum(xs * ys) AS DOUBLE) - '
+              'CAST(sum(xs) AS DOUBLE) * CAST(sum(ys) AS DOUBLE)) / '
+              '(CAST(count(*) AS DOUBLE) * CAST(sum(xs * xs) AS DOUBLE) - '
+              'CAST(sum(xs) AS DOUBLE) * CAST(sum(xs) AS DOUBLE))', 6)}
+             AS zipf_slope,
+           {R('(CAST(sum(ys) AS DOUBLE) - '
+              '(CAST(count(*) AS DOUBLE) * CAST(sum(xs * ys) AS DOUBLE) - '
+              'CAST(sum(xs) AS DOUBLE) * CAST(sum(ys) AS DOUBLE)) / '
+              '(CAST(count(*) AS DOUBLE) * CAST(sum(xs * xs) AS DOUBLE) - '
+              'CAST(sum(xs) AS DOUBLE) * CAST(sum(xs) AS DOUBLE)) '
+              '* CAST(sum(xs) AS DOUBLE)) / CAST(count(*) AS DOUBLE) '
+              '/ 1000000.0', 4)} AS log_c
+    FROM pts
+    """,
+)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus term distribution: OLS slope of
+    ln(freq) against ln(rank) over the top-1000 terms — natural corpora
+    sit near -1, and a corpus that drifts far from it (too flat:
+    template/generated text; too steep: vocabulary collapse) fails the
+    distributional sanity check language-modeling data should pass.
+
+    Determinism (revenue_trend_ols's recipe adapted to log space): ranks
+    and freqs are exact ints, both engines take ln() of the SAME doubles
+    and round half-away onto a 1e-6 grid → identical scaled-int (xs, ys)
+    points; the OLS moments are then exact BIGINT sums (|xs·ys| ≤ ~2e14
+    × 1000 terms ≪ 2^63), and the closed form runs once on identical
+    bits. Plan: token explode → term aggregate → top-1000
+    (TakeOrdered-sized) → 1-row moment aggregate; the slope costs one
+    term-count pass, the same shape as text_top_terms. ln() is
+    correctly-rounded for these small integer inputs on both libms —
+    unlike floor(log10) digit extraction, a 1-ulp difference here moves
+    a 1e-6-grid point at most one step and cancels in the 6dp-rounded
+    slope (and the sweep pins it at three SFs)."""
+    d = load_tables(spark, sf_dir).documents
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 1000
+    )
+    pts = ranked.select(
+        fxp(F.log(F.col("rnk").cast("double")), 10**6).alias("xs"),
+        fxp(F.log(F.col("freq").cast("double")), 10**6).alias("ys"),
+    )
+    n = F.count("*").cast("double")
+    sxy = F.sum(F.col("xs") * F.col("ys")).cast("double")
+    sx = F.sum("xs").cast("double")
+    sy = F.sum("ys").cast("double")
+    sxx = F.sum(F.col("xs") * F.col("xs")).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pts.agg(
+        F.count("*").alias("n_terms"),
+        rnd(slope, 6).alias("zipf_slope"),
+        rnd((sy - slope * sx) / n / 1_000_000.0, 4).alias("log_c"),
+    )

@@ -320,6 +320,7 @@ _NESTED_LOOP_OK = {
                            # frequency-share threshold
     "text_heavy_hitters_mg",  # same scalar threshold as text_heavy_hitters
     "text_lm_score",       # 1-row vocab-size scalar crossJoined in
+    "agg_benford_digits",  # 1-row digit-total scalar crossJoined in
     "basket_association_rules",  # 1-row basket-total scalar crossJoined in
     "orders_survival_km",  # 1-row censoring-horizon scalar crossJoined in
     "subq_any_all",        # 1-row ALL-bound scalar (max) crossJoined in —
