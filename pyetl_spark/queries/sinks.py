@@ -321,3 +321,92 @@ def sink_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query("sink_manifest_atomic_publish")  # Tier B
+def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic publish via manifest — the reference's temp-write →
+    atomic-rename move (SURVEY §3.1) in its lake-native form: data files
+    land under a versioned directory, then ONE manifest file (the list of
+    files + row count + order-free content fingerprint) is written and a
+    `_LATEST` pointer is atomically renamed onto it. Readers resolve
+    `_LATEST` → manifest → exactly that file set, so they never observe a
+    half-written version, and a crashed writer leaves only an unpublished
+    directory (garbage, not corruption). This is the commit-protocol core
+    that table formats (Iceberg/Delta) industrialize; at 100 TB the
+    pattern is identical — the manifest stays KB-sized because it lists
+    files, not rows. Output: the audit row per published version (rows,
+    files, fingerprint), read back THROUGH the manifest indirection."""
+    import glob
+    import json
+
+    path = _scratch("manifest_publish")
+    t = load_tables(spark, sf_dir)
+    P = 1000000007
+
+    def publish(version: int, df: DataFrame) -> None:
+        vdir = os.path.join(path, f"v{version}")
+        df.write.mode("overwrite").parquet(vdir)
+        files = sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(vdir, "part-*"))
+        )
+        back = spark.read.parquet(vdir)
+        row_h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in back.columns])),
+                    1, 12,
+                ), 16, 10,
+            ).cast("bigint") % F.lit(P)
+        )
+        stats = back.agg(
+            F.count("*").alias("n"), (F.sum(row_h) % F.lit(P)).alias("fp")
+        ).collect()[0]
+        manifest = {
+            "version": version,
+            "files": files,
+            "n_rows": stats["n"],
+            "fingerprint": int(stats["fp"]),
+        }
+        mpath = os.path.join(path, f"manifest_v{version}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)  # atomic manifest write
+        latest_tmp = os.path.join(path, "_LATEST.tmp")
+        with open(latest_tmp, "w") as f:
+            f.write(f"manifest_v{version}.json")
+        os.replace(latest_tmp, os.path.join(path, "_LATEST"))  # atomic flip
+
+    publish(1, t.supplier.select("s_suppkey", "s_name", "s_acctbal"))
+    publish(
+        2,
+        t.supplier.filter(F.col("s_acctbal") > 0).select(
+            "s_suppkey", "s_name", "s_acctbal"
+        ),
+    )
+    # reader path: resolve the pointer, trust ONLY the manifest
+    with open(os.path.join(path, "_LATEST")) as f:
+        mname = f.read().strip()
+    with open(os.path.join(path, mname)) as f:
+        manifest = json.load(f)
+    vdir = os.path.join(path, f"v{manifest['version']}")
+    data = spark.read.parquet(
+        *[os.path.join(vdir, fn) for fn in manifest["files"]]
+    )
+    n_read = data.count()
+    return spark.createDataFrame(
+        [
+            (
+                manifest["version"],
+                len(manifest["files"]),
+                manifest["n_rows"],
+                n_read,
+                manifest["fingerprint"],
+                n_read == manifest["n_rows"],
+            )
+        ],
+        "version int, n_files int, n_rows_manifest long, n_rows_read long,"
+        " fingerprint long, consistent boolean",
+    )

@@ -517,3 +517,39 @@ def test_training_examples_no_leakage(spark):
         F.col("event_type") == "purchase"
     ).count()
     assert ex.count() == n_purchases
+
+
+def test_manifest_publish_crash_leaves_readers_on_old_version(spark, tmp_path):
+    """A writer that lands data files but dies BEFORE the manifest flip
+    must be invisible: readers resolving _LATEST still get the previously
+    published version, file-complete and count-consistent."""
+    import json
+    import os
+
+    from pyetl_spark import registry
+
+    out = registry.QUERIES["sink_manifest_atomic_publish"](
+        spark, SF_ORACLE
+    ).collect()[0]
+    assert out["consistent"] and out["version"] == 2
+    # simulate the crash: v3 data lands, no manifest, no pointer flip
+    import tempfile
+
+    base = os.path.join(
+        os.environ.get("PYETL_SCRATCH", tempfile.gettempdir()),
+        "pyetl_spark_sinks",
+        "manifest_publish",
+    )
+    load_tables(spark, SF_ORACLE).nation.write.mode("overwrite").parquet(
+        os.path.join(base, "v3")
+    )
+    with open(os.path.join(base, "_LATEST")) as f:
+        mname = f.read().strip()
+    assert mname == "manifest_v2.json"
+    with open(os.path.join(base, mname)) as f:
+        manifest = json.load(f)
+    vdir = os.path.join(base, f"v{manifest['version']}")
+    n = spark.read.parquet(
+        *[os.path.join(vdir, fn) for fn in manifest["files"]]
+    ).count()
+    assert n == manifest["n_rows"]
