@@ -488,3 +488,83 @@ def win_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (rn - F.coalesce(last_err, F.lit(0))).alias("events_since_error"),
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(sign(o_totalprice) *
+                           floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+                      ELSE -CAST(sign(o_totalprice) *
+                           floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+                      END) AS BIGINT) AS delta_c
+      FROM orders GROUP BY c_custkey, CAST(o_orderdate AS DATE)
+    ),
+    bal AS (
+      SELECT c_custkey, day,
+             CAST(sum(delta_c) OVER (PARTITION BY c_custkey ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS bal_c
+      FROM daily
+    ),
+    cum AS (
+      SELECT c_custkey, day, bal_c,
+             CAST(max(bal_c) OVER (PARTITION BY c_custkey ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak_c
+      FROM bal
+    )
+    SELECT c_custkey,
+           CAST(max(peak_c - bal_c) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak_c) AS BIGINT) AS peak_cents,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM cum
+    GROUP BY c_custkey
+    HAVING max(peak_c - bal_c) > 0
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per account — the risk metric for any cumulative
+    series (finished orders credit the balance, others debit it, as a
+    deterministic fixture stand-in for deposits/withdrawals): largest
+    peak-to-trough drop of the running balance, computed as
+    max(running-peak − running-sum). Three stacked windows on ONE
+    (custkey, day) ordering — running sum, running max OVER that sum,
+    and a final per-key aggregate — all exact integer cents, so the
+    hash is partition-order-free. One shuffle on custkey; frames are
+    running (O(1) state per row). The same plan computes portfolio /
+    inventory / quota drawdowns at 100 TB — the series key just
+    changes."""
+    o = load_tables(spark, sf_dir).orders
+    signed = F.when(
+        F.col("o_orderstatus") == "F", fxp(F.col("o_totalprice"), 100)
+    ).otherwise(-fxp(F.col("o_totalprice"), 100))
+    daily = o.groupBy(
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(signed).cast("bigint").alias("delta_c"))
+    w = (
+        Window.partitionBy("c_custkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "c_custkey",
+        "day",
+        F.sum("delta_c").over(w).cast("bigint").alias("bal_c"),
+    ).withColumn("peak_c", F.max("bal_c").over(w).cast("bigint"))
+    return (
+        cum.groupBy("c_custkey")
+        .agg(
+            F.max(F.col("peak_c") - F.col("bal_c"))
+            .cast("bigint")
+            .alias("max_drawdown_cents"),
+            F.max("peak_c").cast("bigint").alias("peak_cents"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("max_drawdown_cents") > 0)
+    )
