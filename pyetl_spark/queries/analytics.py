@@ -2601,3 +2601,55 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.col("share_raw") - expected, 6).alias("deviation"),
         )
     )
+
+
+@query(
+    "agg_skyline_2d",
+    oracle="""
+    WITH per_price AS (
+      SELECT CAST(sign(p_retailprice) *
+               floor(abs(p_retailprice) * 100.0 + 0.5) AS BIGINT)
+               AS price_c,
+             CAST(max(p_size) AS BIGINT) AS best_size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1
+    ),
+    ranked AS (
+      SELECT price_c, best_size, n_parts,
+             max(best_size) OVER (ORDER BY price_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_best
+      FROM per_price
+    )
+    SELECT price_c, best_size, n_parts
+    FROM ranked
+    WHERE prev_best IS NULL OR best_size > prev_best
+    """,
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the price points that are
+    NON-DOMINATED under (minimize price, maximize size) — no cheaper
+    price offers an equal-or-larger size. The classic multi-criteria
+    shortlist query (cheapest-per-capability), and the shape matters:
+    the naive skyline is an O(n²) pairwise dominance join, but in 2-D
+    it collapses to per-price max → sort by price → running max →
+    keep strict improvements — one aggregate plus one window pass,
+    which is how it survives 100 TB (the window runs over DISTINCT
+    price levels, not rows; higher dimensions route through the same
+    per-block aggregation before any pairwise work). Prices ride the
+    exact cent grid so frontier membership can't tie-flip."""
+    p = load_tables(spark, sf_dir).part
+    per_price = p.groupBy(
+        fxp(F.col("p_retailprice"), 100).alias("price_c")
+    ).agg(
+        F.max("p_size").cast("bigint").alias("best_size"),
+        F.count("*").cast("bigint").alias("n_parts"),
+    )
+    w = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_price.withColumn(
+        "prev_best", F.max("best_size").over(w)
+    )
+    return ranked.filter(
+        F.col("prev_best").isNull()
+        | (F.col("best_size") > F.col("prev_best"))
+    ).select("price_c", "best_size", "n_parts")
