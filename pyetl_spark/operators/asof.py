@@ -52,12 +52,31 @@ def asof_join(
     out — the feature-join guard against silently serving hours-stale
     values across a gap in the right stream. Applied AFTER the window
     scan, so it adds one map-side conditional, no extra shuffle.
+    Restriction: the gap is computed in microseconds via a timestamp
+    cast, so ``tolerance_secs`` requires BOTH time columns to be
+    timestamp/date-typed — numeric epoch times (e.g. unix micros) would
+    be reinterpreted as seconds and silently mis-matched, so they are
+    rejected with a TypeError. The join itself (no tolerance) accepts
+    any orderable time type.
 
     ``right``'s non-key columns (including ``right_time``) must not collide
     with ``left``'s column names — alias them before calling.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if tolerance_secs is not None:
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        _time_ok = (TimestampType, TimestampNTZType, DateType)
+        lt = left.schema[left_time].dataType
+        rt = right.schema[right_time].dataType
+        if not isinstance(lt, _time_ok) or not isinstance(rt, _time_ok):
+            raise TypeError(
+                "tolerance_secs requires timestamp/date time columns "
+                f"(got {left_time}: {lt.simpleString()}, "
+                f"{right_time}: {rt.simpleString()}); numeric epoch times "
+                "would be reinterpreted as seconds — cast explicitly first"
+            )
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
     overlap = set(payload_cols) & set(left.columns)

@@ -71,9 +71,10 @@ class BloomFilter:
         )
 
 
-#: Hard cap on m: word indices are cast to 32-bit ints for element_at, so
-#: m/32 must stay under 2^31 — m <= 2^36 (8 GiB of bits) has headroom;
-#: positions themselves stay BIGINT so no bit position ever overflows.
+#: Hard cap on m (EXCLUSIVE): word indices are cast to 32-bit ints for
+#: element_at, whose 1-based index is word_idx + 1 — so m/32 + 1 must stay
+#: <= 2^31 - 1, i.e. m strictly below 2^36 (8 GiB of bits) — positions
+#: themselves stay BIGINT so no bit position ever overflows.
 MAX_NUM_BITS = 1 << 36
 
 
@@ -120,8 +121,14 @@ def bloom_build(
         keys = keys.persist()
         n = keys.count()
         num_bits = max(_MIN_BITS, 1 << math.ceil(math.log2(max(1, n) * bits_per_key)))
-    if num_bits > MAX_NUM_BITS:
-        raise ValueError(f"num_bits {num_bits} exceeds MAX_NUM_BITS {MAX_NUM_BITS}")
+    if num_bits >= MAX_NUM_BITS:
+        # EXCLUSIVE cap: at m == 2^36 exactly, element_at's 1-based index
+        # `_word_idx(pos) + 1` hits 2^31 in int32 arithmetic and wraps
+        # negative for the last word — a false-negative hazard, the one
+        # failure a Bloom filter must never have.
+        raise ValueError(
+            f"num_bits {num_bits} must be < MAX_NUM_BITS {MAX_NUM_BITS}"
+        )
     if num_bits % _WORD_BITS:
         raise ValueError(f"num_bits must be a multiple of {_WORD_BITS}")
     pairs = [

@@ -613,13 +613,27 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-run directory: the query phase READS this path back as its
     # correctness-critical input, so concurrent runs (test suite + bench,
     # parallel CI) must never interleave overwrite with read. mkdtemp is
-    # unique per call; the artifacts persist like every scratch sink's
-    # (the returned DataFrame is lazy — the caller collects later).
+    # unique per call; retention below keeps the scratch root bounded.
     root = os.path.join(
         os.environ.get("PYETL_SCRATCH", tempfile.gettempdir()),
         "pyetl_spark_index",
     )
     os.makedirs(root, exist_ok=True)
+    # retention: prune ivf_* dirs from PRIOR runs (>1h old — old enough
+    # that no live query phase can still be reading them; a concurrent
+    # run's fresh dir is untouched) so repeated sweep/bench/test runs
+    # don't accumulate unbounded parquet artifacts.
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - 3600
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        try:
+            if name.startswith("ivf_") and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent prune — someone else removed it
     base = tempfile.mkdtemp(prefix="ivf_", dir=root)
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
@@ -751,6 +765,14 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = clustered.groupBy("keeper").agg(
         F.count("*").alias("cluster_size")
     )
-    return clustered.join(sizes, "keeper").select(
-        "media_id", "keeper", "cluster_size"
+    # materialize once (both caches hot), then release them — the eager
+    # localCheckpoint severs lineage so the returned frame doesn't
+    # recompute the Python decode pass after the unpersists
+    out = (
+        clustered.join(sizes, "keeper")
+        .select("media_id", "keeper", "cluster_size")
+        .localCheckpoint(eager=True)
     )
+    clustered.unpersist()
+    hashes.unpersist()
+    return out

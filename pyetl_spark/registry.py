@@ -31,98 +31,99 @@ ORACLE: dict[str, str] = {}
 #: window this round; everything else follows in registration order and
 #: earns its row in a later round's rotation.
 #:
-#: r3 window = the first 50 oracle-backed keys (hash-match evidence) with
-#: no CORRECTNESS row in r1 or r2, in registration order. r2 went 50/50
-#: green, so there are no reds to re-check. The 8 never-verified NO-ORACLE
-#: keys (llm_scale ANN/pipeline, multimodal, sinks extras) wait for r4 —
-#: a hash-match slot is worth more than a rows-only slot while oracle keys
-#: remain unverified.
+#: r4 window = 45 never-verified oracle keys (the pre-r3 tail FIRST —
+#: windows tail, subqueries.py, tpch_more tail, fn extras, events tail,
+#: llm_text tail — exactly as the r3 rotation plan specified) + 5
+#: RE-VERIFY slots for the oldest r1 evidence so no green row ages past
+#: 3 rounds. r3 went 50/50 green, so there are no reds to re-check.
 #:
-#: ROTATION PLAN (~50 verifiable slots/round, 220 declared keys):
-#:   r1 (done, 50 rows): first 50 in registration order — scans/etl/aggs/joins.
-#:   r2 (done, 50 rows): remaining SURVEY §2 keys + r1 fixes + sinks.
-#:   r3 (this): list below — analytics/events head, windows extras,
-#:       extras.py, joins tail, text head. All pre-gated by the canon
-#:       sweep at sf0.01 + sf0.1.
-#:   r4: remaining never-verified oracle keys — the pre-r3 tail
-#:       (subqueries, tpch_more tail, llm_text/vec tail, windows tail)
-#:       FIRST, then the r3-session additions in registration order
-#:       (timeseries.py: ts_resample_ohlc … ts_autocorr_lag1;
-#:       etl_cdc_compact, agg_salted_twophase, agg_bitmap_distinct,
-#:       join_null_safe, subq_any_all, sample_hash_per_group,
-#:       join_interval_overlap, etl_merge_upsert, events_rollup_*,
-#:       text_url_canonicalize, and every third-session addition —
-#:       join_bloom_prefilter, source_json_corrupt_records,
-#:       events_training_examples, etl_fk_integrity, etl_freshness_lag,
-#:       etl_k_anonymity, etl_dataset_fingerprint, ts_changepoint_cusum,
-#:       basket_association_rules, orders_survival_km, text_rake_keywords,
-#:       events_bot_detection, events_stickiness_dau_mau,
-#:       agg_rate_wilson_ci, events_time_to_convert,
-#:       dedup_incremental_bloom) + ~5 RE-VERIFY slots for the oldest r1
-#:       evidence (scan_parquet_project, scan_pushdown_filter,
-#:       source_json_parse, proj_expr, filter_compound) so no green row
-#:       ages past 3 rounds. Never-verified rows-only keys (sketches/
-#:       semdedup/mmr/bpe/layout/compaction etc.) take any spare slots.
-#:   r5+: steady-state re-verify rotation — oldest evidence first, plus
+#: ROTATION PLAN (~50 verifiable slots/round, 286 declared keys, 146
+#: driver-verified after r3):
+#:   r1 (done, 50 rows green): first 50 in registration order.
+#:   r2 (done, 50 rows green): remaining SURVEY §2 keys + r1 fixes + sinks.
+#:   r3 (done, 50 rows green): analytics/events head, windows extras,
+#:       extras.py, joins tail, text head.
+#:   r4 (this): list below. Pre-gated by the canon sweep at sf0.01 + the
+#:       window at sf0.1 before the driver runs.
+#:   r5: the remaining ~59 never-verified oracle keys (r3-session
+#:       additions in registration order: source_json_corrupt_records,
+#:       etl_cdc_compact, etl_fk_integrity, etl_freshness_lag,
+#:       etl_k_anonymity, etl_dataset_fingerprint, etl_forget_propagation,
+#:       agg_bitmap_distinct, agg_salted_twophase, join_null_safe,
+#:       join_bloom_prefilter, join_asof_tolerance, win_drawdown,
+#:       timeseries.py ts_*, events_rollup_multi_grain,
+#:       join_interval_overlap, etl_merge_upsert, sample_*, analytics r3
+#:       tail, llm_text r3 tail text_lm_score…text_zipf_exponent,
+#:       dedup_embedding_*, vec_knn_classify, dedup_incremental_bloom,
+#:       win_udaf_pandas, plus any r4-session additions), truncated to 50.
+#:   r6: never-verified oracle remainder, then the 36 never-verified
+#:       rows-only keys (ANN surface, multimodal, sink extras,
+#:       sketches/semdedup/mmr/bpe/layout) — at that point a rows-only
+#:       row is the marginal evidence unit.
+#:   r7+: steady-state re-verify rotation — oldest evidence first, plus
 #:       any new keys and any reds from the prior round.
 #: Mechanically: PRIORITY = (reds from last round) + (oracle keys with no
-#: CORRECTNESS row, registration order) + (rows-only keys with no row) +
-#: (oldest-evidence keys), truncated to 50.
+#: CORRECTNESS row, pre-r3 tail then registration order) + (rows-only keys
+#: with no row) + (oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # analytics.py head — events/sessions/cohorts
-    "events_funnel",
-    "events_retention",
-    "win_pct_of_total",
-    "topk_per_group_agg",
-    "agg_histogram",
-    "agg_bool",
-    "events_anomaly_zscore",
-    "vec_quantize_int8",
-    "basket_part_pairs",
-    "agg_relational_division",
-    "customer_rfm",
-    "revenue_pareto",
-    "revenue_yoy",
-    "interval_max_concurrent",
-    "alloc_largest_remainder",
-    "agg_entropy",
-    "agg_gini",
-    "events_markov",
-    "outlier_iqr",
-    "agg_weighted_median",
-    "orders_gap_stats",
-    "agg_mad",
-    "orders_abc_class",
-    "events_attribution",
-    "agg_winsorized_mean",
-    "events_path_mining",
-    "events_burst_detection",
-    "revenue_rank_movers",
-    "events_dwell_time",
-    "orders_cohort_ltv",
-    "revenue_trend_ols",
-    "events_gapfill_spine",
-    "win_time_weighted_avg",
-    "win_streak",
-    "events_session_conversion",
-    # extras.py — sources, null semantics, structs, intervals
-    "etl_unpivot",
-    "agg_string_concat",
-    "source_range",
-    "fn_null_semantics",
-    "fn_struct",
-    "win_locf",
-    "agg_mode",
-    "fn_try_arithmetic",
-    "fn_interval",
-    "fn_array_outer",
-    # tpch_more.py joins tail
-    "join_returned_revenue_top",
-    "join_part_supplier_diversity",
-    "join_top_supplier",
-    # llm_text.py extras head
-    "text_lang_id",
-    "text_quality_score",
+    # windows.py tail — never verified (registered pre-r3)
+    "win_nth_value",
+    "win_moving_median",
+    "win_running_distinct",
+    "win_rolling_argmax",
+    "win_since_last_error",
+    # sorts_sets.py tail
+    "set_except_all",
+    # subqueries.py — all never verified
+    "subq_scalar",
+    "subq_in",
+    "subq_correlated",
+    "agg_pivot",
+    "subq_dormant_high_balance",
+    "subq_exists_late_orders",
+    "subq_any_all",
+    # tpch_more.py tail
+    "join_market_share",
+    "join_cust_order_distribution",
+    "subq_small_qty_revenue",
+    "join_disjunctive_pred",
+    "subq_cheapest_supplier",
+    "agg_ship_delay_buckets",
+    "subq_excess_shipments",
+    "join_waiting_orders",
+    # scalar_fns.py tail
+    "fn_bitwise",
+    "fn_hash",
+    "fn_string_parts",
+    "fn_trig",
+    "fn_printf",
+    # analytics/events tail (pre-r3)
+    "events_sliding_distinct_users",
+    "events_audience_overlap",
+    "events_new_vs_returning",
+    "text_ngram_novelty",
+    # llm_text.py tail (pre-r3)
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "text_stratified_cap",
+    "text_pack_sequences",
+    "text_mixture_sample",
+    "pipeline_training_corpus",
+    "text_tfidf_top_terms",
+    "dedup_sorted_neighborhood",
+    "graph_triangles",
+    "dedup_levenshtein",
+    "text_bigrams",
+    "text_source_divergence",
+    "text_decontaminate",
+    "text_repetition",
+    # RE-VERIFY slots — r1 evidence is now 3 rounds old
+    "scan_parquet_project",
+    "scan_pushdown_filter",
+    "source_json_parse",
+    "proj_expr",
+    "filter_compound",
 ]
 
 

@@ -66,8 +66,8 @@ def test_fill_ratio_sane(spark):
     dim, _ = _dim_and_fact(spark)
     words = bloom_build(dim, "c_custkey")
     fill = bloom_fill_ratio(words)
-    # k=5 positions per key, m=2^17 bits: sparse at fixture scale, and
-    # never empty (at least one key sets bits)
+    # defaults: k=4 hashes, m auto-sized to 8 bits/key (next pow2) —
+    # sparse at fixture scale, and never empty (≥1 key sets bits)
     assert 0.0 < fill < 0.5
 
 
