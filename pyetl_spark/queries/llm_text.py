@@ -920,10 +920,12 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), "bigram")
+    # top-20 via sort+limit → TakeOrderedAndProject (distributed partial
+    # top-k per partition, k-row merge on the driver) — never a
+    # single-partition window over the full bigram vocabulary
     return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        counted.orderBy(F.col("c").desc(), "bigram")
+        .limit(20)
         .select("bigram", "c")
     )
 
@@ -1493,13 +1495,13 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return idf * (F.col(f"tf{i}") * F.lit(_BM25_K1 + 1.0)) / denom
 
     score = (term(0) + term(1)) + term(2)
-    w = Window.orderBy(F.col("s").desc(), "doc_id")
+    # top-10 via sort+limit → TakeOrderedAndProject, not a global window
     return (
         tf.crossJoin(F.broadcast(corpus))
         .filter((F.col("tf0") + F.col("tf1") + F.col("tf2")) > 0)
         .withColumn("s", score)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(10)
         .select("doc_id", rnd(F.col("s"), 4).alias("bm25"))
     )
 
@@ -1852,9 +1854,16 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    # global rarity rank; vocab-bounded single-partition window (tiny)
-    w = Window.orderBy(F.col("c"), F.col("tok"))
-    ranked = tok_freq.select("tok", F.row_number().over(w).alias("rk"))
+    # global rarity rank via the two-phase range-partition rank — at web
+    # scale the vocab is billions of tokens, so a single-partition
+    # Window.orderBy would funnel it through one task; global_order_rank
+    # keeps the sort distributed (rank is 0-based, but only the relative
+    # order feeds array_sort below)
+    from pyetl_spark.operators.global_rank import global_order_rank
+
+    ranked = global_order_rank(tok_freq, ["c", "tok"], out_col="rk").select(
+        "tok", "rk"
+    )
     ordered = (
         toks.select("doc_id", F.explode("t").alias("tok"))
         .join(F.broadcast(ranked), "tok")
@@ -2655,10 +2664,12 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
+    # top-1000 via sort+limit first (TakeOrderedAndProject, distributed),
+    # THEN rank with a window over the ≤1000 surviving rows — the
+    # single-partition sort is bounded by the constant k, not the vocab
+    top = tf.orderBy(F.col("freq").desc(), "term").limit(1000)
     w = Window.orderBy(F.col("freq").desc(), "term")
-    ranked = tf.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 1000
-    )
+    ranked = top.withColumn("rnk", F.row_number().over(w))
     pts = ranked.select(
         fxp(F.log(F.col("rnk").cast("double")), 10**6).alias("xs"),
         fxp(F.log(F.col("freq").cast("double")), 10**6).alias("ys"),

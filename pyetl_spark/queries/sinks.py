@@ -335,7 +335,17 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (garbage, not corruption). This is the commit-protocol core
     that table formats (Iceberg/Delta) industrialize; at 100 TB the
     pattern is identical — the manifest stays KB-sized because it lists
-    files, not rows. Output: the audit row per published version (rows,
+    files, not rows.
+
+    Storage caveat: the `_LATEST` swap here is a driver-local
+    ``os.replace`` — atomic on POSIX filesystems and HDFS-style renames,
+    but NOT on object stores (S3 has no atomic rename). On S3 the same
+    protocol needs a conditional put (If-None-Match / If-Match on the
+    pointer object) or a real table format's commit service (Iceberg
+    catalog swap, Delta log mutual exclusion) as the pointer primitive;
+    everything else in the pattern (versioned dirs, KB manifest,
+    readers resolve pointer→manifest→file set) carries over unchanged.
+    See SCALE.md. Output: the audit row per published version (rows,
     files, fingerprint), read back THROUGH the manifest indirection."""
     import glob
     import json

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -348,6 +349,64 @@ def test_plan_lint_no_accidental_nested_loop(spark, key):
     plan = plan_of(spark, key, mode="simple")
     assert "CartesianProduct" not in plan, f"{key}: cartesian product"
     assert "BroadcastNestedLoopJoin" not in plan, f"{key}: BNLJ"
+
+
+# Queries where a single-partition (global) Window is EXPECTED — every
+# entry is either (a) bounded by a constant or a tiny domain at any data
+# scale, or (b) the declared exact-oracle form whose docstring names its
+# sub-global scale twin. Anything NOT listed that grows a
+# Window-over-SinglePartition fails the lint below — this is the pattern
+# that silently funnels an unbounded domain through one task at 100 TB
+# (caught manually in dedup_allpairs_prefix r3; now automated).
+_GLOBAL_WINDOW_OK = {
+    "etl_freshness_lag",       # per-source freshness: ≤ |sources| rows
+    "agg_equidepth_histogram",  # declared exact ntile form; docstring names
+                               # the sample/approx-quantile scale twin
+    "win_ntile_pct",           # SURVEY §2.5 declared form (global ntile)
+    "customer_rfm",            # customer-dim ntile deciles; scale twin =
+                               # approx percentile cut points
+    "revenue_pareto",          # decile curve: cum window over 10 rows
+    "revenue_yoy",             # year spine: ≤ tens of rows
+    "alloc_largest_remainder",  # nation-bounded remainder ranking
+    "orders_abc_class",        # declared exact cum-share form; docstring
+                               # names the per-nation/range-sort twin
+    "orders_survival_km",      # KM curve over distinct day durations
+    "agg_skyline_2d",          # running max over per-level aggregate
+    "ts_interpolate_linear",   # day-spine gap walk: calendar-bounded
+    "text_chi_square",         # lang×source contingency margins ≤100 rows
+    "vec_ann_ivf",             # row_number over k centroids (k-bounded)
+    "vec_ann_recall_eval",     # same centroid numbering
+    "text_semdedup",           # same k-means centroid numbering
+    "text_zipf_exponent",      # rank window AFTER TakeOrdered limit(1000)
+                               # — bounded by the constant k, not vocab
+}
+
+_GLOBAL_WINDOW_RE = re.compile(r"\bWindow\b")
+
+
+def _has_global_window(plan: str) -> bool:
+    """A Window whose child chain reaches Exchange SinglePartition within
+    3 lines — the physical signature of Window.orderBy/partitionBy()
+    without keys (global sort/agg through ONE task)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if _GLOBAL_WINDOW_RE.search(ln) and "WindowGroupLimit" not in ln:
+            for j in range(i + 1, min(i + 4, len(lines))):
+                if "Exchange SinglePartition" in lines[j]:
+                    return True
+    return False
+
+
+@pytest.mark.parametrize("key", _ALL_KEYS)
+def test_plan_lint_no_accidental_global_window(spark, key):
+    """Registry-wide: no query may grow a single-partition Window outside
+    the justified whitelist — the one-task global sort is the classic
+    100 TB scale-killer (WindowExec 'Moving all data to a single
+    partition' warning made a hard failure)."""
+    if key in _GLOBAL_WINDOW_OK:
+        pytest.skip("global window is the documented/bounded plan")
+    plan = plan_of(spark, key, mode="simple")
+    assert not _has_global_window(plan), f"{key}: Window over SinglePartition"
 
 
 def test_profile_is_single_scan(spark):
