@@ -112,6 +112,11 @@ def _sf1_dir() -> str | None:
 
 
 def main() -> None:
+    # SPARK_GRAFT_ONLY=k1,k2 restricts the suite — used for the isolated
+    # subset runs that separate per-query drift from suite-growth load
+    # (VERDICT r3 item 3); sf1 is skipped in subset mode.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = only.split(",") if only else HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
     # cold start (VERDICT r2 item 9): the driver amortizes ONE session
@@ -128,7 +133,7 @@ def main() -> None:
     first_query_secs = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in headline:
         fn = registry.QUERIES[key]
         best = float("inf")
         for _ in range(2):  # best-of-2: measure warm-JVM steady state
@@ -156,7 +161,7 @@ def main() -> None:
     # sf1 spot-check (single run each — these are the big ones; the
     # comparison target is the sf0.1 timing of the SAME query, so the
     # interesting number is the ratio, not the absolute)
-    sf1 = _sf1_dir()
+    sf1 = None if only else _sf1_dir()
     if sf1 is not None and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         sf1_timings: dict[str, float] = {}
         for key in SF1_QUERIES:
