@@ -82,6 +82,69 @@ def global_order_rank(
     )
 
 
+def global_order_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str],
+    prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(input columns…, ``prefix``<v> long per value col) — INCLUSIVE
+    running totals in global ``order_cols`` order: the distributed ECDF /
+    prefix-sum primitive, same two-phase plan as ``global_order_rank``
+    (range shuffle pinned by localCheckpoint, per-partition window, driver
+    offsets = one long per partition per column — never a single-partition
+    window).
+
+    ``order_cols`` must uniquely key the rows (aggregate to distinct keys
+    first) — ties would make the row-level running sum order-ambiguous.
+    ``value_cols`` must be integer-typed: partial sums are exact longs, so
+    the assembled prefix sums are exact at any partitioning.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols)
+    with_pid = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid
+    for v in value_cols:
+        local = local.withColumn(f"_l_{v}", F.sum(v).over(w).cast("long"))
+
+    totals = {
+        r["_pid"]: [r[f"_t_{v}"] for v in value_cols]
+        for r in with_pid.groupBy("_pid")
+        .agg(*[F.sum(v).cast("long").alias(f"_t_{v}") for v in value_cols])
+        .collect()
+    }
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(value_cols)
+    for pid in sorted(totals):
+        offsets[pid] = list(acc)
+        acc = [a + (t or 0) for a, t in zip(acc, totals[pid])]
+    out = local
+    for i, v in enumerate(value_cols):
+        off = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for pid, offs in sorted(offsets.items())
+                    for x in (pid, offs[i])
+                ]
+            ),
+            F.col("_pid"),
+        )
+        out = out.withColumn(prefix + v, (off + F.col(f"_l_{v}")).cast("long"))
+    return out.drop("_pid", *[f"_l_{v}" for v in value_cols])
+
+
 def global_shuffle_rank(
     df: DataFrame,
     id_col: str,

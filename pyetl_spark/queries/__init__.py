@@ -24,6 +24,7 @@ _MODULES = [
     "llm_scale",
     "udfs",
     "sinks",
+    "stats",
 ]
 
 

@@ -404,3 +404,88 @@ def vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+@query(
+    "vec_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), sims AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.e)),
+                              i -> p.e[i] * c.e[i])), (a, x) -> a + x)
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(p.e, x -> x * x)), (a, x) -> a + x))
+             / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(c.e, x -> x * x)), (a, x) -> a + x))
+               AS sim
+      FROM v p JOIN v c ON p.vec_id < 10 AND c.label <> p.label
+    )
+    SELECT probe_id, probe_label, cand_id, cand_label,
+           {R('sim', 4)} AS cosine_sim, rn AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    ) WHERE rn <= 3
+    """,
+)
+def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    (vec_id<10), the top-3 most-similar candidates with a DIFFERENT
+    label — the near-boundary negatives that make embedding models learn,
+    found exactly as a retrieval system would (highest cosine among
+    wrong-label docs).
+
+    Same fold-deterministic sim and broadcast-probe single corpus pass as
+    `vec_cosine_topk` (the probe side is tiny, so the BNLJ is the
+    intended plan — whitelisted); ranking uses the UNROUNDED sim with
+    cand_id tiebreak. At 100 TB the scale path swaps the brute-force
+    pass for the IVF/LSH candidate generation (`vec_ann_ivf`) and keeps
+    this exact ranking on the shortlisted candidates."""
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("e")
+    )
+    probes = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("e").alias("pe"),
+    )
+    cands = v.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("e").alias("ce"),
+    )
+    pairs = F.broadcast(probes).crossJoin(cands).filter(
+        F.col("cand_label") != F.col("probe_label")
+    )
+    sim = (
+        _dot(F.col("pe"), F.col("ce"))
+        / F.sqrt(_norm_sq(F.col("pe")))
+        / F.sqrt(_norm_sq(F.col("ce")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id")
+    )
+    return (
+        pairs.select(
+            "probe_id", "probe_label", "cand_id", "cand_label",
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "probe_id",
+            "probe_label",
+            "cand_id",
+            "cand_label",
+            rnd(F.col("sim"), 4).alias("cosine_sim"),
+            "rank",
+        )
+    )

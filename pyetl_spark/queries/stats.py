@@ -1,0 +1,527 @@
+"""Statistical / reconciliation / skew-handling operators (round 4):
+two-sample Kolmogorov-Smirnov via a distributed ECDF, Herfindahl market
+concentration, Cramér's V association strength, an A/B conversion z-test,
+snapshot reconciliation by row hash, and the salted-replicate skew join.
+All Tier A (oracle-matched).
+
+Determinism strategy per SURVEY §5.3: every aggregate stays on exact
+integer grids (cents / counts / fixed-point) until ONE final float
+expression that both engines compute from identical ints with identical
+ops; float folds (Cramér's V cells) run in sorted order on both engines
+via the array-fold technique (see text_chi_square).
+
+Scale notes:
+- KS uses ``global_order_cumsum`` (operators/global_rank.py) — the ECDF is
+  a range-partitioned prefix sum, never a single-partition window.
+- HHI's squared revenues go through decimal(38,0)/HUGEINT — supplier-level
+  cents² overflows int64 at warehouse scale.
+- snapshot_diff is two scans + one co-partitioned full-outer join on the
+  key; row hashes are engine-internal (each engine compares ITS OWN
+  hashes), so the class counts are engine-portable while the hash stays
+  free to use the engine's native string rendering.
+- join_skew_salted shows the manual salting pattern: S-way salt on the
+  fact, S-fold replicate of the dim, equi-join on (key, salt) — the shape
+  that bounds any one task to 1/S of a hot key when AQE's skew split
+  can't apply (e.g. a window or stateful op keyed on the join key
+  downstream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import FXP, R, fxp, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+_KS_FXP = FXP("o_totalprice", 100)
+
+@query(
+    "agg_ks_statistic",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_KS_FXP} AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    counts AS (
+      SELECT v, sum(g1) AS c1, sum(1 - g1) AS c2 FROM s GROUP BY v
+    ),
+    cums AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum2
+      FROM counts
+    ),
+    tot AS (SELECT sum(g1) AS n1, sum(1 - g1) AS n2 FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           {R("CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)"
+              " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)} AS ks_d
+    FROM cums, tot
+    GROUP BY n1, n2
+    """,
+)
+def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between URGENT and LOW order-price
+    distributions — the drift test a training pipeline runs between
+    yesterday's and today's feature distributions.
+
+    D = max over thresholds of |ECDF₁ − ECDF₂|. Exactness: prices land on
+    an integer cent grid; per distinct value the two group counts
+    aggregate exactly; the ECDF numerators are integer prefix sums from
+    ``global_order_cumsum`` (range-partitioned two-phase — the scale-safe
+    ECDF); and |cum1·n2 − cum2·n1| keeps the comparison in int64 (≤ ~1e11
+    at sf1), dividing by n1·n2 only in the single final expression. One
+    keyed aggregate + one pinned range shuffle + a k-sized driver offset
+    map; at 100 TB the distinct-value table is the only shuffled state."""
+    from pyetl_spark.operators.global_rank import global_order_cumsum
+
+    o = load_tables(spark, sf_dir).orders
+    s = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        fxp(F.col("o_totalprice"), 100).alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
+    )
+    cum = global_order_cumsum(counts, ["v"], ["c1", "c2"])
+    tot = s.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+    )
+    dnum = F.max(
+        F.abs(
+            F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(dnum.alias("dnum"))
+        .select(
+            "n1",
+            "n2",
+            rnd(
+                F.col("dnum").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+_HHI_FXP = FXP("l_extendedprice * (1 - l_discount)", 10**4)
+
+@query(
+    "agg_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name, l_suppkey, sum({_HHI_FXP}) AS r
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, l_suppkey
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           {R("10000.0 * CAST(sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT))"
+              " AS DOUBLE) / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS"
+              " DOUBLE))", 4)} AS hhi
+    FROM rev
+    GROUP BY n_name
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation: HHI =
+    10000·Σ(share_i²) over each supplier's revenue share in its nation
+    (10000 = monopoly, →0 = atomized) — the standard concentration screen.
+
+    Exactness: revenue is an exact fixed-point sum; Σr² runs in
+    decimal(38,0) (HUGEINT on the oracle) because supplier-cents² passes
+    int64 at warehouse scale; the single final expression divides two
+    exact aggregates in doubles. Identity 10000·Σr²/(Σr)² ≡ 10000·Σ(r/Σr)²
+    avoids per-supplier float shares entirely (a float-sum-order trap).
+    Plan: one partial/final agg on (nation, suppkey) with both dims
+    broadcast, then a second agg on nation — no extra shuffle beyond the
+    two keyed aggregates."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.join(
+            F.broadcast(t.supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(
+                fxp(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    10**4,
+                )
+            ).alias("r")
+        )
+    )
+    rdec = F.col("r").cast("decimal(38,0)")
+    return (
+        rev.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(rdec * rdec).alias("ssq"),
+            F.sum("r").alias("tot"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            rnd(
+                F.lit(10000.0)
+                * F.col("ssq").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+                4,
+            ).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "agg_cramers_v",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, source, count(*) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang) AS rt,
+             sum(o) OVER (PARTITION BY source) AS ct,
+             sum(o) OVER () AS n
+      FROM m
+    ),
+    cells AS (
+      SELECT lang, source, n,
+             ((CAST(o AS DOUBLE)
+               - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                 / CAST(n AS DOUBLE))
+              * (CAST(o AS DOUBLE)
+                 - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                   / CAST(n AS DOUBLE)))
+             / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS x2
+      FROM margins
+    ),
+    folded AS (
+      SELECT count(*) AS n_cells,
+             CAST(count(DISTINCT lang) AS BIGINT) AS r_levels,
+             CAST(count(DISTINCT source) AS BIGINT) AS c_levels,
+             CAST(max(n) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend(0.0, list(x2 ORDER BY lang, source)),
+               (acc, x) -> acc + x
+             ) AS chi
+      FROM cells
+    )
+    SELECT n_cells, r_levels, c_levels,
+           {R("chi", 4)} AS chi_square,
+           {R("sqrt(chi / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1,"
+              " c_levels - 1) AS DOUBLE)))", 6)} AS cramers_v
+    FROM folded
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the lang×source contingency table — the normalized
+    ([0,1]) effect-size companion to `text_chi_square`: how strongly is
+    language associated with source? V = sqrt(χ²/(n·min(r−1,c−1))).
+
+    Same determinism recipe as text_chi_square: exact integer margins
+    (window sums over the ≤100-cell contingency table — bounded domain,
+    whitelisted), each cell's (O−E)²/E from identical ints, and the float
+    fold runs in sorted (lang, source) order on BOTH engines (array-sort
+    → left fold). Bounded state everywhere; the only full-data pass is
+    the contingency-table aggregate."""
+    d = load_tables(spark, sf_dir).documents
+    m = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    cells = m.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_l).alias("rt"),
+        F.sum("o").over(w_s).alias("ct"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("o").cast("double")
+    contrib = cells.select(
+        "lang",
+        "source",
+        "n",
+        (((od - e) * (od - e)) / e).alias("x2"),
+    )
+    folded = contrib.agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("lang").alias("r_levels"),
+        F.countDistinct("source").alias("c_levels"),
+        F.max("n").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "source", "x2"))),
+                lambda s: s.x2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi"),
+    )
+    dof = F.least(
+        F.col("r_levels") - 1, F.col("c_levels") - 1
+    ).cast("double")
+    return folded.select(
+        "n_cells",
+        "r_levels",
+        "c_levels",
+        rnd(F.col("chi"), 4).alias("chi_square"),
+        rnd(
+            F.sqrt(F.col("chi") / (F.col("n").cast("double") * dof)), 6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "agg_ab_test_ztest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value >= 250.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM per_user
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           {R("(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+              " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+              " / sqrt((CAST(conv_a + conv_b AS DOUBLE)"
+              "         / CAST(n_a + n_b AS DOUBLE))"
+              "        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)"
+              "            / CAST(n_a + n_b AS DOUBLE))"
+              "        * (1.0 / CAST(n_a AS DOUBLE)"
+              "           + 1.0 / CAST(n_b AS DOUBLE)))", 6)} AS z_score
+    FROM g
+    """,
+)
+def agg_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (variant = user_id parity):
+    did variant A convert (≥1 high-value purchase, value ≥ 250 — strict
+    enough that neither pooled extreme 0/1 degenerates the variance) at a
+    different rate than B? The pooled-proportion z statistic, the
+    workhorse experiment readout.
+
+    Counts are exact ints from two keyed aggregates (per-user conversion,
+    then per-variant totals); the z expression is ONE float formula over
+    four ints — identical ops both engines. Plan: groupBy(user_id) with
+    map-side combine, then a 2-group aggregate folded to one row; at
+    100 TB pre-bucketing events by user_id removes the first shuffle."""
+    ev = load_tables(spark, sf_dir).events
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 250.0)
+            ).cast("int")
+        ).alias("conv")
+    )
+    is_a = (F.col("user_id") % 2 == 0).cast("int")
+    g = per_user.agg(
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(is_a * F.col("conv")).cast("long").alias("conv_a"),
+        F.sum(1 - is_a).cast("long").alias("n_b"),
+        F.sum((1 - is_a) * F.col("conv")).cast("long").alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return g.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        rnd((pa - pb) / se, 6).alias("z_score"),
+    )
+
+
+@query(
+    "etl_snapshot_reconcile_hash",
+    oracle="""
+    WITH old_snap AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                           o_totalprice,
+                           CASE WHEN o_orderkey % 13 = 0 THEN 'X-ALTERED'
+                                ELSE o_orderpriority END)) AS h
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                           o_totalprice, o_orderpriority)) AS h
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT change_class, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE
+               WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.h = n.h THEN 'unchanged'
+               ELSE 'changed'
+             END AS change_class
+      FROM old_snap o
+      FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    )
+    GROUP BY change_class
+    """,
+)
+def etl_snapshot_reconcile_hash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot reconciliation by ROW HASH (the wide-table twin of
+    `etl_snapshot_diff`, which compares columns directly): classify every
+    key across two table versions as added / removed / changed /
+    unchanged and emit the per-class counts — the replication-audit
+    primitive. Old snapshot = orders minus every 11th key with every
+    13th key's priority altered; new = orders minus every 7th key
+    (deterministic fixture derivation, both from one scan).
+
+    The row hash is ENGINE-INTERNAL — each engine compares its own md5 of
+    its own string rendering, so only the class counts must agree
+    cross-engine (why the hash input skips the timestamp column: no
+    cross-engine format contract needed even then). Plan: one full-outer
+    sort-merge join on the key; both sides hash-project before the join,
+    so the shuffled payload is (key, 32-byte hash), not rows. At 100 TB:
+    co-partition both snapshots on the key (bucketed layout) and the join
+    is shuffle-free; the hash-compare pushes no data wider than the key
+    column."""
+    o = load_tables(spark, sf_dir).orders
+
+    def rowhash(priority_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice"),
+                priority_col,
+            )
+        )
+
+    old_snap = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        rowhash(
+            F.when(F.col("o_orderkey") % 13 == 0, "X-ALTERED").otherwise(
+                F.col("o_orderpriority")
+            )
+        ).alias("h_old"),
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        rowhash(F.col("o_orderpriority")).alias("h_new"),
+    )
+    cls = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("h_old") == F.col("h_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        old_snap.join(
+            new_snap, F.col("k_old") == F.col("k_new"), "full_outer"
+        )
+        .select(cls.alias("change_class"))
+        .groupBy("change_class")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SALTS = 8
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT event_type, length(event_type) AS w FROM events
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({FXP("value", 100)} * w) AS BIGINT) AS weighted_cents
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-replicate join on a pathologically skewed key: events has ~5
+    distinct event_type values — at 100 TB that is billions of rows per
+    key, and a plain shuffle join puts each key's entire volume on ONE
+    task. The manual pattern: salt the fact with pmod(xxhash64(row-id), S),
+    explode the dim ×S, equi-join on (key, salt) — every task now holds
+    ≤1/S of a hot key. Result is IDENTICAL to the unsalted join (the
+    oracle computes the plain form), which is the whole point.
+
+    When to reach for this over AQE's skew-join split: AQE can only split
+    a skewed SHUFFLE JOIN's partitions; if the join feeds a window,
+    stateful op, or another join keyed on the same column, or the skewed
+    side is the build side of a broadcast that won't fit, the salt must
+    be explicit. S trades replication (dim ×S) for balance; pick
+    S ≈ hot-key-rows / target-task-rows. Deterministic: the salt only
+    routes rows; the per-key aggregate re-merges them exactly."""
+    ev = load_tables(spark, sf_dir).events
+    dim = ev.select("event_type").distinct().select(
+        "event_type", F.length("event_type").alias("w")
+    )
+    fact = ev.select(
+        "event_type",
+        fxp(F.col("value"), 100).alias("cents"),
+        F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).alias("_salt"),
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALTS)]))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return (
+        fact.join(dim_rep, ["event_type", "_salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
+        )
+    )

@@ -742,3 +742,174 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_shift"
         ),
     )
+
+
+_DAILY_REV_SQL = f"""
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             sum({FXP("o_totalprice", 100)}) AS rev
+      FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "ts_sma_crossover",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}),
+    w AS (
+      SELECT day,
+             sum(rev) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                            AND CURRENT ROW) AS s5,
+             sum(rev) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING
+                            AND CURRENT ROW) AS s20,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 19 PRECEDING
+                            AND CURRENT ROW) AS n20
+      FROM daily
+    ),
+    f AS (
+      SELECT day, s5, s20, 4 * s5 - s20 AS d FROM w WHERE n20 = 20
+    ),
+    l AS (
+      SELECT day, s5, s20, d, lag(d) OVER (ORDER BY day) AS pd FROM f
+    )
+    SELECT day,
+           CASE WHEN d > 0 THEN 'golden' ELSE 'death' END AS signal,
+           {R("CAST(s5 AS DOUBLE) / 500.0", 2)} AS sma5,
+           {R("CAST(s20 AS DOUBLE) / 2000.0", 2)} AS sma20
+    FROM l
+    WHERE pd IS NOT NULL
+      AND ((d > 0 AND pd <= 0) OR (d <= 0 AND pd > 0))
+    """,
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover signals over daily revenue: emit the days
+    where the 5-day SMA crosses the 20-day SMA ('golden' up-cross /
+    'death' down-cross) — the classic trading-signal / trend-break shape.
+
+    Exactness: daily revenue is integer cents; the crossover comparison
+    sma5 ≷ sma20 is evaluated as 4·s5 ≷ s20 — PURE INTEGER (5·4 = 20
+    clears both denominators), so the signal set never depends on float
+    rounding; the reported SMA values are the only floats, derived from
+    the same ints on both engines. Day-spine windows are calendar-bounded
+    (whitelisted in the global-window lint); partial 20-day warm-up rows
+    are excluded by exact count, matching both engines' frame semantics.
+    At 100 TB the daily aggregate is the only full-data pass."""
+    o = load_tables(spark, sf_dir).orders
+    daily = (
+        o.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            fxp(F.col("o_totalprice"), 100).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    w20 = Window.orderBy("day").rowsBetween(-19, 0)
+    full = (
+        daily.select(
+            "day",
+            F.sum("rev").over(w5).alias("s5"),
+            F.sum("rev").over(w20).alias("s20"),
+            F.count("*").over(w20).alias("n20"),
+        )
+        .filter(F.col("n20") == 20)
+        .withColumn("d", 4 * F.col("s5") - F.col("s20"))
+    )
+    wl = Window.orderBy("day")
+    sig = full.withColumn("pd", F.lag("d").over(wl)).filter(
+        F.col("pd").isNotNull()
+        & (
+            ((F.col("d") > 0) & (F.col("pd") <= 0))
+            | ((F.col("d") <= 0) & (F.col("pd") > 0))
+        )
+    )
+    return sig.select(
+        "day",
+        F.when(F.col("d") > 0, "golden").otherwise("death").alias("signal"),
+        rnd(F.col("s5").cast("double") / F.lit(500.0), 2).alias("sma5"),
+        rnd(F.col("s20").cast("double") / F.lit(2000.0), 2).alias("sma20"),
+    )
+
+
+@query(
+    "ts_hampel_outliers",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_SQL}),
+    win AS (
+      SELECT day, rev,
+             list(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING
+                             AND 7 FOLLOWING) AS l
+      FROM daily
+    ),
+    med AS (
+      SELECT day, rev, sl,
+             sl[CAST((len(sl) + 1) // 2 AS INT)] AS med_cents
+      FROM (SELECT day, rev, list_sort(l) AS sl FROM win)
+    ),
+    mad AS (
+      SELECT day, rev, med_cents,
+             ad[CAST((len(ad) + 1) // 2 AS INT)] AS mad_cents
+      FROM (
+        SELECT day, rev, med_cents,
+               list_sort(list_transform(sl, v -> abs(v - med_cents))) AS ad
+        FROM med
+      )
+    )
+    SELECT day,
+           CAST(rev AS BIGINT) AS revenue_cents,
+           CAST(med_cents AS BIGINT) AS median_cents,
+           CAST(mad_cents AS BIGINT) AS mad_cents
+    FROM mad
+    WHERE abs(rev - med_cents) * 10000 > 3 * 14826 * mad_cents
+    """,
+)
+def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily revenue: flag days where the value
+    deviates from the 15-day centered rolling MEDIAN by more than
+    3·1.4826·rolling-MAD — the robust outlier detector that, unlike
+    z-scores, is not dragged by the outliers it is hunting.
+
+    Exactness: everything stays integer cents — rolling median and MAD
+    are LOWER-medians picked by index from sorted arrays (element_at, no
+    even-count averaging), and the threshold |x−med|·10⁴ > 3·14826·mad
+    encodes the 1.4826 Gaussian consistency constant as an exact
+    rational, so the flag set is integer-decided on both engines. The
+    collect-over-window arrays are 15 elements — constant-bounded, and
+    the day spine is calendar-bounded (whitelisted). At 100 TB the daily
+    aggregate is the only full-data pass; the window state is O(days)."""
+    o = load_tables(spark, sf_dir).orders
+    daily = (
+        o.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            fxp(F.col("o_totalprice"), 100).alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w15 = Window.orderBy("day").rowsBetween(-7, 7)
+    sl = F.array_sort(F.collect_list("rev").over(w15))
+    with_med = daily.select(
+        "day",
+        "rev",
+        sl.alias("sl"),
+    ).withColumn(
+        "med_cents",
+        F.element_at(
+            F.col("sl"), F.floor((F.size("sl") + 1) / 2).cast("int")
+        ),
+    )
+    ad = F.array_sort(
+        F.transform(F.col("sl"), lambda v: F.abs(v - F.col("med_cents")))
+    )
+    with_mad = with_med.withColumn(
+        "mad_cents",
+        F.element_at(ad, F.floor((F.size("sl") + 1) / 2).cast("int")),
+    )
+    return with_mad.filter(
+        F.abs(F.col("rev") - F.col("med_cents")) * 10000
+        > 3 * 14826 * F.col("mad_cents")
+    ).select(
+        "day",
+        F.col("rev").alias("revenue_cents"),
+        F.col("med_cents").alias("median_cents"),
+        "mad_cents",
+    )

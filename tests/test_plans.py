@@ -331,6 +331,9 @@ _NESTED_LOOP_OK = {
                            # vec_ann_ivf
     "vec_mmr_diversify",   # stage-1 candidates via the same broadcast-
                            # probe pass as vec_cosine_topk
+    "vec_hard_negatives",  # same broadcast-probe pass (10 probes ×
+                           # corpus), wrong-label filter
+    "agg_ks_statistic",    # 1-row (n1, n2) totals scalar crossJoined in
 }
 
 registry.load_all()
@@ -379,6 +382,10 @@ _GLOBAL_WINDOW_OK = {
     "text_semdedup",           # same k-means centroid numbering
     "text_zipf_exponent",      # rank window AFTER TakeOrdered limit(1000)
                                # — bounded by the constant k, not vocab
+    "agg_cramers_v",           # lang×source contingency margins ≤100 rows
+                               # (same bounded table as text_chi_square)
+    "ts_sma_crossover",        # day-spine SMA windows: calendar-bounded
+    "ts_hampel_outliers",      # day-spine rolling median: calendar-bounded
 }
 
 _GLOBAL_WINDOW_RE = re.compile(r"\bWindow\b")
