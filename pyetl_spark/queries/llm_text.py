@@ -2685,3 +2685,104 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(slope, 6).alias("zipf_slope"),
         rnd((sy - slope * sx) / n / 1_000_000.0, 4).alias("log_c"),
     )
+
+
+@query(
+    "text_importance_sample_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cr AS (SELECT tok, count(*) AS c_r FROM toks GROUP BY tok),
+    ct AS (
+      SELECT tok, count(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY tok
+    ),
+    scal AS (
+      SELECT (SELECT sum(c_r) FROM cr) AS r_tot,
+             (SELECT count(*) FROM cr) AS v,
+             (SELECT sum(c_t) FROM ct) AS t_tot
+    ),
+    lr AS (
+      SELECT cr.tok,
+             {FXP("ln((CAST(coalesce(c_t, 0) AS DOUBLE) + 1.0)"
+                  " / (CAST(t_tot AS DOUBLE) + CAST(v AS DOUBLE)))"
+                  " - ln((CAST(c_r AS DOUBLE) + 1.0)"
+                  " / (CAST(r_tot AS DOUBLE) + CAST(v AS DOUBLE)))",
+                  10**9)} AS lr_c
+      FROM cr LEFT JOIN ct USING (tok) CROSS JOIN scal
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {R("CAST(sum(lr_c) AS DOUBLE) / 1000000000.0 / count(*)", 6)}
+             AS avg_log_ratio,
+           sum(lr_c) > 0 AS selected
+    FROM toks t JOIN lr ON t.tok = lr.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_importance_sample_dsir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023
+    — arXiv:2302.03169): score every raw document by its unigram
+    log-importance weight toward a target domain (here lang='en' as the
+    target slice), ln p_target(doc)/p_raw(doc) under add-1-smoothed
+    unigram LMs, length-normalized; `selected` marks docs whose weight
+    exceeds the p_target=p_raw break-even. The standard pretraining-
+    corpus domain-targeting step between dedup and mixing.
+
+    Determinism is the `text_lm_score` recipe: each TOKEN's log ratio is
+    computed once from exact integer counts (identical doubles both
+    engines), snapped to a 1e-9 fixed-point integer grid, and per-doc
+    aggregation is an order-free INTEGER sum — no float-sum-order
+    hazard; a 1-ulp ln() divergence moves a 1e-9 grid cell at most one
+    step and is absorbed by the 6dp output rounding. Plan: two token
+    aggregates (vocab-keyed), a 3-scalar crossJoin, one equi-join of
+    instances to ratios, one doc-keyed aggregate — every stage
+    partial/final-combinable; at 100 TB the ratio table is
+    vocab-bounded and broadcast-eligible, and nothing touches Python."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cr = toks.groupBy("tok").agg(F.count("*").alias("c_r"))
+    ct = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_t"))
+    )
+    scal = cr.agg(
+        F.sum("c_r").alias("r_tot"), F.count("*").alias("v")
+    ).crossJoin(F.broadcast(ct.agg(F.sum("c_t").alias("t_tot"))))
+    lr_val = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + 1.0)
+        / (F.col("t_tot").cast("double") + F.col("v").cast("double"))
+    ) - F.log(
+        (F.col("c_r").cast("double") + 1.0)
+        / (F.col("r_tot").cast("double") + F.col("v").cast("double"))
+    )
+    lr = (
+        cr.join(ct, "tok", "left")
+        .crossJoin(F.broadcast(scal))
+        .select("tok", fxp(lr_val, 10**9).alias("lr_c"))
+    )
+    return (
+        toks.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_c").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            rnd(
+                F.col("s").cast("double")
+                / F.lit(1e9)
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_log_ratio"),
+            (F.col("s") > 0).alias("selected"),
+        )
+    )

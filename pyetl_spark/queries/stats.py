@@ -525,3 +525,232 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cents") * F.col("w")).alias("weighted_cents"),
         )
     )
+
+
+_CUPED_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+@query(
+    "agg_cuped_adjusted",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS variant,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND ts < {_CUPED_SPLIT}
+                      THEN {FXP("value", 100)} ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                      AND ts >= {_CUPED_SPLIT}
+                      THEN {FXP("value", 100)} ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS sx_a,
+             CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS sy_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS sx_b,
+             CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS sy_b
+      FROM per_user
+    )
+    SELECT n_a, n_b,
+           {R("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+              " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+              " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+              "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))", 6)}
+             AS theta,
+           {R("CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0"
+              " - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0", 4)}
+             AS diff_raw,
+           {R("(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0"
+              " - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0)"
+              " - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+              "     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+              "    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+              "       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+              "   * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0"
+              "      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+              "        / 100.0)", 4)} AS diff_cuped,
+           {R("100.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+              " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+              " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+              "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+              " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+              "     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+              "    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+              "       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 4)}
+             AS var_reduction_pct
+    FROM m
+    """,
+)
+def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): adjust each variant's outcome-period purchase revenue by
+    the pre-period covariate, Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X) —
+    the industry-standard trick that cuts experiment runtimes by the
+    squared pre/post correlation (reported as var_reduction_pct = 100ρ²).
+    Pre-period = first half of the event month; variant = user_id parity
+    (same split as `agg_ab_test_ztest`).
+
+    Exactness: per-user x/y are integer cents; ALL moments (Σx, Σy, Σxy,
+    Σx², Σy², per-variant sums) are exact int64 sums from ONE aggregate
+    (xy ≤ ~1e13·users — int64-safe at sf1; decimal(38) is the 100 TB
+    swap); θ and the adjusted difference are final float formulas over
+    those ints — both engines compute identical doubles. Plan: one
+    groupBy(user_id) with map-side combine, then a 1-row moment
+    aggregate; nothing else moves."""
+    ev = load_tables(spark, sf_dir).events
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    is_purchase = F.col("event_type") == "purchase"
+    cents = fxp(F.col("value"), 100)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_purchase & (F.col("ts") < split), cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(is_purchase & (F.col("ts") >= split), cents).otherwise(0)
+        ).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    is_a = (F.col("variant") == 0).cast("long")
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(is_a * F.col("x")).cast("long").alias("sx_a"),
+        F.sum(is_a * F.col("y")).cast("long").alias("sy_a"),
+        F.sum(1 - is_a).cast("long").alias("n_b"),
+        F.sum((1 - is_a) * F.col("x")).cast("long").alias("sx_b"),
+        F.sum((1 - is_a) * F.col("y")).cast("long").alias("sy_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = d("n") * d("sxy") - d("sx") * d("sy")
+    varx_n = d("n") * d("sxx") - d("sx") * d("sx")
+    vary_n = d("n") * d("syy") - d("sy") * d("sy")
+    theta = cov_n / varx_n
+    mean_y_a = d("sy_a") / d("n_a") / F.lit(100.0)
+    mean_y_b = d("sy_b") / d("n_b") / F.lit(100.0)
+    mean_x_a = d("sx_a") / d("n_a") / F.lit(100.0)
+    mean_x_b = d("sx_b") / d("n_b") / F.lit(100.0)
+    return m.select(
+        "n_a",
+        "n_b",
+        rnd(theta, 6).alias("theta"),
+        rnd(mean_y_a - mean_y_b, 4).alias("diff_raw"),
+        rnd(
+            (mean_y_a - mean_y_b) - theta * (mean_x_a - mean_x_b), 4
+        ).alias("diff_cuped"),
+        rnd(F.lit(100.0) * cov_n * cov_n / (varx_n * vary_n), 4).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+_DQ_RULES_SQL = """
+      SELECT
+        count(*) AS n_checked,
+        sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS f1,
+        sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+          AS f2,
+        sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                 THEN 0 ELSE 1 END) AS f3,
+        sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS f4,
+        sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '2002-01-01'
+                 THEN 0 ELSE 1 END) AS f5
+      FROM orders
+"""
+
+@query(
+    "etl_dq_scorecard",
+    oracle=f"""
+    WITH agg AS ({_DQ_RULES_SQL})
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           {R("100.0 * CAST(n_failed AS DOUBLE)"
+              " / CAST(n_checked AS DOUBLE)", 6)} AS fail_pct
+    FROM (
+      SELECT 'totalprice_positive' AS rule, n_checked, f1 AS n_failed
+        FROM agg
+      UNION ALL SELECT 'status_in_domain', n_checked, f2 FROM agg
+      UNION ALL SELECT 'priority_format', n_checked, f3 FROM agg
+      UNION ALL SELECT 'custkey_not_null', n_checked, f4 FROM agg
+      UNION ALL SELECT 'orderdate_in_range', n_checked, f5 FROM agg
+    )
+    """,
+)
+def etl_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule scorecard (Great-Expectations-style suite as a
+    query): evaluate five declared rules — positivity, domain membership,
+    format regex, non-null FK, date range — over orders in ONE scan/ONE
+    aggregate, then unpivot to a per-rule (n_checked, n_failed, fail_pct)
+    report. The nightly gate a warehouse runs before publishing a
+    snapshot; `etl_fk_integrity` / `etl_k_anonymity` are the deep dives,
+    this is the dashboard.
+
+    One pass regardless of rule count (each rule is a conditional-sum
+    column, all combined map-side), so adding the 50th rule costs zero
+    extra scans. The unpivot is an inline_outer over a 5-element struct
+    array — constant-sized. All counts exact ints; the only float is the
+    final percentage."""
+    o = load_tables(spark, sf_dir).orders
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        (
+            "status_in_domain",
+            F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        (
+            "priority_format",
+            F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"),
+        ),
+        ("custkey_not_null", F.col("o_custkey").isNotNull()),
+        (
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+        ),
+    ]
+    agg = o.agg(
+        F.count("*").alias("n_checked"),
+        *[
+            F.sum(F.when(cond, 0).otherwise(1)).alias(f"f{i}")
+            for i, (_, cond) in enumerate(rules)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"f{i}").alias("n_failed")
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return (
+        agg.select("n_checked", F.inline_outer(pairs))
+        .select(
+            "rule",
+            "n_checked",
+            "n_failed",
+            rnd(
+                F.lit(100.0)
+                * F.col("n_failed").cast("double")
+                / F.col("n_checked").cast("double"),
+                6,
+            ).alias("fail_pct"),
+        )
+    )

@@ -334,6 +334,8 @@ _NESTED_LOOP_OK = {
     "vec_hard_negatives",  # same broadcast-probe pass (10 probes ×
                            # corpus), wrong-label filter
     "agg_ks_statistic",    # 1-row (n1, n2) totals scalar crossJoined in
+    "text_importance_sample_dsir",  # 3-scalar (T, R, V) crossJoined into
+                           # the vocab ratio table
 }
 
 registry.load_all()

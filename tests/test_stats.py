@@ -201,3 +201,77 @@ def test_hard_negatives_labels_differ(spark):
         assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
         sims = [x["cosine_sim"] for x in sorted(rs, key=lambda x: x["rank"])]
         assert sims == sorted(sims, reverse=True), pid
+
+
+def test_dsir_break_even_sign(spark):
+    """Docs scored by DSIR: English docs should skew positive (they ARE
+    the target distribution) and the majority of selected docs should be
+    English — the operator's entire purpose."""
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    scored = registry.QUERIES["text_importance_sample_dsir"](
+        spark, SF_ORACLE
+    ).join(d, "doc_id")
+    rows = scored.collect()
+    assert rows
+    sel = [r for r in rows if r["selected"]]
+    assert sel, "no docs selected"
+    # the target slice must be selected at a strictly higher RATE than
+    # the rest (the fixture's langs share most vocabulary, so majority-of-
+    # selected is not implied — rate separation is)
+    en_rows = [r for r in rows if r["lang"] == "en"]
+    other_rows = [r for r in rows if r["lang"] != "en"]
+    en_rate = sum(1 for r in en_rows if r["selected"]) / len(en_rows)
+    other_rate = sum(1 for r in other_rows if r["selected"]) / len(
+        other_rows
+    )
+    assert en_rate > other_rate, (en_rate, other_rate)
+    en_avg = sum(r["avg_log_ratio"] for r in en_rows) / len(en_rows)
+    other_avg = sum(r["avg_log_ratio"] for r in other_rows) / len(
+        other_rows
+    )
+    assert en_avg > other_avg
+
+
+def test_cuped_variance_reduction_bounds(spark):
+    row = registry.QUERIES["agg_cuped_adjusted"](spark, SF_ORACLE).collect()[
+        0
+    ]
+    assert 0.0 <= row["var_reduction_pct"] <= 100.0
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    # theta finite, adjusted diff finite
+    for c in ("theta", "diff_raw", "diff_cuped"):
+        assert row[c] == row[c]
+
+
+def test_dq_scorecard_clean_fixture(spark):
+    """The TPC-H-ish fixture satisfies all five declared rules — every
+    fail count must be 0 (and any future fixture drift shows up HERE,
+    not in a silent pct)."""
+    rows = registry.QUERIES["etl_dq_scorecard"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    names = {r["rule"] for r in rows}
+    assert names == {
+        "totalprice_positive",
+        "status_in_domain",
+        "priority_format",
+        "custkey_not_null",
+        "orderdate_in_range",
+    }
+    for r in rows:
+        assert r["n_checked"] > 0
+        assert r["n_failed"] == 0, r["rule"]
+        assert r["fail_pct"] == 0.0
+
+
+def test_dq_scorecard_is_single_scan(spark):
+    """The one-pass claim: one FileScan regardless of rule count."""
+    import contextlib
+    import io
+
+    df = registry.QUERIES["etl_dq_scorecard"](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert buf.getvalue().count("FileScan") == 1
