@@ -70,6 +70,13 @@ HEADLINE = [
     # training-example assembly (leakage-free feature join, Shape 4)
     "join_bloom_prefilter",
     "events_training_examples",
+    # r4 additions: the distributed ECDF/prefix-sum family and the DSIR
+    # importance-sampling pipeline — both exercise the two-phase
+    # range-partition primitives whose regression would be silent in
+    # correctness (same numbers, worse plan)
+    "agg_ks_statistic",
+    "text_importance_sample_dsir",
+    "text_vocab_coverage",
 ]
 
 

@@ -2786,3 +2786,83 @@ def text_importance_sample_dsir(
             (F.col("s") > 0).alias("selected"),
         )
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rn,
+             sum(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cum
+      FROM tf
+    ),
+    tot AS (SELECT sum(c) AS t, count(*) AS v FROM tf),
+    ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(least(k, v) AS BIGINT) AS eff_k,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           {R("100.0 * CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)", 6)}
+             AS coverage_pct
+    FROM ks CROSS JOIN tot
+    JOIN ranked ON rn = least(k, v)
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token INSTANCES do
+    the top-k most frequent terms cover, for k ∈ {100, 1k, 10k} — the
+    corpus statistic that sizes tokenizer vocabularies and OOV budgets
+    (Zipf in cumulative form; `text_zipf_exponent` is the slope twin).
+
+    Built entirely from this repo's two distributed-order primitives:
+    term rank via ``global_order_rank`` and the cumulative instance count
+    via ``global_order_cumsum`` — both range-partitioned two-phase plans,
+    so the frequency-sorted vocabulary is NEVER funneled through a
+    single-partition window (billions of distinct tokens at web scale).
+    All counts exact ints; the one float is the final percentage. k is
+    capped at the vocab size (eff_k) so the curve is total even on small
+    fixtures."""
+    from pyetl_spark.operators.global_rank import (
+        global_order_cumsum,
+        global_order_rank,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("neg_c", -F.col("c"))
+    )
+    ranked = global_order_rank(tf, ["neg_c", "tok"], out_col="rk")
+    curve = global_order_cumsum(ranked, ["neg_c", "tok"], ["c"]).select(
+        (F.col("rk") + 1).alias("rn"), F.col("cum_c").alias("cum")
+    )
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count("*").cast("long").alias("v"),
+    )
+    ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k long")
+    targets = ks.crossJoin(F.broadcast(tot)).select(
+        "k", "t", F.least(F.col("k"), F.col("v")).alias("eff_k")
+    )
+    return (
+        targets.join(curve, F.col("rn") == F.col("eff_k"))
+        .select(
+            "k",
+            "eff_k",
+            F.col("cum").alias("covered_tokens"),
+            rnd(
+                F.lit(100.0)
+                * F.col("cum").cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("coverage_pct"),
+        )
+    )

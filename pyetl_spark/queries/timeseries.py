@@ -913,3 +913,91 @@ def ts_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med_cents").alias("median_cents"),
         "mad_cents",
     )
+
+
+@query(
+    "ts_backtest_naive_mae",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum({FXP("value", 100)}) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, rev,
+             lag(rev, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+             lag(rev, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {R("CAST(sum(abs(rev - f1)) AS DOUBLE) / count(*) / 100.0", 2)}
+             AS mae_naive,
+           {R("CAST(sum(abs(rev - f7)) AS DOUBLE) / count(*) / 100.0", 2)}
+             AS mae_seasonal,
+           CASE WHEN sum(abs(rev - f7)) < sum(abs(rev - f1))
+                THEN 'seasonal' ELSE 'naive' END AS winner
+    FROM lagged
+    WHERE f1 IS NOT NULL AND f7 IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_backtest_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting inside the engine: walk-forward evaluate the
+    two standard baselines — naive (yesterday's value) and seasonal-naive
+    (same weekday last week) — against realized daily revenue per
+    event_type, reporting MAE and the per-series winner. The sanity floor
+    every production forecaster must beat; `ts_forecast_holt` is the
+    model this benchmarks.
+
+    Exactness: daily revenue is integer cents, both forecasts are lagged
+    COPIES of those ints, so Σ|error| is an exact integer sum and the
+    winner comparison is integer-decided; MAE divides once at the end.
+    Per-series windows partition by event_type (no global window); one
+    shuffle for the daily aggregate, one for the lag — at 100 TB both
+    key on (event_type, day), so the exchange is reused."""
+    ev = load_tables(spark, sf_dir).events
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            fxp(F.col("value"), 100).alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.lag("rev", 1).over(w).alias("f1"),
+        F.lag("rev", 7).over(w).alias("f7"),
+    ).filter(F.col("f1").isNotNull() & F.col("f7").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.abs(F.col("rev") - F.col("f1"))).alias("e1"),
+            F.sum(F.abs(F.col("rev") - F.col("f7"))).alias("e7"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            rnd(
+                F.col("e1").cast("double")
+                / F.col("n_days").cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("mae_naive"),
+            rnd(
+                F.col("e7").cast("double")
+                / F.col("n_days").cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("mae_seasonal"),
+            F.when(F.col("e7") < F.col("e1"), "seasonal")
+            .otherwise("naive")
+            .alias("winner"),
+        )
+    )

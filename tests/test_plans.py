@@ -336,6 +336,7 @@ _NESTED_LOOP_OK = {
     "agg_ks_statistic",    # 1-row (n1, n2) totals scalar crossJoined in
     "text_importance_sample_dsir",  # 3-scalar (T, R, V) crossJoined into
                            # the vocab ratio table
+    "text_vocab_coverage",  # 3-row k-list × 1-row totals crossJoin
 }
 
 registry.load_all()

@@ -275,3 +275,35 @@ def test_dq_scorecard_is_single_scan(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("simple")
     assert buf.getvalue().count("FileScan") == 1
+
+
+def test_vocab_coverage_monotone(spark):
+    rows = sorted(
+        registry.QUERIES["text_vocab_coverage"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [100, 1000, 10000]
+    pcts = [r["coverage_pct"] for r in rows]
+    assert pcts == sorted(pcts)  # more vocab never covers less
+    assert all(0.0 < p <= 100.0 for p in pcts)
+    # eff_k caps at vocab size; if capped, coverage is total
+    for r in rows:
+        assert r["eff_k"] <= r["k"]
+        if r["eff_k"] < r["k"]:
+            assert abs(r["coverage_pct"] - 100.0) < 1e-9
+
+
+def test_backtest_mae_nonnegative_and_winner(spark):
+    rows = registry.QUERIES["ts_backtest_naive_mae"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["mae_naive"] >= 0.0 and r["mae_seasonal"] >= 0.0
+        expect = (
+            "seasonal" if r["mae_seasonal"] < r["mae_naive"] else "naive"
+        )
+        # rounded MAEs can tie; the winner is decided on exact integer
+        # sums, so only assert when the rounded values are distinct
+        if r["mae_seasonal"] != r["mae_naive"]:
+            assert r["winner"] == expect
