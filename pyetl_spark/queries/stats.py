@@ -754,3 +754,209 @@ def etl_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fail_pct"),
         )
     )
+
+
+@query(
+    "win_pct_rank_twophase",
+    oracle=f"""
+    SELECT c_custkey, c_acctbal,
+           {R("percent_rank() OVER (ORDER BY c_acctbal, c_custkey)", 6)}
+             AS pct_rank
+    FROM customer
+    """,
+)
+def win_pct_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percent_rank WITHOUT a single-partition window — the
+    distributed scale twin that `win_ntile_pct`'s lint-whitelist entry
+    promises: rank via ``global_order_rank`` (range-partitioned
+    two-phase), then pct = rank/(N−1), which equals SQL percent_rank
+    exactly because (c_acctbal, c_custkey) is a total order (no tie
+    groups). The oracle IS the built-in percent_rank, so the equivalence
+    is hash-checked, not argued.
+
+    Plan: one pinned range shuffle + per-partition rank + an O(partitions)
+    driver offset map + a 1-row N crossJoin — at 100 TB this is the same
+    cost as sorting the column once; the whitelisted single-partition
+    forms stay correct but THIS is the shape to ship."""
+    from pyetl_spark.operators.global_rank import global_order_rank
+
+    c = load_tables(spark, sf_dir).customer.select(
+        "c_custkey", "c_acctbal"
+    )
+    ranked = global_order_rank(
+        c, ["c_acctbal", "c_custkey"], out_col="rk"
+    )
+    n = c.agg(F.count("*").cast("long").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "c_custkey",
+        "c_acctbal",
+        rnd(
+            F.col("rk").cast("double")
+            / (F.col("n") - F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_rank"),
+    )
+
+
+@query(
+    "etl_partition_skew_audit",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(n_rows) AS t, count(*) AS k FROM counts)
+    SELECT event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           {R("100.0 * CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE)", 4)}
+             AS share_pct,
+           {R("CAST(n_rows AS DOUBLE) * CAST(k AS DOUBLE)"
+              " / CAST(t AS DOUBLE)", 4)} AS skew_factor,
+           CAST(n_rows AS DOUBLE) * CAST(k AS DOUBLE) / CAST(t AS DOUBLE)
+             > 2.0 AS flagged
+    FROM counts CROSS JOIN tot
+    """,
+)
+def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout skew audit: before choosing a partition/bucket
+    column, measure each candidate value's row share and skew factor
+    (n · k / total — 1.0 = perfectly uniform; >2 flags values that would
+    make a partition twice the average). The governance query behind
+    `join_skew_salted`'s S choice and every partitionBy decision: a
+    column that flags here produces straggler tasks and lopsided files
+    at 100 TB.
+
+    One keyed aggregate + a 1-row totals crossJoin; counts exact, the
+    two ratios are the only floats. The same audit generalizes to any
+    candidate column — event_type is the fixture's known-skewed key
+    (5 values)."""
+    ev = load_tables(spark, sf_dir).events
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").cast("long").alias("t"),
+        F.count("*").cast("long").alias("k"),
+    )
+    skew = (
+        F.col("n_rows").cast("double")
+        * F.col("k").cast("double")
+        / F.col("t").cast("double")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_rows",
+        rnd(
+            F.lit(100.0)
+            * F.col("n_rows").cast("double")
+            / F.col("t").cast("double"),
+            4,
+        ).alias("share_pct"),
+        rnd(skew, 4).alias("skew_factor"),
+        (skew > 2.0).alias("flagged"),
+    )
+
+
+_H72_US = 72 * 3600 * 1_000_000
+_H168_US = 168 * 3600 * 1_000_000
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH first_view AS (
+      SELECT user_id, min(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    first_click AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN first_view f ON e.user_id = f.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) >= f.v_us
+        AND epoch_us(e.ts) < f.v_us + {_H72_US}
+      GROUP BY e.user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN first_click c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= c.c_us
+        AND epoch_us(e.ts) < c.c_us + {_H168_US}
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM first_view) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM first_click) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM first_purchase) AS BIGINT)
+             AS n_purchase,
+           {R("CAST((SELECT count(*) FROM first_click) AS DOUBLE)"
+              " / CAST((SELECT count(*) FROM first_view) AS DOUBLE)"
+              " * 100.0", 4)} AS view_to_click_pct,
+           {R("CAST((SELECT count(*) FROM first_purchase) AS DOUBLE)"
+              " / CAST((SELECT count(*) FROM first_click) AS DOUBLE)"
+              " * 100.0", 4)} AS click_to_purchase_pct
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bounded funnel (the realistic form of `events_funnel`,
+    which allows unbounded conversion lag): click must land within 72h of
+    the user's FIRST view, purchase within 168h of the first qualifying
+    click — attribution-window semantics, so a purchase months later no
+    longer counts as funnel conversion.
+
+    All stage boundaries compare exact epoch-microsecond integers
+    (epoch_us both engines — no interval arithmetic, no tz exposure).
+    Plan: three user_id-keyed min-aggregates, each joined back on
+    user_id — every shuffle keys on user_id, so Spark reuses one
+    exchange; at 100 TB pre-bucketing events by user_id makes the whole
+    funnel shuffle-free."""
+    ev = load_tables(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("v_us"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("e_us"))
+        .join(first_view, "user_id")
+        .filter(
+            (F.col("e_us") >= F.col("v_us"))
+            & (F.col("e_us") < F.col("v_us") + F.lit(_H72_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("c_us"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("e_us"))
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("e_us") >= F.col("c_us"))
+            & (F.col("e_us") < F.col("c_us") + F.lit(_H168_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_us").alias("p_us"))
+    )
+    nv = first_view.agg(F.count("*").cast("long").alias("n_view"))
+    nc = first_click.agg(F.count("*").cast("long").alias("n_click"))
+    np_ = first_purchase.agg(
+        F.count("*").cast("long").alias("n_purchase")
+    )
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            rnd(
+                F.col("n_click").cast("double")
+                / F.col("n_view").cast("double")
+                * F.lit(100.0),
+                4,
+            ).alias("view_to_click_pct"),
+            rnd(
+                F.col("n_purchase").cast("double")
+                / F.col("n_click").cast("double")
+                * F.lit(100.0),
+                4,
+            ).alias("click_to_purchase_pct"),
+        )
+    )

@@ -337,6 +337,9 @@ _NESTED_LOOP_OK = {
     "text_importance_sample_dsir",  # 3-scalar (T, R, V) crossJoined into
                            # the vocab ratio table
     "text_vocab_coverage",  # 3-row k-list × 1-row totals crossJoin
+    "win_pct_rank_twophase",  # 1-row N scalar crossJoined in
+    "etl_partition_skew_audit",  # 1-row totals scalar crossJoined in
+    "events_funnel_windowed",  # 1-row stage counts crossJoined to one row
 }
 
 registry.load_all()
