@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import R, rnd
+from pyetl_spark.parity import R, fxp, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -487,5 +487,108 @@ def vec_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_label",
             rnd(F.col("sim"), 4).alias("cosine_sim"),
             "rank",
+        )
+    )
+
+
+@query(
+    "vec_covariance_matrix",
+    oracle=f"""
+    WITH cells AS (
+      SELECT i, j,
+             CAST(sign(e[i] * e[j]) * floor(abs(CAST(e[i] AS DOUBLE)
+               * CAST(e[j] AS DOUBLE)) * 1000000000000.0 + 0.5) AS BIGINT)
+               AS pq,
+             CAST(sign(e[i]) * floor(abs(CAST(e[i] AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS xi,
+             CAST(sign(e[j]) * floor(abs(CAST(e[j] AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS xj
+      FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+           unnest(generate_series(1, len(e))) AS a(i),
+           unnest(generate_series(1, len(e))) AS b(j)
+      WHERE j >= i
+    )
+    SELECT CAST(i AS INT) AS pos_i, CAST(j AS INT) AS pos_j,
+           CAST(count(*) AS BIGINT) AS n,
+           {R("CAST(sum(pq) AS DOUBLE) / 1e12 / count(*)"
+              " - (CAST(sum(xi) AS DOUBLE) / 1e6 / count(*))"
+              "   * (CAST(sum(xj) AS DOUBLE) / 1e6 / count(*))", 6)}
+             AS cov
+    FROM cells GROUP BY i, j
+    """,
+)
+def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact empirical covariance matrix of the embedding columns (upper
+    triangle, population form cov = E[xy] − E[x]E[y]) — the input PCA /
+    whitening / Mahalanobis metrics consume; `vec_pca_project` (Tier B)
+    is the eigen-decomposition consumer of exactly this matrix.
+
+    Determinism: each per-row product x_i·x_j is ONE double op snapped to
+    a 1e-12 fixed-point grid, each coordinate to 1e-6 — all sums are then
+    order-free int64 adds (|Σpq| ≤ ~3e11·rows), and cov is one final
+    float expression; the grid is the documented estimator (not an
+    approximation of some other estimator). Plan: per row the d(d+1)/2
+    pair structs explode into ONE partial/final hash aggregate on (i,j)
+    — d²-bounded state, map-side combined, no joins, no Python. At
+    100 TB this is a single scan producing a 2080-row matrix."""
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(_to_double(F.col("embedding")).alias("e"))
+    dim = F.size("e")
+    # per-row upper-triangle pair structs: (i, j, fxp(x_i*x_j), fxp(x_i),
+    # fxp(x_j)) — built with array transforms (JVM), flattened, exploded
+    idx = F.sequence(F.lit(1), dim)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, dim),
+                lambda j: F.struct(
+                    i.cast("int").alias("pos_i"),
+                    j.cast("int").alias("pos_j"),
+                    fxp(
+                        F.element_at(F.col("e"), i.cast("int"))
+                        * F.element_at(F.col("e"), j.cast("int")),
+                        10**12,
+                    ).alias("pq"),
+                    fxp(
+                        F.element_at(F.col("e"), i.cast("int")), 10**6
+                    ).alias("xi"),
+                    fxp(
+                        F.element_at(F.col("e"), j.cast("int")), 10**6
+                    ).alias("xj"),
+                ),
+            ),
+        )
+    )
+    cells = v.select(F.explode(pairs).alias("p")).select("p.*")
+    return (
+        cells.groupBy("pos_i", "pos_j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pq").alias("spq"),
+            F.sum("xi").alias("sxi"),
+            F.sum("xj").alias("sxj"),
+        )
+        .select(
+            "pos_i",
+            "pos_j",
+            "n",
+            rnd(
+                F.col("spq").cast("double")
+                / F.lit(1e12)
+                / F.col("n").cast("double")
+                - (
+                    F.col("sxi").cast("double")
+                    / F.lit(1e6)
+                    / F.col("n").cast("double")
+                )
+                * (
+                    F.col("sxj").cast("double")
+                    / F.lit(1e6)
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ).alias("cov"),
         )
     )

@@ -960,3 +960,206 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase_pct"),
         )
     )
+
+
+@query(
+    "agg_mann_whitney_u",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_KS_FXP} AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    counts AS (
+      SELECT v, sum(g1) AS c1, sum(1 - g1) AS c2,
+             count(*) AS c
+      FROM s GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, c1, c2, c,
+             sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - c AS before,
+             c * c * c - c AS tie3
+      FROM counts
+    ),
+    m AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * before + c + 1)) AS BIGINT) AS r1_2x,
+             CAST(sum(tie3) AS BIGINT) AS ties3
+      FROM ranked
+    )
+    SELECT n1, n2,
+           {R("(CAST(r1_2x AS DOUBLE) / 2.0"
+              " - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)",
+              1)} AS u1,
+           {R("((CAST(r1_2x AS DOUBLE) / 2.0"
+              "  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0)"
+              " - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)"
+              " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+              "   * ((CAST(n1 + n2 AS DOUBLE) + 1.0)"
+              "      - CAST(ties3 AS DOUBLE)"
+              "        / (CAST(n1 + n2 AS DOUBLE)"
+              "           * (CAST(n1 + n2 AS DOUBLE) - 1.0))))", 6)}
+             AS z_score
+    FROM m
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between URGENT and LOW order prices —
+    the nonparametric companion to `agg_ks_statistic` (same two samples:
+    KS asks "different distributions?", U asks "does one stochastically
+    dominate?"). Normal approximation with the standard tie correction
+    (Σ(t³−t) term).
+
+    Exactness: tie-group MIDRANKS stay integer by carrying 2×midrank =
+    2·(rank before) + t + 1, so the rank-sum R₁ is an exact int64
+    (≤ ~2·N·n₁); the prefix rank-before comes from the SAME distributed
+    ``global_order_cumsum`` ECDF machinery as KS (no single-partition
+    window); U, μ_U, σ_U and z are one final float expression over four
+    exact ints. Plan: one distinct-value aggregate + one pinned range
+    shuffle + a 1-row moment fold."""
+    from pyetl_spark.operators.global_rank import global_order_cumsum
+
+    o = load_tables(spark, sf_dir).orders
+    s = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        fxp(F.col("o_totalprice"), 100).alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum("g1").alias("c1"),
+        F.sum(1 - F.col("g1")).alias("c2"),
+        F.count("*").alias("c"),
+    )
+    ranked = global_order_cumsum(counts, ["v"], ["c"]).select(
+        "c1",
+        "c2",
+        "c",
+        (F.col("cum_c") - F.col("c")).alias("before"),
+        (F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie3"),
+    )
+    m = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("before") + F.col("c") + 1)
+        )
+        .cast("long")
+        .alias("r1_2x"),
+        F.sum("tie3").cast("long").alias("ties3"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u1 = d("r1_2x") / F.lit(2.0) - d("n1") * (d("n1") + F.lit(1.0)) / F.lit(
+        2.0
+    )
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    mu = d("n1") * d("n2") / F.lit(2.0)
+    sigma = F.sqrt(
+        d("n1")
+        * d("n2")
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - d("ties3") / (n * (n - F.lit(1.0))))
+    )
+    return m.select(
+        "n1",
+        "n2",
+        rnd(u1, 1).alias("u1"),
+        rnd((u1 - mu) / sigma, 6).alias("z_score"),
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_KS_FXP} AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    m AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n1,
+             CAST(sum(1 - g1) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g1 = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN g1 = 0 THEN v ELSE 0 END) AS BIGINT) AS s2,
+             sum(CASE WHEN g1 = 1
+                 THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+                 ELSE 0 END) AS q1,
+             sum(CASE WHEN g1 = 0
+                 THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+                 ELSE 0 END) AS q2
+      FROM s
+    )
+    SELECT n1, n2,
+           {R("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+              " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / 100.0", 4)}
+             AS mean_diff,
+           {R("(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+              " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+              " / sqrt("
+              "   ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
+              "     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+              "    / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))"
+              "   / CAST(n1 AS DOUBLE)"
+              "   + ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)"
+              "       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+              "      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))"
+              "   / CAST(n2 AS DOUBLE))", 6)} AS t_stat
+    FROM m
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic between URGENT and LOW order
+    prices — the parametric member of the two-sample family (KS:
+    distribution shape; U: stochastic dominance; t: mean difference).
+
+    Exactness: per-group n, Σv (int64) and Σv² (decimal(38)/HUGEINT —
+    cents² × row count passes int64 at sf1) come from ONE conditional
+    aggregate; sample variances via the n·Σv²−(Σv)² identity and the t
+    statistic are a single final float expression over those exact
+    aggregates. Plan: one scan, one partial/final aggregate, zero
+    shuffles beyond it."""
+    o = load_tables(spark, sf_dir).orders
+    s = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        fxp(F.col("o_totalprice"), 100).alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+    )
+    vdec = F.col("v").cast("decimal(38,0)")
+    m = s.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("g1") == 1, vdec * vdec).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("g1") == 0, vdec * vdec).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var1 = (d("n1") * d("q1") - d("s1") * d("s1")) / (
+        d("n1") * (d("n1") - F.lit(1.0))
+    )
+    var2 = (d("n2") * d("q2") - d("s2") * d("s2")) / (
+        d("n2") * (d("n2") - F.lit(1.0))
+    )
+    mean_diff_cents = d("s1") / d("n1") - d("s2") / d("n2")
+    t = mean_diff_cents / F.sqrt(var1 / d("n1") + var2 / d("n2"))
+    return m.select(
+        "n1",
+        "n2",
+        rnd(mean_diff_cents / F.lit(100.0), 4).alias("mean_diff"),
+        rnd(t, 6).alias("t_stat"),
+    )

@@ -360,3 +360,52 @@ def test_funnel_windowed_tighter_than_unbounded(spark):
         assert win["n_view"] == plain["n_view"]
         assert win["n_click"] <= plain["n_click"]
         assert win["n_purchase"] <= plain["n_purchase"]
+
+
+def test_mann_whitney_u_bounds(spark):
+    """0 <= U1 <= n1*n2; and U1 + U2 == n1*n2 (computable from the rank
+    sum identity)."""
+    row = registry.QUERIES["agg_mann_whitney_u"](spark, SF_ORACLE).collect()[
+        0
+    ]
+    assert 0.0 <= row["u1"] <= row["n1"] * row["n2"]
+    assert row["z_score"] == row["z_score"]  # not NaN
+
+
+def test_welch_t_sign_matches_mean_diff(spark):
+    row = registry.QUERIES["agg_welch_ttest"](spark, SF_ORACLE).collect()[0]
+    if row["mean_diff"] > 0:
+        assert row["t_stat"] > 0
+    elif row["mean_diff"] < 0:
+        assert row["t_stat"] < 0
+
+
+def test_two_sample_family_agrees_on_direction(spark):
+    """KS only says 'different'; U and t are signed — their directions
+    must agree (URGENT stochastically above LOW iff mean above, for this
+    unimodal fixture)."""
+    u = registry.QUERIES["agg_mann_whitney_u"](spark, SF_ORACLE).collect()[0]
+    t = registry.QUERIES["agg_welch_ttest"](spark, SF_ORACLE).collect()[0]
+    if abs(t["t_stat"]) > 2 and abs(u["z_score"]) > 2:
+        assert (t["t_stat"] > 0) == (u["z_score"] > 0)
+
+
+def test_covariance_matrix_shape_and_symmetry_diag(spark):
+    rows = registry.QUERIES["vec_covariance_matrix"](
+        spark, SF_ORACLE
+    ).collect()
+    d = max(r["pos_i"] for r in rows)
+    assert len(rows) == d * (d + 1) // 2  # full upper triangle
+    by_ij = {(r["pos_i"], r["pos_j"]): r["cov"] for r in rows}
+    # diagonal entries are variances: non-negative (up to grid rounding)
+    for i in range(1, d + 1):
+        assert by_ij[(i, i)] >= -1e-6, i
+    # Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j) + grid slack
+    import math
+
+    for (i, j), c in by_ij.items():
+        if i != j:
+            bound = math.sqrt(
+                max(by_ij[(i, i)], 0.0) * max(by_ij[(j, j)], 0.0)
+            )
+            assert abs(c) <= bound + 1e-6, (i, j)
