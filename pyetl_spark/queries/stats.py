@@ -1163,3 +1163,72 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(mean_diff_cents / F.lit(100.0), 4).alias("mean_diff"),
         rnd(t, 6).alias("t_stat"),
     )
+
+
+@query(
+    "agg_percentile_exact_twophase",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {R("quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5)", 4)}
+             AS p50,
+           {R("quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9)", 4)}
+             AS p90,
+           {R("quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99)", 4)}
+             AS p99
+    FROM orders
+    """,
+)
+def agg_percentile_exact_twophase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global p50/p90/p99 of order prices computed distributed —
+    the scale twin `agg_percentile`'s docstring defers to approx for:
+    Spark's exact `percentile` materializes every value in ONE
+    aggregation buffer (driver-sized at 100 TB), while this plan ranks
+    rows with ``global_order_rank`` (range-partitioned two-phase) and
+    selects the two interpolation anchors per quantile by rank — the
+    oracle is the built-in quantile_cont, so exactness is hash-checked.
+
+    quantile_cont semantics: idx = p·(n−1); result = v[⌊idx⌋]·(1−frac) +
+    v[⌊idx⌋+1]·frac. n arrives as a broadcast 1-row scalar, the anchor
+    filter keeps ≤6 rows, and the final 1-row aggregate computes the
+    interpolation — all from exact ints and p-derived doubles both
+    engines build identically. Cost: one pinned range shuffle (the same
+    as sorting the column once) + an O(partitions) offset map; memory
+    per task is a partition, never the column."""
+    from pyetl_spark.operators.global_rank import global_order_rank
+
+    o = load_tables(spark, sf_dir).orders.select(
+        F.col("o_totalprice").cast("double").alias("v"), "o_orderkey"
+    )
+    ranked = global_order_rank(o, ["v", "o_orderkey"], out_col="rk")
+    n = o.agg(F.count("*").cast("long").alias("n"))
+    with_n = ranked.crossJoin(F.broadcast(n))
+    qs = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+    def idx(p):
+        return F.lit(p) * (F.col("n") - 1).cast("double")
+
+    def lo(p):
+        return F.floor(idx(p)).cast("long")
+
+    anchor = None
+    for _, p in qs:
+        cond = (F.col("rk") == lo(p)) | (F.col("rk") == lo(p) + 1)
+        anchor = cond if anchor is None else (anchor | cond)
+    kept = with_n.filter(anchor)
+
+    def interp(p):
+        frac = idx(p) - lo(p).cast("double")
+        return F.sum(
+            F.when(F.col("rk") == lo(p), F.col("v") * (F.lit(1.0) - frac))
+            .when(
+                (F.col("rk") == lo(p) + 1) & (frac > 0),
+                F.col("v") * frac,
+            )
+            .otherwise(0.0)
+        )
+
+    return kept.groupBy("n").agg(
+        *[rnd(interp(p), 4).alias(name) for name, p in qs]
+    )

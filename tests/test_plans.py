@@ -340,6 +340,8 @@ _NESTED_LOOP_OK = {
     "win_pct_rank_twophase",  # 1-row N scalar crossJoined in
     "etl_partition_skew_audit",  # 1-row totals scalar crossJoined in
     "events_funnel_windowed",  # 1-row stage counts crossJoined to one row
+    "agg_percentile_exact_twophase",  # 1-row n scalar crossJoined onto
+                           # the ranked rows for the anchor filter
 }
 
 registry.load_all()

@@ -409,3 +409,28 @@ def test_covariance_matrix_shape_and_symmetry_diag(spark):
                 max(by_ij[(i, i)], 0.0) * max(by_ij[(j, j)], 0.0)
             )
             assert abs(c) <= bound + 1e-6, (i, j)
+
+
+def test_percentile_twophase_matches_builtin(spark):
+    """The distributed exact percentile == Spark's own single-buffer
+    percentile() bit-for-bit (in-engine proof, complementing the DuckDB
+    quantile_cont hash-match)."""
+    from pyetl_spark.parity import rnd
+
+    got = registry.QUERIES["agg_percentile_exact_twophase"](
+        spark, SF_ORACLE
+    ).collect()[0]
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    ref = o.agg(
+        rnd(F.percentile("v", 0.5), 4).alias("p50"),
+        rnd(F.percentile("v", 0.9), 4).alias("p90"),
+        rnd(F.percentile("v", 0.99), 4).alias("p99"),
+    ).collect()[0]
+    assert (got["p50"], got["p90"], got["p99"]) == (
+        ref["p50"],
+        ref["p90"],
+        ref["p99"],
+    )
+    assert got["p50"] <= got["p90"] <= got["p99"]
