@@ -934,14 +934,21 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("e_us").alias("p_us"))
     )
-    nv = first_view.agg(F.count("*").cast("long").alias("n_view"))
-    nc = first_click.agg(F.count("*").cast("long").alias("n_click"))
-    np_ = first_purchase.agg(
-        F.count("*").cast("long").alias("n_purchase")
+    # ONE stage frame (view LEFT click LEFT purchase) + ONE aggregate:
+    # the identical first_view/first_click subtrees appear twice in the
+    # lineage and AQE collapses them via runtime ReusedExchange (2 reuses
+    # in the final adaptive plan, asserted in test_stats) — versus the
+    # per-stage count form, whose count-wrapped subtrees can never be
+    # identical and re-execute every upstream scan
+    stages = first_view.join(first_click, "user_id", "left").join(
+        first_purchase, "user_id", "left"
     )
     return (
-        nv.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(np_))
+        stages.agg(
+            F.count("*").cast("long").alias("n_view"),
+            F.count("c_us").cast("long").alias("n_click"),
+            F.count("p_us").cast("long").alias("n_purchase"),
+        )
         .select(
             "n_view",
             "n_click",

@@ -434,3 +434,21 @@ def test_percentile_twophase_matches_builtin(spark):
         ref["p99"],
     )
     assert got["p50"] <= got["p90"] <= got["p99"]
+
+
+def test_funnel_windowed_reuses_exchanges_at_runtime(spark):
+    """The single-aggregate funnel form exists so AQE can collapse the
+    duplicated first_view/first_click subtrees — assert the FINAL
+    adaptive plan actually contains ReusedExchange (the per-stage-count
+    form could never reuse: its count-wrapped subtrees differ)."""
+    import contextlib
+    import io
+
+    df = registry.QUERIES["events_funnel_windowed"](spark, SF_ORACLE)
+    df.collect()  # finalize AQE
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan.count("ReusedExchange")
