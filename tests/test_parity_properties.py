@@ -82,3 +82,73 @@ def test_fixed_point_sum_is_partitioning_invariant(spark):
     a = df.repartition(1).agg(msum(F.col("x"), 100).alias("s")).collect()[0]["s"]
     b = df.repartition(37).agg(msum(F.col("x"), 100).alias("s")).collect()[0]["s"]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global-order primitives (operators/global_rank.py): rank and
+# prefix sum must be partitioning-invariant — same numbers at 1, 3, and 32
+# range partitions, and identical to the trivially-correct driver fold.
+
+
+def _rand_keyed(spark, seed, n=777):
+    rng = np.random.default_rng(seed)
+    ks = rng.permutation(n * 3)[:n]  # unique, shuffled keys
+    vs = rng.integers(-50, 50, n)
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in zip(ks, vs)], "k long, v long"
+    ), sorted(zip(ks, vs))
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+@pytest.mark.parametrize("seed", [11, 42])
+def test_global_rank_partitioning_invariant(spark, parts, seed):
+    from pyetl_spark.operators.global_rank import global_order_rank
+
+    df, ref = _rand_keyed(spark, seed)
+    got = {
+        r["k"]: r["rank"]
+        for r in global_order_rank(df, ["k"], num_partitions=parts).collect()
+    }
+    for want_rank, (k, _) in enumerate(ref):
+        assert got[k] == want_rank, (parts, seed, k)
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+@pytest.mark.parametrize("seed", [11, 42])
+def test_global_cumsum_partitioning_invariant(spark, parts, seed):
+    from pyetl_spark.operators.global_rank import global_order_cumsum
+
+    df, ref = _rand_keyed(spark, seed)
+    got = {
+        r["k"]: r["cum_v"]
+        for r in global_order_cumsum(
+            df, ["k"], ["v"], num_partitions=parts
+        ).collect()
+    }
+    acc = 0
+    for k, v in ref:
+        acc += v
+        assert got[k] == acc, (parts, seed, k)
+
+
+def test_global_shuffle_rank_is_seed_stable_permutation(spark):
+    from pyetl_spark.operators.global_rank import global_shuffle_rank
+
+    df, ref = _rand_keyed(spark, 5, n=300)
+    a = {
+        r["k"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "k", seed=9).collect()
+    }
+    b = {
+        r["k"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(
+            df.repartition(7), "k", seed=9
+        ).collect()
+    }
+    assert a == b  # same seed, any partitioning → same permutation
+    assert sorted(a.values()) == list(range(len(ref)))  # dense 0..n-1
+    c = {
+        r["k"]: r["shuffle_rank"]
+        for r in global_shuffle_rank(df, "k", seed=10).collect()
+    }
+    assert c != a  # different seed → different permutation
