@@ -1239,3 +1239,111 @@ def agg_percentile_exact_twophase(
     return kept.groupBy("n").agg(
         *[rnd(interp(p), 4).alias(name) for name, p in qs]
     )
+
+
+_PSI_BUCKETS = 20
+
+@query(
+    "agg_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN ts < {_CUPED_SPLIT} THEN 0 ELSE 1 END AS period,
+             CASE WHEN value < 0.0 THEN 0
+                  WHEN value >= 500.0 THEN {_PSI_BUCKETS} + 1
+                  ELSE CAST(floor((value - 0.0) / 25.0) AS INT) + 1
+             END AS b
+      FROM events
+    ),
+    cells AS (
+      SELECT b.b AS b,
+             coalesce(rc.c, 0) AS rc,
+             coalesce(cc.c, 0) AS cc
+      FROM (SELECT unnest(generate_series(0, {_PSI_BUCKETS} + 1)) AS b) b
+      LEFT JOIN (SELECT b, count(*) AS c FROM tagged WHERE period = 0
+                 GROUP BY b) rc ON b.b = rc.b
+      LEFT JOIN (SELECT b, count(*) AS c FROM tagged WHERE period = 1
+                 GROUP BY b) cc ON b.b = cc.b
+    ),
+    tot AS (
+      SELECT sum(rc) + count(*) AS rt, sum(cc) + count(*) AS ct
+      FROM cells
+    ),
+    contrib AS (
+      SELECT b,
+             (CAST(cc + 1 AS DOUBLE) / CAST(ct AS DOUBLE)
+              - CAST(rc + 1 AS DOUBLE) / CAST(rt AS DOUBLE))
+             * ln((CAST(cc + 1 AS DOUBLE) / CAST(ct AS DOUBLE))
+                  / (CAST(rc + 1 AS DOUBLE) / CAST(rt AS DOUBLE))) AS x
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           {R("list_reduce(list_prepend(0.0, list(x ORDER BY b)),"
+              " (acc, v) -> acc + v)", 6)} AS psi,
+           list_reduce(list_prepend(0.0, list(x ORDER BY b)),
+                       (acc, v) -> acc + v) > 0.2 AS drift_alert
+    FROM contrib
+    """,
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half-month
+    of event values — the BATCH twin of the streaming drift monitor
+    (streaming/drift.py): same frozen equal-width buckets (+ 2 overflow),
+    same Laplace smoothing, same 0.2 alert convention, here hash-checked
+    against a SQL oracle so the monitor's math carries driver evidence.
+
+    Determinism: bucket counts are exact ints; each bucket's PSI term is
+    one float expression over identical ints, and the 22-term sum folds
+    in bucket order on BOTH engines (the text_chi_square ordered-fold
+    technique). Plan: one scan → one (period, bucket) aggregate →
+    bucket-spine left join (44 rows) → ordered fold; monitor state is
+    bucket-count-sized at any traffic."""
+    ev = load_tables(spark, sf_dir).events
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    lo, hi, nb = 0.0, 500.0, _PSI_BUCKETS
+    width = (hi - lo) / nb
+    b = (
+        F.when(F.col("value") < lo, 0)
+        .when(F.col("value") >= hi, nb + 1)
+        .otherwise(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int")
+            + 1
+        )
+    )
+    tagged = ev.select(
+        (F.col("ts") >= split).cast("int").alias("period"), b.alias("b")
+    )
+    counted = tagged.groupBy("b").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("rc0"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("cc0"),
+    )
+    spine = spark.range(0, nb + 2).select(F.col("id").cast("int").alias("b"))
+    cells = spine.join(counted, "b", "left").select(
+        "b",
+        F.coalesce("rc0", F.lit(0)).alias("rc"),
+        F.coalesce("cc0", F.lit(0)).alias("cc"),
+    )
+    tot = cells.agg(
+        (F.sum("rc") + F.count("*")).cast("long").alias("rt"),
+        (F.sum("cc") + F.count("*")).cast("long").alias("ct"),
+    )
+    p = (F.col("cc") + 1).cast("double") / F.col("ct").cast("double")
+    q = (F.col("rc") + 1).cast("double") / F.col("rt").cast("double")
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        "b", ((p - q) * F.log(p / q)).alias("x")
+    )
+    folded = contrib.agg(
+        F.count("*").alias("n_buckets"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "x"))),
+                lambda s: s.x,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("psi_raw"),
+    )
+    return folded.select(
+        "n_buckets",
+        rnd(F.col("psi_raw"), 6).alias("psi"),
+        (F.col("psi_raw") > 0.2).alias("drift_alert"),
+    )

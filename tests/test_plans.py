@@ -342,6 +342,8 @@ _NESTED_LOOP_OK = {
     "events_funnel_windowed",  # 1-row stage counts crossJoined to one row
     "agg_percentile_exact_twophase",  # 1-row n scalar crossJoined onto
                            # the ranked rows for the anchor filter
+    "agg_psi_drift",       # 1-row smoothed-totals scalar crossJoined onto
+                           # the 22-row bucket spine
 }
 
 registry.load_all()

@@ -7,6 +7,7 @@ scale contracts that a hash-match alone wouldn't explain."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyetl_spark import registry
@@ -452,3 +453,24 @@ def test_funnel_windowed_reuses_exchanges_at_runtime(spark):
     plan = buf.getvalue()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2, plan.count("ReusedExchange")
+
+
+def test_psi_batch_matches_streaming_helper(spark):
+    """The Tier-A batch PSI and the streaming monitor's psi() helper are
+    THE SAME math: recompute the batch result through the helper on the
+    same bucket counts."""
+    from pyetl_spark.streaming.drift import psi, reference_histogram
+
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = reference_histogram(
+        ev.filter(F.col("ts") < split), "value", 0.0, 500.0
+    )
+    cur = reference_histogram(
+        ev.filter(F.col("ts") >= split), "value", 0.0, 500.0
+    )
+    want = psi(ref, cur)
+    got = registry.QUERIES["agg_psi_drift"](spark, SF_ORACLE).collect()[0]
+    assert got["psi"] == pytest.approx(want, abs=1e-6)
+    assert got["drift_alert"] == (want > 0.2)
+    assert got["n_buckets"] == 22
