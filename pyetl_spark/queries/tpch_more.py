@@ -448,3 +448,151 @@ def join_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q5_FXP = FXP("l_extendedprice * (1 - l_discount)", 10**4)
+
+@query(
+    "join_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {R(f"CAST(sum({_Q5_FXP}) AS DOUBLE) / 10000.0", 2)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local supplier volume (TPC-H Q5): revenue from lineitems where the
+    CUSTOMER and the SUPPLIER sit in the same nation, one region + one
+    year, grouped by nation — the classic 6-table join with a non-FK
+    equality (c_nationkey = s_nationkey) folded into the supplier join.
+
+    Plan: lineitem⋈orders⋈customer shuffle on the two fact keys;
+    supplier/nation/region broadcast; the year predicate pushes to the
+    orders scan and the region predicate prunes the broadcast dims before
+    they ship. Exact fixed-point revenue. At 100 TB: co-bucket
+    orders/lineitem on orderkey and the only remaining exchange is the
+    customer join."""
+    t = load_tables(spark, sf_dir)
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    asia = (
+        t.nation.join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    supp = t.supplier.join(
+        F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        t.orders.filter(
+            (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            rnd(
+                F.sum(
+                    fxp(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")),
+                        10**4,
+                    )
+                ).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_volume_shipping_pairs",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {R(f"CAST(sum(vol) AS DOUBLE) / 10000.0", 2)} AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation,
+             cn.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             {_Q5_FXP} AS vol
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def join_volume_shipping_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Volume shipping between a nation pair (TPC-H Q7): bilateral trade
+    revenue NATION_1↔NATION_2 by supplier-nation / customer-nation /
+    ship-year. The disjunctive pair predicate stays on the two broadcast
+    nation dims (each aliased once per role), so the fact-side plan is
+    the same lineitem⋈orders⋈customer shuffle as Q5 with supplier
+    broadcast — no disjunctive join condition ever reaches a shuffle key.
+    Exact fixed-point revenue; year from l_shipdate on both engines."""
+    t = load_tables(spark, sf_dir)
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            fxp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+            ).alias("vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            rnd(F.sum("vol").cast("double") / F.lit(10000.0), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -568,3 +568,31 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_drawdown_cents") > 0)
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           {R("cume_dist() OVER (PARTITION BY o_orderpriority"
+              " ORDER BY o_totalprice)", 6)} AS cd
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per priority group — the last member of the SQL ranking
+    -function surface (rank/dense/row_number/ntile/percent_rank are
+    declared elsewhere): fraction of the group with value ≤ current,
+    TIES SHARE a cume_dist so no tiebreak key is needed (unlike
+    row_number forms). Partitioned window (5 groups), one exchange; the
+    %5 slice keeps fixture output bounded. For a GLOBAL cume_dist at
+    scale use `win_pct_rank_twophase`'s rank machinery with rank/n."""
+    o = load_tables(spark, sf_dir).orders.filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        rnd(F.cume_dist().over(w), 6).alias("cd"),
+    )
