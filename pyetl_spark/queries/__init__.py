@@ -25,6 +25,7 @@ _MODULES = [
     "udfs",
     "sinks",
     "stats",
+    "hierarchy",
 ]
 
 

@@ -474,3 +474,45 @@ def test_psi_batch_matches_streaming_helper(spark):
     assert got["psi"] == pytest.approx(want, abs=1e-6)
     assert got["drift_alert"] == (want > 0.2)
     assert got["n_buckets"] == 22
+
+
+def test_hierarchy_rollup_root_holds_everything(spark):
+    """Ancestor 0 (the forest root) must contain every part and carry
+    the grand-total revenue."""
+    rows = {
+        r["ancestor"]: r
+        for r in registry.QUERIES["hierarchy_rollup_transitive"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    part = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    from pyetl_spark.parity import fxp
+
+    n_parts = part.count()
+    total = li.agg(
+        F.sum(
+            fxp(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4)
+        )
+    ).collect()[0][0]
+    assert rows[0]["n_members"] == n_parts
+    assert rows[0]["revenue_cents"] == total
+    # child containment: members of ancestor 1 ⊆ members of ancestor 0
+    if 1 in rows:
+        assert rows[1]["n_members"] <= rows[0]["n_members"]
+        assert rows[1]["revenue_cents"] <= rows[0]["revenue_cents"]
+
+
+def test_hierarchy_path_shape(spark):
+    rows = registry.QUERIES["hierarchy_path_depth"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows
+    for r in rows:
+        parts = r["root_path"].split("/")
+        assert parts[0] == str(r["node"])
+        assert parts[-1] == "0"
+        assert len(parts) == r["depth"] + 1
+        # each step is the //10 parent of the previous
+        for a, b in zip(parts, parts[1:]):
+            assert int(a) // 10 == int(b)
