@@ -26,6 +26,7 @@ _MODULES = [
     "sinks",
     "stats",
     "hierarchy",
+    "geo",
 ]
 
 

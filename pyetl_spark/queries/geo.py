@@ -1,0 +1,135 @@
+"""Spatial proximity queries — the grid-cell-bucketed radius join.
+
+No fixture table carries coordinates, so points derive DETERMINISTICALLY
+from customer keys (integer hash → millidegree grid → exact doubles),
+giving both engines the identical point set. Geometry is PLANAR in
+degree units (the bucketing pattern is the point here; swapping the
+distance expression for haversine changes one projection, not the plan
+— noted below because trig libms differ 1 ulp across engines, which a
+radius-boundary membership test must respect).
+
+The scale pattern (the reason this family exists): a radius join is a
+θ-join — naively quadratic. Bucketing snaps every point to a grid cell
+of side ≥ radius; a probe can only match points in its 3×3 neighbor
+cells, so the join becomes an EQUI-join on cell id followed by an exact
+distance filter — candidates ∝ density·9·cell_area, never |points|².
+This is the same sketch-proposes / exact-disposes shape as the MinHash
+and Bloom families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyetl_spark.parity import R, rnd
+from pyetl_spark.registry import query
+from pyetl_spark.tables import load_tables
+
+#: radius (degree units) == cell side — the 3x3 neighborhood is then
+#: guaranteed to cover the disk.
+_RADIUS = 20.0
+
+_LAT_SQL = "(CAST((c_custkey * 9973) % 120000 AS DOUBLE) / 1000.0 - 60.0)"
+_LON_SQL = "(CAST((c_custkey * 7919) % 360000 AS DOUBLE) / 1000.0 - 180.0)"
+
+
+def _lat():
+    return (
+        ((F.col("c_custkey") * 9973) % 120000).cast("double")
+        / F.lit(1000.0)
+        - F.lit(60.0)
+    )
+
+
+def _lon():
+    return (
+        ((F.col("c_custkey") * 7919) % 360000).cast("double")
+        / F.lit(1000.0)
+        - F.lit(180.0)
+    )
+
+
+@query(
+    "geo_radius_join_bucketed",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+      FROM customer
+    ),
+    probes AS (SELECT * FROM pts WHERE id % 97 = 0)
+    SELECT p.id AS probe_id, q.id AS point_id,
+           {R("sqrt((p.lat - q.lat) * (p.lat - q.lat)"
+              " + (p.lon - q.lon) * (p.lon - q.lon))", 4)} AS dist
+    FROM probes p JOIN pts q
+      ON q.id <> p.id
+     AND (p.lat - q.lat) * (p.lat - q.lat)
+         + (p.lon - q.lon) * (p.lon - q.lon) <= {_RADIUS} * {_RADIUS}
+    """,
+)
+def geo_radius_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join (all points within 20 degree-units of each probe)
+    via grid-cell bucketing: points snap to cells of side == radius,
+    probes explode to their 3×3 neighbor cells, the join is an EQUI-join
+    on cell id, and the exact planar distance filter disposes — candidate
+    count scales with local density, never |points|². The oracle computes
+    the naive θ-join; identical output is the completeness proof of the
+    3×3 cover.
+
+    Membership is decided by a polynomial expression over exactly-derived
+    doubles (millidegree integer grid → /1000), so the row set is
+    bit-deterministic on both engines — the reason the distance is planar
+    here: a haversine variant adds trig whose 1-ulp libm divergence could
+    flip a point sitting exactly on the radius (swap the expression and
+    keep the plan when the data is real GPS and the boundary is fuzzy).
+    At 100 TB: points are bucketed once (write-time layout on cell id
+    makes this join shuffle-free); probes broadcast."""
+    c = load_tables(spark, sf_dir).customer
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        _lat().alias("lat"),
+        _lon().alias("lon"),
+    )
+    cellx = F.floor(F.col("lat") / F.lit(_RADIUS)).cast("long")
+    celly = F.floor(F.col("lon") / F.lit(_RADIUS)).cast("long")
+    pts_cells = pts.select(
+        "id", "lat", "lon", cellx.alias("cx"), celly.alias("cy")
+    )
+    probes = pts_cells.filter(F.col("id") % 97 == 0)
+    neigh = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col("cx") + dx).alias("ncx"),
+                    (F.col("cy") + dy).alias("ncy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probe_cells = probes.select(
+        F.col("id").alias("probe_id"),
+        F.col("lat").alias("plat"),
+        F.col("lon").alias("plon"),
+        neigh.alias("n"),
+    ).select("probe_id", "plat", "plon", "n.ncx", "n.ncy")
+    d2 = (F.col("plat") - F.col("lat")) * (
+        F.col("plat") - F.col("lat")
+    ) + (F.col("plon") - F.col("lon")) * (F.col("plon") - F.col("lon"))
+    return (
+        F.broadcast(probe_cells)
+        .join(
+            pts_cells,
+            (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
+        )
+        .filter(
+            (F.col("id") != F.col("probe_id"))
+            & (d2 <= F.lit(_RADIUS * _RADIUS))
+        )
+        .select(
+            "probe_id",
+            F.col("id").alias("point_id"),
+            rnd(F.sqrt(d2), 4).alias("dist"),
+        )
+    )

@@ -516,3 +516,41 @@ def test_hierarchy_path_shape(spark):
         # each step is the //10 parent of the previous
         for a, b in zip(parts, parts[1:]):
             assert int(a) // 10 == int(b)
+
+
+def test_geo_radius_bucketed_equals_naive_and_bounded(spark):
+    """Completeness proof of the 3x3 cell cover: bucketed result ==
+    naive quadratic result; all distances <= radius; boundary gap is
+    comfortably wider than a double ulp (the determinism argument)."""
+    rows = registry.QUERIES["geo_radius_join_bucketed"](
+        spark, SF_ORACLE
+    ).collect()
+    assert rows
+    from pyetl_spark.queries.geo import _RADIUS, _lat, _lon
+
+    c = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    pts = [
+        (r["id"], r["lat"], r["lon"])
+        for r in c.select(
+            F.col("c_custkey").alias("id"),
+            _lat().alias("lat"),
+            _lon().alias("lon"),
+        ).collect()
+    ]
+    probes = [p for p in pts if p[0] % 97 == 0]
+    naive = set()
+    min_gap = float("inf")
+    for pid, plat, plon in probes:
+        for qid, qlat, qlon in pts:
+            if qid == pid:
+                continue
+            d2 = (plat - qlat) ** 2 + (plon - qlon) ** 2
+            gap = abs(d2 - _RADIUS * _RADIUS)
+            min_gap = min(min_gap, gap)
+            if d2 <= _RADIUS * _RADIUS:
+                naive.add((pid, qid))
+    got = {(r["probe_id"], r["point_id"]) for r in rows}
+    assert got == naive
+    for r in rows:
+        assert r["dist"] <= _RADIUS + 1e-9
+    assert min_gap > 1e-9  # no point sits on the boundary knife-edge
