@@ -1347,3 +1347,117 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("psi_raw"), 6).alias("psi"),
         (F.col("psi_raw") > 0.2).alias("drift_alert"),
     )
+
+
+# centered-moment SQL building blocks for the two-feature OLS (shared
+# between the Spark expression tree and the DuckDB oracle — both engines
+# assemble the SAME doubles from the SAME exact integer moments)
+_OLS_RAW = """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1,
+             CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y)  AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+             CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+             CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM feats
+"""
+
+def _ols_sql(expr: dict[str, str]) -> dict[str, str]:
+    d = {
+        "nd": "CAST(n AS DOUBLE)",
+        "s11": "(CAST(sx11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE))",
+        "s12": "(CAST(sx12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))",
+        "s22": "(CAST(sx22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE))",
+        "s1y": "(CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+        "s2y": "(CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+        "syy_c": "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))",
+    }
+    d["det"] = f"({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+    d["b1"] = f"(({d['s1y']} * {d['s22']} - {d['s2y']} * {d['s12']}) / {d['det']})"
+    d["b2"] = f"(({d['s2y']} * {d['s11']} - {d['s1y']} * {d['s12']}) / {d['det']})"
+    d["b0"] = (
+        f"(CAST(sy AS DOUBLE) / {d['nd']}"
+        f" - {d['b1']} * CAST(sx1 AS DOUBLE) / {d['nd']}"
+        f" - {d['b2']} * CAST(sx2 AS DOUBLE) / {d['nd']})"
+    )
+    d["r2"] = f"(({d['b1']} * {d['s1y']} + {d['b2']} * {d['s2y']}) / {d['syy_c']})"
+    return d
+
+_OLS = _ols_sql({})
+
+@query(
+    "agg_ols_two_feature",
+    oracle=f"""
+    WITH feats AS (
+      SELECT l_quantity AS x1,
+             {FXP("l_discount", 100)} AS x2,
+             {FXP("l_extendedprice", 100)} AS y
+      FROM lineitem
+    ),
+    m AS ({_OLS_RAW})
+    SELECT n,
+           {R(_OLS["b0"], 4)} AS b0,
+           {R(_OLS["b1"], 4)} AS b1,
+           {R(_OLS["b2"], 4)} AS b2,
+           {R(_OLS["r2"], 6)} AS r2
+    FROM m
+    """,
+)
+def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression by normal equations, solved in
+    closed form (centered 2×2 Cramer): extended price ~ quantity +
+    discount-points — the in-engine multivariate regression
+    `revenue_trend_ols` (single-feature) generalizes to, and the shape
+    every larger design matrix reduces to per pair of features.
+
+    Exactness: all nine raw moments are exact integer sums from ONE
+    partial/final aggregate (Σy² through HUGEINT/decimal(38) — cents²
+    passes int64); centered moments, determinant, coefficients and R²
+    are one final float expression both engines assemble from those
+    identical ints (the SQL and the Spark expression tree are generated
+    from the same building blocks). Plan: one scan, one 1-row aggregate;
+    at 100 TB the regression costs exactly one pass regardless of
+    features, since each extra feature adds moments, not passes."""
+    li = load_tables(spark, sf_dir).lineitem
+    feats = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        fxp(F.col("l_discount"), 100).alias("x2"),
+        fxp(F.col("l_extendedprice"), 100).alias("y"),
+    )
+    ydec = F.col("y").cast("decimal(38,0)")
+    m = feats.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+        F.sum(ydec * ydec).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = d("n")
+    s11 = d("sx11") - d("sx1") * d("sx1") / nd
+    s12 = d("sx12") - d("sx1") * d("sx2") / nd
+    s22 = d("sx22") - d("sx2") * d("sx2") / nd
+    s1y = d("sx1y") - d("sx1") * d("sy") / nd
+    s2y = d("sx2y") - d("sx2") * d("sy") / nd
+    syy_c = d("syy") - d("sy") * d("sy") / nd
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    b0 = d("sy") / nd - b1 * d("sx1") / nd - b2 * d("sx2") / nd
+    r2 = (b1 * s1y + b2 * s2y) / syy_c
+    return m.select(
+        "n",
+        rnd(b0, 4).alias("b0"),
+        rnd(b1, 4).alias("b1"),
+        rnd(b2, 4).alias("b2"),
+        rnd(r2, 6).alias("r2"),
+    )

@@ -554,3 +554,31 @@ def test_geo_radius_bucketed_equals_naive_and_bounded(spark):
     for r in rows:
         assert r["dist"] <= _RADIUS + 1e-9
     assert min_gap > 1e-9  # no point sits on the boundary knife-edge
+
+
+def test_ols_two_feature_matches_numpy_lstsq(spark):
+    """The closed-form normal-equation solve must agree with numpy's
+    least squares on the same rows (this fixture's price is nearly
+    independent of quantity/discount, so only exactness — not fit — is
+    assertable)."""
+    import numpy as np
+
+    row = registry.QUERIES["agg_ols_two_feature"](spark, SF_ORACLE).collect()[
+        0
+    ]
+    from pyetl_spark.parity import fxp
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        fxp(F.col("l_discount"), 100).alias("x2"),
+        fxp(F.col("l_extendedprice"), 100).alias("y"),
+    )
+    rows = li.collect()
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in rows])
+    y = np.array([float(r["y"]) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["b0"] == pytest.approx(beta[0], abs=0.01)
+    assert row["b1"] == pytest.approx(beta[1], abs=0.01)
+    assert row["b2"] == pytest.approx(beta[2], abs=0.01)
+    assert 0.0 <= row["r2"] <= 1.0
+    assert row["n"] == len(rows)
