@@ -135,3 +135,70 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_parsed"),
         F.sum("k").cast("bigint").alias("sum_k"),
     )
+
+
+@query(
+    "source_csv_roundtrip_typed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def source_csv_roundtrip_typed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Typed CSV SOURCE fidelity (the reference's flat-file ingest path):
+    write an orders slice to CSV, read it back with an EXPLICIT schema +
+    pinned timestamp format, and hash-match against the original rows —
+    the oracle is the identity query, so the hash equality IS the
+    roundtrip-fidelity proof (doubles survive via shortest-repr
+    round-tripping; timestamps via the pinned format; strings via
+    quoting). Schema inference is deliberately NOT used: inferSchema
+    costs an extra full scan and can demote types on dirty data — an
+    explicit DDL schema is the production contract.
+
+    Scale: CSV write/read parallelize per partition like any source; the
+    roundtrip here is fixture-sized scratch. The lesson that matters at
+    100 TB is the pinned schema + format options, not the medium."""
+    import os
+
+    from pyetl_spark.queries.sinks import _scratch
+
+    path = _scratch("csv_roundtrip")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    # fixture timestamps are TIMESTAMP_NTZ — the NTZ format option is the
+    # one that applies (timestampFormat alone is silently ignored for NTZ
+    # columns: the write falls back to ISO-8601 and the typed read then
+    # nulls every value — caught by the identity oracle on first run)
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    src = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(cols)
+    )
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampNTZFormat", ts_fmt)
+        .csv(path)
+    )
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampNTZFormat", ts_fmt)
+        .csv(path)
+        .select(cols)
+    )
