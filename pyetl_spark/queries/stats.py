@@ -1461,3 +1461,50 @@ def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(b2, 4).alias("b2"),
         rnd(r2, 6).alias("r2"),
     )
+
+
+# composite readout: reuse the registered sub-queries AND their oracles
+# (DuckDB allows a WITH inside a parenthesized CTE body, so each
+# sub-oracle nests verbatim — single source of truth for both engines)
+from pyetl_spark.registry import ORACLE as _ORC  # noqa: E402
+
+@query(
+    "pipeline_experiment_readout",
+    oracle=f"""
+    WITH dq AS ({_ORC["etl_dq_scorecard"]}),
+    z AS ({_ORC["agg_ab_test_ztest"]}),
+    c AS ({_ORC["agg_cuped_adjusted"]}),
+    p AS ({_ORC["agg_psi_drift"]})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dq WHERE n_failed > 0)
+             AS dq_failed_rules,
+           z.n_a, z.n_b, z.z_score,
+           c.theta, c.diff_cuped, c.var_reduction_pct,
+           p.psi, p.drift_alert
+    FROM z, c, p
+    """,
+)
+def pipeline_experiment_readout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row experiment dashboard: DQ gate (failed-rule count), the
+    pooled z-test, the CUPED-adjusted effect, and distribution drift —
+    COMPOSED from the registered sub-queries themselves (same functions,
+    same oracles nested verbatim), which is the composition contract an
+    engine user relies on: registry queries are ordinary DataFrames that
+    crossJoin/aggregate like any other. Four 1-row broadcasts; each
+    sub-plan keeps its own documented scale shape."""
+    dq = (
+        etl_dq_scorecard(spark, sf_dir)
+        .filter(F.col("n_failed") > 0)
+        .agg(F.count("*").cast("long").alias("dq_failed_rules"))
+    )
+    z = agg_ab_test_ztest(spark, sf_dir).select("n_a", "n_b", "z_score")
+    c = agg_cuped_adjusted(spark, sf_dir).select(
+        "theta", "diff_cuped", "var_reduction_pct"
+    )
+    p = agg_psi_drift(spark, sf_dir).select("psi", "drift_alert")
+    return (
+        dq.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(p))
+    )

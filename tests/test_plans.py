@@ -344,6 +344,9 @@ _NESTED_LOOP_OK = {
                            # the ranked rows for the anchor filter
     "agg_psi_drift",       # 1-row smoothed-totals scalar crossJoined onto
                            # the 22-row bucket spine
+    "pipeline_experiment_readout",  # four 1-row sub-results crossJoined
+                           # into the dashboard row (inherits psi/ztest
+                           # scalar shapes)
 }
 
 registry.load_all()
