@@ -1508,3 +1508,50 @@ def pipeline_experiment_readout(
         .crossJoin(F.broadcast(c))
         .crossJoin(F.broadcast(p))
     )
+
+
+@query(
+    "agg_ab_srm_check",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT n_a, n_b,
+           {R("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)"
+              " / CAST(n_a + n_b AS DOUBLE)", 6)} AS chi2,
+           100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) AS srm_flag
+    FROM g
+    """,
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch check for the user-parity A/B split: under
+    a healthy 50/50 assignment, χ²(1) = (n_a−n_b)²/n; a value past 3.84
+    (95%) means the RANDOMIZATION is broken and every downstream readout
+    (`agg_ab_test_ztest`, `agg_cuped_adjusted`) is invalid — the gate
+    experimentation platforms run before showing anyone a p-value.
+
+    The flag is INTEGER-decided: χ² > 3.84 ⟺ 100·(n_a−n_b)² > 384·n,
+    so the alert can't flip on float rounding; χ² itself is the one
+    reported float. One distinct-users aggregate — at 100 TB this is the
+    same pre-bucketed user_id pass as the funnel family."""
+    ev = load_tables(spark, sf_dir).events
+    users = ev.select("user_id").distinct()
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    g = users.agg(
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(1 - is_a).cast("long").alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    n = F.col("n_a") + F.col("n_b")
+    return g.select(
+        "n_a",
+        "n_b",
+        rnd(
+            (diff * diff).cast("double") / n.cast("double"), 6
+        ).alias("chi2"),
+        (100 * diff * diff > 384 * n).alias("srm_flag"),
+    )
