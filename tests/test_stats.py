@@ -582,3 +582,36 @@ def test_ols_two_feature_matches_numpy_lstsq(spark):
     assert row["b2"] == pytest.approx(beta[2], abs=0.01)
     assert 0.0 <= row["r2"] <= 1.0
     assert row["n"] == len(rows)
+
+
+def test_srm_consistent_with_user_counts(spark):
+    row = registry.QUERIES["agg_ab_srm_check"](spark, SF_ORACLE).collect()[0]
+    users = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    n_a = sum(1 for u in users if u["user_id"] % 2 == 0)
+    n_b = len(users) - n_a
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    # integer-decided flag == float comparison on this data
+    assert row["srm_flag"] == (row["chi2"] > 3.84)
+
+
+def test_experiment_readout_matches_components(spark):
+    """The composite row must equal the standalone sub-queries' values —
+    composition may not change a single number."""
+    ro = registry.QUERIES["pipeline_experiment_readout"](
+        spark, SF_ORACLE
+    ).collect()[0]
+    z = registry.QUERIES["agg_ab_test_ztest"](spark, SF_ORACLE).collect()[0]
+    c = registry.QUERIES["agg_cuped_adjusted"](spark, SF_ORACLE).collect()[0]
+    p = registry.QUERIES["agg_psi_drift"](spark, SF_ORACLE).collect()[0]
+    assert ro["z_score"] == z["z_score"]
+    assert ro["n_a"] == z["n_a"] and ro["n_b"] == z["n_b"]
+    assert ro["theta"] == c["theta"]
+    assert ro["diff_cuped"] == c["diff_cuped"]
+    assert ro["psi"] == p["psi"]
+    assert ro["drift_alert"] == p["drift_alert"]
+    assert ro["dq_failed_rules"] == 0  # clean fixture
