@@ -2866,3 +2866,50 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_pct"),
         )
     )
+
+
+from pyetl_spark.registry import ORACLE as _ORACLES  # noqa: E402
+
+@query(
+    "text_lang_id_confusion",
+    oracle=f"""
+    WITH pred AS ({_ORACLES["text_lang_id"]})
+    SELECT labeled_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           {R("100.0 * CAST(count(*) AS DOUBLE) / CAST(sum(count(*))"
+              " OVER (PARTITION BY labeled_lang) AS DOUBLE)", 4)}
+             AS row_pct
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language identifier
+    against the labeled `lang` column — the EVALUATION query every
+    classifier in the curation pipeline needs next to it (`text_lang_id`
+    produces the predictions; this grades them). Cells carry the count
+    and the row-normalized percentage (per-label recall on the
+    diagonal).
+
+    Composed from the registered `text_lang_id` itself on the Spark side
+    and its oracle nested verbatim on the DuckDB side — grading logic
+    can't drift from the classifier it grades. One extra keyed aggregate
+    over the prediction frame; the row-pct window partitions by label
+    (bounded domain)."""
+    pred = text_lang_id(spark, sf_dir)
+    w = Window.partitionBy("labeled_lang")
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            rnd(
+                F.lit(100.0)
+                * F.col("n").cast("double")
+                / F.sum("n").over(w).cast("double"),
+                4,
+            ).alias("row_pct"),
+        )
+    )
