@@ -596,3 +596,196 @@ def join_volume_shipping_pairs(
             )
         )
     )
+
+
+@query(
+    "agg_forecast_revenue",
+    oracle=f"""
+    SELECT {MSUM("l_extendedprice * l_discount", 10**4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND {FXP("l_discount", 100)} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6): would-be extra revenue if
+    small-quantity, mid-discount line items had shipped at full price —
+    one filtered scan, one global sum, no join.
+
+    The discount band predicate compares on the 2dp *integer* grid
+    (``fxp(l_discount,100) BETWEEN 5 AND 7``) rather than
+    ``BETWEEN 0.05 AND 0.07`` on raw doubles — both engines floor the
+    same IEEE-754 product so the band edges cannot straddle a binary
+    representation difference. Revenue is the exact integer cent-sum
+    (order-free across partitions) descaled once.
+
+    Plan: all three predicates push to the parquet scan (shipdate range +
+    quantity are native column filters; the discount-grid expression
+    evaluates post-scan but inside the same WholeStageCodegen), then a
+    partial/final global agg — the cheapest possible TPC-H query, and the
+    canonical 100 TB scan-throughput probe: at scale it is purely
+    IO-bound and prunes to the one shipdate year via partition layout."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & fxp(F.col("l_discount"), 100).between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            msum(
+                F.col("l_extendedprice") * F.col("l_discount"), 10**4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_product_type_profit",
+    oracle=f"""
+    SELECT nation, o_year,
+           {R("CAST(sum(amount_c) AS DOUBLE) / 10000.0", 2)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {FXP("l_extendedprice * (1 - l_discount)", 10**4)}
+               - CAST(l_quantity AS BIGINT) * {FXP("0.6 * p_retailprice", 10**4)}
+               AS amount_c
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def join_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): per supplier-nation,
+    per order-year profit on 'red' parts. The fixtures carry no
+    ``partsupp``/``ps_supplycost``, so unit cost is the deterministic
+    proxy ``0.6 * p_retailprice`` — the join/agg shape (5-way star on the
+    fact, name-LIKE part filter, nation×year rollup) is Q9's.
+
+    Exactness: profit per line = revenue(4dp grid) − qty × cost(4dp
+    grid); both terms are fixed-point BIGINTs, quantity is an exact
+    integer, so the per-line amount and its sum are order-free integers —
+    one descale+round after the final aggregate.
+
+    Plan: the part filter prunes before its join; nation broadcasts (25
+    rows); part/supplier carry no forced hint (they scale with SF —
+    AQE broadcasts while small, shuffles beyond instead of OOMing). The
+    unconditional shuffles are lineitem⋈orders on orderkey plus the
+    25×7-group aggregate. At 100 TB: bucket lineitem+orders on orderkey,
+    everything else is dimension-side."""
+    t = load_tables(spark, sf_dir)
+    part_red = (
+        t.part.filter(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            fxp(F.lit(0.6) * F.col("p_retailprice"), 10**4).alias("cost_c"),
+        )
+    )
+    amount_c = fxp(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+    ) - F.col("l_quantity").cast("long") * F.col("cost_c")
+    return (
+        t.lineitem.join(part_red, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t.supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount_c.alias("amount_c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            rnd(F.sum("amount_c").cast("double") / F.lit(10000.0), 2).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@query(
+    "agg_important_stock",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_partkey,
+             {FXP("l_extendedprice * (1 - l_discount)", 10**4)} AS v_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ), per AS (
+      SELECT l_partkey, sum(v_c) AS part_c FROM v GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(part_c) AS total_c, count(*) AS nparts FROM per
+    )
+    SELECT l_partkey,
+           {R("CAST(part_c AS DOUBLE) / 10000.0", 2)} AS part_value
+    FROM per, tot
+    WHERE part_c * nparts > 2 * total_c
+    """,
+)
+def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): parts whose
+    supplied value from NATION_7 suppliers exceeds a global threshold —
+    the group-by-then-HAVING-vs-scalar-subquery shape. No ``partsupp``
+    in the fixtures, so "stock value" is the supplied line revenue per
+    part; the threshold is 2× the mean part value (``part_c * nparts >
+    2 * total_c``), which keeps selectivity SF-invariant (~7-8% of parts
+    at sf0.01 and sf0.1) where TPC-H's fixed 0.0001 fraction would decay
+    to zero rows as SF grows.
+
+    Exactness: the HAVING compare is pure BIGINT arithmetic (integer
+    cent-sum × integer count vs integer total) — no float threshold can
+    straddle engines. Plan: one shuffle groups by partkey; the global
+    (total, count) scalar is a 16-byte broadcast joined back crossJoin-
+    style, NOT a re-aggregation of the base — Spark materializes ``per``
+    once for both consumers. At 100 TB the per-part aggregate is the only
+    fact-sized shuffle; the scalar side is constant."""
+    t = load_tables(spark, sf_dir)
+    nat = t.nation.filter(F.col("n_name") == "NATION_7")
+    supp7 = (
+        t.supplier.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey")
+    )
+    per = (
+        t.lineitem.join(supp7, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            fxp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+            ).alias("v_c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("v_c").alias("part_c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = per.agg(
+        F.sum("part_c").alias("total_c"), F.count(F.lit(1)).alias("nparts")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_c") * F.col("nparts") > 2 * F.col("total_c"))
+        .select(
+            "l_partkey",
+            rnd(F.col("part_c").cast("double") / F.lit(10000.0), 2).alias(
+                "part_value"
+            ),
+        )
+    )
