@@ -1555,3 +1555,74 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         (100 * diff * diff > 384 * n).alias("srm_flag"),
     )
+
+
+@query("agg_kmv_distinct")  # Tier B: sketch estimate (exact bottom-k, approx count)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta bottom-k distinct sketch per event_type (operators/kmv.py):
+    the k smallest xxhash64 values of user_id, built with bounded state in
+    two map-combinable passes (bucket-minima threshold, then exact refine
+    — NEVER a per-group collect of all distinct hashes), then the
+    Beyer-et-al (k-1)/u_k estimator. Groups with < k distinct users are
+    EXACT by construction (the sketch is the whole hash set).
+
+    vs agg_hll_sketch_merge: HLL is smaller per sketch; KMV's value lists
+    additionally support lossless union and intersection/Jaccard
+    estimation (agg_kmv_overlap). At 100 TB both passes are partial/final
+    aggregates on (type, bucket) — no skew, no unbounded buffers.
+    Accuracy gates live in tests/test_kmv.py."""
+    from pyetl_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    ev = load_tables(spark, sf_dir).events
+    k = 256
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    return (
+        sk.select(
+            "event_type",
+            F.size("kmv").alias("sketch_size"),
+            rnd(kmv_estimate(F.col("kmv"), k), 2).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_kmv_overlap")  # Tier B: sketch-based set-op estimates
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from mergeable sketches: pairwise union size,
+    Jaccard, and intersection size of per-event-type KMV user sketches —
+    the theta-sketch set-operation workflow (union is LOSSLESS: the
+    merged bottom-k is exactly the union's bottom-k, so only the final
+    estimator carries error; intersection = Jaccard x union-estimate).
+
+    The pair join is a 5x5 dimension crossJoin (one row per sketch) —
+    the fact table is touched once to build the sketches; every set
+    operation after that is array algebra on k-bounded lists. That is
+    the point at 100 TB: overlap questions over any pair (or rollup) of
+    pre-built sketches never rescan the corpus. Exact-overlap twin:
+    events_audience_overlap. Accuracy gates in tests/test_kmv.py."""
+    from pyetl_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    k = 256
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
+    ka, kb = F.col("kmv_a"), F.col("kmv_b")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        rnd(kmv_estimate(kmv_union(ka, kb, k), k), 2).alias("approx_union"),
+        rnd(kmv_jaccard(ka, kb, k), 4).alias("approx_jaccard"),
+        rnd(kmv_intersect_estimate(ka, kb, k), 2).alias("approx_intersect"),
+    ).orderBy("type_a", "type_b")

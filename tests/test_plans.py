@@ -347,6 +347,12 @@ _NESTED_LOOP_OK = {
     "pipeline_experiment_readout",  # four 1-row sub-results crossJoined
                            # into the dashboard row (inherits psi/ztest
                            # scalar shapes)
+    "agg_important_stock",  # 1-row (total, nparts) scalar crossJoined
+                           # onto the per-part sums — the Q11 HAVING-vs-
+                           # scalar-subquery threshold
+    "agg_kmv_overlap",     # 5x5 sketch-row pair crossJoin (one row per
+                           # event_type sketch) — set ops on k-bounded
+                           # arrays, fact table scanned once upstream
 }
 
 registry.load_all()
