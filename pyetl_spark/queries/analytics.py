@@ -2653,3 +2653,94 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_best").isNull()
         | (F.col("best_size") > F.col("prev_best"))
     ).select("price_c", "best_size", "n_parts")
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+    c1 AS (SELECT e.u, l.lbl, count(*) AS c
+           FROM edges e JOIN l0 l ON e.v = l.node GROUP BY 1, 2),
+    l1 AS (SELECT u AS node, lbl FROM c1
+           QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) = 1),
+    c2 AS (SELECT e.u, l.lbl, count(*) AS c
+           FROM edges e JOIN l1 l ON e.v = l.node GROUP BY 1, 2),
+    l2 AS (SELECT u AS node, lbl FROM c2
+           QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) = 1),
+    c3 AS (SELECT e.u, l.lbl, count(*) AS c
+           FROM edges e JOIN l2 l ON e.v = l.node GROUP BY 1, 2),
+    l3 AS (SELECT u AS node, lbl FROM c3
+           QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl ASC) = 1)
+    SELECT node AS part, lbl AS community FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007, made DETERMINISTIC: every node simultaneously adopts its
+    neighbors' majority label with min-label tie-break, 3 fixed rounds)
+    on the co-purchase graph — parts co-occurring in ≥2 orders (the
+    basket_part_pairs edge definition). The async textbook variant is
+    run-order-dependent; the synchronous min-tie-break variant is a pure
+    function of the graph, which is what makes a Tier-A oracle possible
+    (3 unrolled join+argmax CTE rounds on the DuckDB side).
+
+    Per round: one shuffle joining edges to labels on the target node,
+    one (node, label) count aggregate, one argmax via max(struct(count,
+    -label)) — no windows, no driver state; labels are pinned per round
+    with an eager localCheckpoint so round k+1's plan reads round k's
+    RESULT, not a k-deep recomputed lineage. At 100 TB: edges and labels
+    both hash-partition on node id; rounds are embarrassingly linear in
+    |E|, degree skew handled by AQE (same profile as pagerank.py). Label
+    propagation is the cheap preconditioner for near-dup cluster naming
+    where full connected components (dedup_components) is overkill."""
+    li = load_tables(spark, sf_dir).lineitem
+    x = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    y = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    pairs = (
+        x.join(y, (x.l_orderkey == y.o2) & (x.u < y.v))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(3):
+        nbr = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(edges["u"], labels["lbl"])
+        cnt = nbr.groupBy("u", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("lbl")).alias("neg_lbl")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("u").alias("node"),
+                (-F.col("m.neg_lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("node").alias("part"), F.col("lbl").alias("community")
+    )

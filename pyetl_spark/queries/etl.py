@@ -953,3 +953,72 @@ def etl_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     forget.unpersist()
     o_del.unpersist()
     return out
+
+
+@query(
+    "etl_incremental_join_view",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {R("CAST(sum(" + FXP("l_extendedprice * (1 - l_discount)", 10**4) + ") AS DOUBLE) / 10000.0", 2)} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def etl_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view via delta
+    algebra: for V(O) = γ(O ⋈ L), joins distribute over union —
+    V(O_old ∪ ΔO) = V(O_old) ⊕ V(ΔO) — so arrival of the delta batch
+    (here: the 10% of orders with ``o_orderkey % 10 == 0``) requires
+    joining ONLY the delta against lineitem and merging keyed partial
+    states, never rescanning the old fact join. The merge ⊕ re-sums the
+    merge-closed (count, fixed-point-sum) states per customer — the
+    join-view counterpart of etl_incremental_agg's aggregate-only IVM,
+    and the batch shape of every streaming join materialization.
+
+    Tier-A proof: the maintained view hash-matches the from-scratch
+    oracle (full orders ⋈ lineitem GROUP BY) because the per-line cents
+    are exact integers — state+delta merge order cannot perturb a sum.
+    The "materialized" old state is pinned with an eager localCheckpoint
+    so the old join physically runs once, as it would in production
+    (state on disk), not re-derived by Catalyst into the full join.
+
+    At 100 TB: the old-view state is customer-cardinality (small vs the
+    fact), the delta join shuffles only the delta partition — cost is
+    O(|Δ|) + O(|state|) per refresh. Bucketing orders+lineitem on
+    orderkey (plans/layout.py) removes even the delta-side shuffle."""
+    t = load_tables(spark, sf_dir)
+    rev_c = fxp(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10**4
+    ).alias("rev_c")
+    li = t.lineitem.select("l_orderkey", rev_c)
+
+    def view_of(orders: DataFrame) -> DataFrame:
+        return (
+            orders.select("o_orderkey", "o_custkey")
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum("rev_c").alias("rev_c"),
+            )
+        )
+
+    is_delta = F.col("o_orderkey") % 10 == 0
+    state = view_of(t.orders.filter(~is_delta)).localCheckpoint(eager=True)
+    delta_view = view_of(t.orders.filter(is_delta))
+    return (
+        state.unionAll(delta_view)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("rev_c").alias("rev_c"),
+        )
+        .select(
+            "o_custkey",
+            "n_lines",
+            rnd(F.col("rev_c").cast("double") / F.lit(10000.0), 2).alias(
+                "revenue"
+            ),
+        )
+    )
