@@ -420,3 +420,115 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version int, n_files int, n_rows_manifest long, n_rows_read long,"
         " fingerprint long, consistent boolean",
     )
+
+
+@query("sink_snapshot_time_travel")  # Tier B
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over retained manifest versions — the read-side dual
+    of sink_manifest_atomic_publish: because every publish keeps its
+    versioned data directory AND its immutable manifest, reading the
+    table AS OF version N is just resolving ``manifest_vN.json`` instead
+    of the ``_LATEST`` pointer. Three append-style publishes (orders
+    through 1999 / 2000 / 2001) are written, then every retained version
+    is re-read THROUGH its manifest file list and audited: row count vs
+    the manifest, rows added vs the previous snapshot, and the order-free
+    content fingerprint chain — snapshot diffs without replaying any
+    data (Iceberg snapshot / Delta VERSION AS OF semantics on plain
+    parquet + JSON).
+
+    An orphan v99 directory with data files but NO manifest is planted
+    to prove the reader's trust boundary: unpublished data is invisible
+    to every AS-OF read (the crash-safety invariant, also pinned in
+    tests/test_invariants.py for the publish side). Retention at 100 TB:
+    manifests are KB-sized forever; expiring old DATA versions is a
+    manifest-driven GC (delete dirs whose version < horizon), never a
+    scan."""
+    import glob
+    import json
+
+    path = _scratch("time_travel")
+    t = load_tables(spark, sf_dir)
+    P = 1000000007
+
+    def publish(version: int, df: DataFrame) -> None:
+        vdir = os.path.join(path, f"v{version}")
+        df.write.mode("overwrite").parquet(vdir)
+        files = sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(vdir, "part-*"))
+        )
+        back = spark.read.parquet(vdir)
+        row_h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(c).cast("string") for c in back.columns],
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.lit(P)
+        )
+        stats = back.agg(
+            F.count("*").alias("n"), (F.sum(row_h) % F.lit(P)).alias("fp")
+        ).collect()[0]
+        mpath = os.path.join(path, f"manifest_v{version}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "files": files,
+                    "n_rows": stats["n"],
+                    "fingerprint": int(stats["fp"]),
+                },
+                f,
+            )
+        os.replace(tmp, mpath)
+
+    base = t.orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                           "o_orderdate")
+    for v, horizon in ((1, 2000), (2, 2001), (3, 2002)):
+        publish(v, base.filter(F.year("o_orderdate") < horizon))
+    # planted crash: data files land, manifest never written
+    base.limit(10).write.mode("overwrite").parquet(
+        os.path.join(path, "v99")
+    )
+
+    versions = sorted(
+        int(os.path.basename(m)[len("manifest_v"):-len(".json")])
+        for m in glob.glob(os.path.join(path, "manifest_v*.json"))
+    )
+    rows, prev_n = [], 0
+    for v in versions:
+        with open(os.path.join(path, f"manifest_v{v}.json")) as f:
+            man = json.load(f)
+        vdir = os.path.join(path, f"v{v}")
+        as_of = spark.read.parquet(
+            *[os.path.join(vdir, fn) for fn in man["files"]]
+        )
+        n_read = as_of.count()
+        rows.append(
+            (
+                v,
+                n_read,
+                n_read - prev_n,
+                man["fingerprint"],
+                n_read == man["n_rows"],
+            )
+        )
+        prev_n = n_read
+    out = spark.createDataFrame(
+        rows,
+        "version int, n_rows long, rows_added long, fingerprint long,"
+        " consistent boolean",
+    )
+    # the orphan must be invisible: exactly the published versions appear
+    assert versions == [1, 2, 3], versions
+    return out.orderBy("version")

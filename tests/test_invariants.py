@@ -553,3 +553,24 @@ def test_manifest_publish_crash_leaves_readers_on_old_version(spark, tmp_path):
         *[os.path.join(vdir, fn) for fn in manifest["files"]]
     ).count()
     assert n == manifest["n_rows"]
+
+
+def test_time_travel_as_of_reads_are_snapshot_consistent(spark):
+    """Every retained version re-reads to exactly its manifest's row
+    count; the version chain is append-monotone (rows_added ≥ 0, v1 has
+    all its rows counted as added); the planted orphan v99 directory
+    never surfaces as a readable version."""
+    from pyetl_spark import registry
+
+    rows = registry.QUERIES["sink_snapshot_time_travel"](
+        spark, SF_ORACLE
+    ).collect()
+    assert [r["version"] for r in rows] == [1, 2, 3]
+    assert all(r["consistent"] for r in rows)
+    assert all(r["rows_added"] >= 0 for r in rows)
+    assert rows[0]["rows_added"] == rows[0]["n_rows"]
+    # AS-OF v2 must be a strict prefix of v3 in row count (2001 appended)
+    assert rows[1]["n_rows"] < rows[2]["n_rows"]
+    # fingerprints differ across versions (content actually changed)
+    fps = {r["fingerprint"] for r in rows}
+    assert len(fps) == 3
