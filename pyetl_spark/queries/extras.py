@@ -344,3 +344,41 @@ def fn_array_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id", F.explode_outer(hits).alias("hit")
     )
+
+
+@query(
+    "fn_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority, o_year
+    """,
+)
+def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operator chain, from the
+    Google 'Pipe Syntax in SQL' paper): the same filter → derive →
+    aggregate flow a DataFrame chain expresses, written as piped SQL and
+    proven equivalent to the standard GROUP BY oracle. Each ``|>`` stage
+    maps 1:1 onto a logical operator, so Catalyst produces the identical
+    plan as the orthodox spelling — pinned here so the dialect surface
+    stays covered. Exact integer cents; one scan, one partial/final
+    aggregate."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("pyetl_pipe_orders")
+    return spark.sql(
+        """
+        FROM pyetl_pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND CAST(year(o_orderdate) AS INT) AS o_year,
+                  CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS cents
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(cents) AS BIGINT) AS revenue_cents
+           GROUP BY o_orderpriority, o_year
+        |> SELECT o_orderpriority, o_year, n_orders, revenue_cents
+        """
+    )

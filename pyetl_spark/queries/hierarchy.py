@@ -1,10 +1,15 @@
 """Hierarchy / transitive-closure queries — the WITH RECURSIVE family.
 
-Spark has no recursive CTE; the engine expresses fixed-depth hierarchy
-traversal as an UNROLLED chain of self-joins (depth is known or bounded:
-a decimal-key hierarchy is ⌈log10(maxkey)⌉ deep, an org chart rarely
-exceeds ~12 levels). The DuckDB oracle IS the recursive CTE, so the
-unrolled plan is hash-checked against the canonical recursive semantics.
+Spark 4.1 DOES support native ``WITH RECURSIVE`` (exercised by
+``hierarchy_recursive_cte_native`` below); the two other keys express
+fixed-depth traversal as an UNROLLED per-row array expansion instead
+(depth is known or bounded: a decimal-key hierarchy is ⌈log10(maxkey)⌉
+deep, an org chart rarely exceeds ~12 levels) because the unrolled form
+is one explode + one shuffle, while the native recursive plan iterates
+driver-coordinated UnionLoop rounds — right for UNKNOWN depth, strictly
+more expensive for known depth. The DuckDB oracle IS the recursive CTE
+either way, so both plans are hash-checked against canonical recursive
+semantics.
 
 Synthetic hierarchy over the part table: parent(k) = k // 10 — every
 part key chains to the root 0 in ≤ ⌈log10(max)⌉ steps (the classic
@@ -156,4 +161,67 @@ def hierarchy_path_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             depth.cast("long").alias("depth"),
             path.alias("root_path"),
         )
+    )
+
+
+@query(
+    "hierarchy_recursive_cte_native",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT p_partkey AS node, p_partkey AS anc, 0 AS d
+      FROM part
+      UNION ALL
+      SELECT node, anc // 10, d + 1 FROM chain WHERE anc > 0
+    )
+    SELECT anc AS ancestor,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(max(d) AS BIGINT) AS max_depth
+    FROM chain
+    WHERE anc < 100
+    GROUP BY anc
+    """,
+)
+def hierarchy_recursive_cte_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4.1's NATIVE ``WITH RECURSIVE`` on the same decimal-key
+    forest: per top-level ancestor (< 100), how many (node, depth)
+    closure rows reach it and how deep the longest chain is — recursion-
+    carried state (the depth counter) that a plain transitive-closure
+    array can't express without also materializing per-step indices.
+
+    This key exists to pin the native feature itself: the recursive CTE
+    text is *identical* on both engines (modulo ``DIV`` vs ``//``
+    integer-division spelling), so the driver hash-check certifies
+    Spark's UnionLoopExec fixpoint semantics against DuckDB's recursive
+    CTE evaluator. Scale posture: each recursion round is a full
+    DataFrame step coordinated by the driver — fine for ≤ⁿ10-level
+    hierarchies at any width (rounds scale with DEPTH, not data size;
+    every round is a shuffle-free projection+filter here), but for known
+    bounded depth the unrolled array form (hierarchy_rollup_transitive)
+    does the whole closure in ONE pass; use this form when depth is
+    unknown or data-dependent.
+
+    The runtime guardrail ``spark.sql.cteRecursionRowLimit`` (default
+    1M total recursion rows — tripped at sf1, where the closure is
+    |part|×8 ≈ 1.6M rows) is raised here; size it ≥ |nodes| × depth in
+    production or the fixpoint aborts mid-recursion by design."""
+    t = load_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
+    t.part.select("p_partkey").createOrReplaceTempView("pyetl_rcte_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT p_partkey AS node, p_partkey AS anc, 0 AS d
+          FROM pyetl_rcte_part
+          UNION ALL
+          SELECT node, anc DIV 10, d + 1 FROM chain WHERE anc > 0
+        )
+        SELECT anc AS ancestor,
+               CAST(count(*) AS BIGINT) AS n_descendants,
+               CAST(max(d) AS BIGINT) AS max_depth
+        FROM chain
+        WHERE anc < 100
+        GROUP BY anc
+        """
     )
