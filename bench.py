@@ -77,6 +77,14 @@ HEADLINE = [
     "agg_ks_statistic",
     "text_importance_sample_dsir",
     "text_vocab_coverage",
+    # r4 session 2: the TPC-H completion set — Q6 is the pure scan-
+    # throughput probe (all-predicate pushdown, no join), Q9 the widest
+    # star join in the suite (5-way); plus the iterative families'
+    # sentinels (3-round label propagation, delta-maintained join view)
+    "agg_forecast_revenue",
+    "join_product_type_profit",
+    "graph_label_propagation",
+    "etl_incremental_join_view",
 ]
 
 
