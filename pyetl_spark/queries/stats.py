@@ -1626,3 +1626,54 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(kmv_jaccard(ka, kb, k), 4).alias("approx_jaccard"),
         rnd(kmv_intersect_estimate(ka, kb, k), 2).alias("approx_intersect"),
     ).orderBy("type_a", "type_b")
+
+
+@query("join_cardinality_estimate")  # Tier B: sampling estimate
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-size estimation — the optimizer question "how big
+    is orders ⋈ lineitem on orderkey?" answered WITHOUT running the join,
+    by coordinated key sampling (the end-biased / correlated-sample
+    estimator of Vengerov et al., VLDB'15): hash every join key with the
+    SAME function on both sides, keep keys with xxhash64(key) in the
+    bottom p-fraction of the hash space (a uniform-over-KEYS sample that
+    picks the SAME keys on both sides — the property plain row sampling
+    lacks, and why row-sample join estimates collapse), join only the
+    tiny samples, and scale the matched multiplicity product by 1/p.
+
+    |A ⋈ B| = Σ_k a_k·b_k over matched keys k; the coordinated sample
+    observes that sum for a p-fraction of keys, so the scale-up is
+    unbiased with variance driven by key-frequency skew (reported here
+    via the sampled max multiplicities). Both full tables are scanned
+    once (cheap aggregates on ~p·|keys| rows pass the shuffle); at
+    100 TB p shrinks with key cardinality and the sample fits in one
+    executor. Exactness and error gates: tests/test_join_estimate.py
+    (the estimator is deterministic — fixed hash, fixed p)."""
+    t = load_tables(spark, sf_dir)
+    p_inv = 64  # sample ~1/64 of the key space
+    thresh = (1 << 63) // p_inv * 2 - (1 << 63)  # bottom 1/64 of signed range
+
+    def keyed_sample(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(F.col(key).alias("k"))
+            .filter(F.xxhash64(F.col(key)) < thresh)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    a = keyed_sample(t.orders, "o_orderkey")
+    b = keyed_sample(t.lineitem, "l_orderkey").withColumnRenamed("c", "c2")
+    est = a.join(b, "k").agg(
+        (F.sum(F.col("c") * F.col("c2")) * p_inv)
+        .cast("long")
+        .alias("est_join_rows"),
+        F.count(F.lit(1)).alias("sampled_matched_keys"),
+        F.max("c").alias("max_left_mult"),
+        F.max("c2").alias("max_right_mult"),
+    )
+    return est.select(
+        F.lit("orders_x_lineitem_on_orderkey").alias("join_id"),
+        "est_join_rows",
+        "sampled_matched_keys",
+        "max_left_mult",
+        "max_right_mult",
+    )
