@@ -133,3 +133,115 @@ def geo_radius_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sqrt(d2), 4).alias("dist"),
         )
     )
+
+
+#: Literal test polygons in the integer point space [0,120000)x[0,360000):
+#: a triangle, a CONCAVE pentagon (the case centroid/bbox tests get
+#: wrong), and an axis-aligned rectangle. Vertices counter-clockwise;
+#: closing edge included below. Single source of truth for BOTH engines.
+_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(10000, 10000), (50000, 10000), (30000, 60000)],
+    2: [
+        (60000, 100000),
+        (110000, 100000),
+        (110000, 200000),
+        (85000, 140000),
+        (60000, 200000),
+    ],
+    3: [(20000, 250000), (100000, 250000), (100000, 350000), (20000, 350000)],
+}
+
+
+def _polygon_edges() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for pid, verts in _POLYGONS.items():
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+
+def _edges_values_sql() -> str:
+    return ", ".join(
+        f"({p}, {x1}, {y1}, {x2}, {y2})" for p, x1, y1, x2, y2 in _polygon_edges()
+    )
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES {_edges_values_sql()}),
+    pts AS (
+      SELECT c_custkey,
+             (c_custkey * 9973) % 120000 AS px,
+             (c_custkey * 7919) % 360000 AS py
+      FROM customer
+    ),
+    hits AS (
+      SELECT p.c_custkey, e.poly_id,
+             CASE WHEN ((e.y1 <= p.py AND e.y2 > p.py)
+                     OR (e.y2 <= p.py AND e.y1 > p.py))
+                  AND (CASE WHEN e.y2 > e.y1
+                       THEN (p.px - e.x1) * (e.y2 - e.y1)
+                            - (p.py - e.y1) * (e.x2 - e.x1) < 0
+                       ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                            - (p.py - e.y1) * (e.x2 - e.x1) > 0 END)
+             THEN 1 ELSE 0 END AS crossed
+      FROM pts p CROSS JOIN edges e
+    )
+    SELECT poly_id, CAST(count(*) AS BIGINT) AS n_inside
+    FROM (
+      SELECT c_custkey, poly_id
+      FROM hits GROUP BY c_custkey, poly_id
+      HAVING sum(crossed) % 2 = 1
+    )
+    GROUP BY poly_id
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment by ray casting, ALL-INTEGER: count
+    customers (deterministic key-derived integer coordinates) inside
+    each of three literal polygons — including a concave one, the case
+    bounding-box/centroid shortcuts silently get wrong. A +x ray from
+    the point crosses edge (x1,y1)→(x2,y2) iff the edge straddles py on
+    a half-open interval (vertex-hit safe) and the point sits left of
+    the edge line — decided by the sign of the 64-bit integer cross
+    product (px−x1)(y2−y1) − (py−y1)(x2−x1), never a float division, so
+    boundary parity cannot split across engines (coords < 3.6e5 keep
+    products < 1.3e11, exact in BIGINT).
+
+    Plan: points × 14 literal edges is a broadcast nested-loop over a
+    constant dim (whitelisted, like vec_cosine_topk's probe pass), then
+    a (point, polygon) parity aggregate and a per-polygon count — one
+    fact-side shuffle. At 100 TB with real polygon sets, the same query
+    gates on a grid-cell equi-join first (geo_radius_join_bucketed's
+    3×3 pattern generalizes to polygon bbox cells) and ray-casts only
+    in-cell candidates; the parity kernel is unchanged."""
+    t = load_tables(spark, sf_dir)
+    edges = spark.createDataFrame(
+        _polygon_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    pts = t.customer.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973) % 120000).alias("px"),
+        ((F.col("c_custkey") * 7919) % 360000).alias("py"),
+    )
+    e = F.broadcast(edges)
+    straddles = (
+        (F.col("y1") <= F.col("py")) & (F.col("y2") > F.col("py"))
+    ) | ((F.col("y2") <= F.col("py")) & (F.col("y1") > F.col("py")))
+    cross = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1")) - (
+        F.col("py") - F.col("y1")
+    ) * (F.col("x2") - F.col("x1"))
+    left_of = F.when(F.col("y2") > F.col("y1"), cross < 0).otherwise(
+        cross > 0
+    )
+    crossed = F.when(straddles & left_of, F.lit(1)).otherwise(F.lit(0))
+    return (
+        pts.crossJoin(e)
+        .select("c_custkey", "poly_id", crossed.alias("crossed"))
+        .groupBy("c_custkey", "poly_id")
+        .agg(F.sum("crossed").alias("nc"))
+        .filter(F.col("nc") % 2 == 1)
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+    )

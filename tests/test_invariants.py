@@ -574,3 +574,49 @@ def test_time_travel_as_of_reads_are_snapshot_consistent(spark):
     # fingerprints differ across versions (content actually changed)
     fps = {r["fingerprint"] for r in rows}
     assert len(fps) == 3
+
+
+def test_point_in_polygon_planted_truth(spark):
+    """Ray-casting parity against hand-checked points on the CONCAVE
+    pentagon (poly 2): a point in the notch between the two prongs is
+    OUTSIDE even though it is inside the bounding box and on the hull."""
+    from pyspark.sql import functions as F
+
+    from pyetl_spark.queries.geo import _polygon_edges
+
+    cases = [
+        # (px, py, poly_id, inside?)
+        (30000, 20000, 1, True),    # triangle interior
+        (10001, 59000, 1, False),   # outside triangle, inside its bbox
+        (70000, 110000, 2, True),   # left prong interior
+        (85000, 190000, 2, False),  # the concave notch: bbox yes, poly no
+        (85000, 120000, 2, True),   # below the notch, inside
+        (50000, 300000, 3, True),   # rectangle interior
+        (19999, 300000, 3, False),  # just left of the rectangle
+    ]
+    pts = spark.createDataFrame(
+        [(i, x, y) for i, (x, y, _, _) in enumerate(cases)],
+        "pid int, px long, py long",
+    )
+    edges = spark.createDataFrame(
+        _polygon_edges(), "poly_id int, x1 long, y1 long, x2 long, y2 long"
+    )
+    straddles = (
+        (F.col("y1") <= F.col("py")) & (F.col("y2") > F.col("py"))
+    ) | ((F.col("y2") <= F.col("py")) & (F.col("y1") > F.col("py")))
+    cross = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1")) - (
+        F.col("py") - F.col("y1")
+    ) * (F.col("x2") - F.col("x1"))
+    left_of = F.when(F.col("y2") > F.col("y1"), cross < 0).otherwise(
+        cross > 0
+    )
+    crossed = F.when(straddles & left_of, 1).otherwise(0)
+    got = {
+        (r["pid"], r["poly_id"]): r["inside"]
+        for r in pts.crossJoin(F.broadcast(edges))
+        .groupBy("pid", "poly_id")
+        .agg((F.sum(crossed) % 2 == 1).alias("inside"))
+        .collect()
+    }
+    for i, (_, _, poly, want) in enumerate(cases):
+        assert got[(i, poly)] == want, (i, poly, want)

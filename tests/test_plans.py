@@ -353,6 +353,9 @@ _NESTED_LOOP_OK = {
     "agg_kmv_overlap",     # 5x5 sketch-row pair crossJoin (one row per
                            # event_type sketch) — set ops on k-bounded
                            # arrays, fact table scanned once upstream
+    "geo_point_in_polygon",  # points x 14-literal-edge broadcast dim —
+                           # the intended ray-casting probe pass; real
+                           # polygon sets gate on bbox grid cells first
 }
 
 registry.load_all()
