@@ -368,3 +368,73 @@ def stream_scd2_enrich(
         & (events[ts_col] < scd2_dim["valid_to"])
     )
     return events.join(scd2_dim, cond, "left").drop(scd2_dim[on])
+
+
+def windowed_topk_trending(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Hourly per-user event counts with watermark — the aggregation
+    stage of the streaming top-k ("trending") pattern. Append output
+    mode emits a window's rows exactly once, all together, when the
+    watermark passes its end — which is the property the ranking stage
+    below depends on."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def run_topk_trending(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming top-k per window: sealed hourly windows are ranked in
+    foreachBatch and the top-k users land in parquet. Rank-over-stream
+    is not expressible as a streaming window function (ranks are not
+    incrementally mergeable under late data); the correct decomposition
+    is (1) a watermarked windowed aggregate in APPEND mode — so each
+    window arrives in the ranking stage exactly once, complete — and
+    (2) a per-batch row_number ranking of exactly those sealed windows.
+    Replays after failure re-rank the same sealed rows and overwrite the
+    same ``batch_id`` partitions (idempotent, same discipline as
+    foreach_batch_multi_sink). At 100 TB the per-batch rank partitions
+    by window — hundreds of rows per window after aggregation, never
+    fact-sized."""
+    from pyspark.sql import Window as W
+
+    agg = windowed_topk_trending(
+        read_events_stream(spark, src_path, max_files_per_trigger)
+    )
+
+    def rank_and_write(batch_df: DataFrame, batch_id: int) -> None:
+        wnd = W.partitionBy("w").orderBy(
+            F.desc("n_events"), F.asc("user_id")
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("w.start").alias("window_start"),
+                "user_id",
+                "n_events",
+                "rank",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    return (
+        agg.writeStream.foreachBatch(rank_and_write)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -540,3 +540,49 @@ def test_stream_scd2_point_in_time_enrich(spark, scratch):
     for i in range(6):
         want = "trial" if i < 3 else None
         assert rows[100 + i]["tier"] == want, (i, rows[100 + i]["tier"])
+
+
+def test_streaming_topk_trending_matches_batch(spark, scratch):
+    """Sealed-window streaming top-3 users == batch row_number truth.
+    Hour 9 gets a skewed user distribution; hour 11's late data seals
+    hour 9 before the final no-op drain."""
+    from pyetl_spark.streaming.pipeline import run_topk_trending
+
+    src = os.path.join(scratch, "topk_src")
+    out = os.path.join(scratch, "topk_out")
+    # hour 9: user i%7 weighted so users 0,1,2 dominate; hour 11 seals it
+    rows = [_row(i, h=9, m=i % 50, user=(i * i) % 7) for i in range(60)]
+    rows += [_row(100 + i, h=11, m=i % 50, user=i % 5) for i in range(20)]
+    _write_batch(src, "b1.json", rows)
+    q = run_topk_trending(
+        spark, src, out, os.path.join(scratch, "topk_ck"), k=3
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).filter(
+        F.hour("window_start") == 9
+    )
+    batch = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(r) for r in rows])
+    ).withColumn("ts", F.to_timestamp("ts"))
+    from pyspark.sql import Window as W
+
+    truth = (
+        batch.filter(F.hour("ts") == 9)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("n_events"), F.asc("user_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    want = {
+        (r["user_id"], r["n_events"], r["rank"]) for r in truth.collect()
+    }
+    have = {
+        (r["user_id"], r["n_events"], r["rank"]) for r in got.collect()
+    }
+    assert have == want and len(have) == 3
