@@ -2744,3 +2744,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part"), F.col("lbl").alias("community")
     )
+
+
+@query(
+    "graph_shortest_path_bounded",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT u, v, 100 // n AS w FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v, 100 // n AS w FROM pairs
+    ),
+    d0 AS (SELECT DISTINCT u AS node, 0 AS d FROM edges WHERE u % 1000 = 0),
+    r1 AS (SELECT e.v AS node, min(s.d + e.w) AS d
+           FROM edges e JOIN d0 s ON e.u = s.node GROUP BY e.v),
+    d1 AS (SELECT node, min(d) AS d
+           FROM (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+    r2 AS (SELECT e.v AS node, min(s.d + e.w) AS d
+           FROM edges e JOIN d1 s ON e.u = s.node GROUP BY e.v),
+    d2 AS (SELECT node, min(d) AS d
+           FROM (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+    r3 AS (SELECT e.v AS node, min(s.d + e.w) AS d
+           FROM edges e JOIN d2 s ON e.u = s.node GROUP BY e.v),
+    d3 AS (SELECT node, min(d) AS d
+           FROM (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
+    SELECT node, CAST(d AS BIGINT) AS dist
+    FROM d3
+    """,
+)
+def graph_shortest_path_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded to 3 hops: min-plus
+    Bellman-Ford relaxation on the co-purchase graph (same edge
+    derivation as graph_label_propagation; edge cost 100//n so stronger
+    co-purchase ties are cheaper). Sources are the round-number parts
+    (partkey % 1000 == 0); output is every node reachable in ≤3 hops
+    with its exact cheapest cost — the "distance to nearest anchor
+    product" recommendation feature.
+
+    Each relaxation round is join(dist, edges on u) → union → min per
+    node: two shuffles on node id, linear in |E|, distances pinned per
+    round (eager localCheckpoint — same lineage discipline as label
+    propagation; Shape 19). Integer costs make min-plus exactly
+    associative, so the 3-round unroll hash-matches the oracle's CTE
+    chain regardless of partitioning. Unbounded-diameter SSSP at scale
+    keeps the same round kernel under a driver convergence loop
+    (stop when no distance improves — pagerank.py's loop shape)."""
+    li = load_tables(spark, sf_dir).lineitem
+    x = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    y = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    pairs = (
+        x.join(y, (x.l_orderkey == y.o2) & (x.u < y.v))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v", (F.lit(100) / F.col("n")).cast("long").alias("w"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    ).localCheckpoint(eager=True)
+    dist = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 1000 == 0)
+        .withColumn("d", F.lit(0).cast("long"))
+    )
+    for _ in range(3):
+        relaxed = (
+            edges.join(dist, edges["u"] == dist["node"])
+            .select(
+                edges["v"].alias("node"),
+                (dist["d"] + edges["w"]).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("d").alias("dist"))
