@@ -592,3 +592,86 @@ def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@query("vec_matryoshka_eval")  # Tier B: evaluation metric over rankings
+def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation (Kusupati et al. 2022):
+    how much recall@10 survives when cosine ranking uses only the first
+    d of 64 embedding dimensions (d = 8/16/32/64)? The practical
+    question behind MRL-style embeddings — a 8× shorter prefix cuts ANN
+    memory and bandwidth 8×, IF the ranking holds up.
+
+    One broadcast-probe corpus pass computes all four prefix dot
+    products simultaneously (slice + the same fold kernel as
+    vec_cosine_topk — the corpus is NOT rescanned per dimension), then
+    per-(probe, d) top-10 sets are compared against the full-dimension
+    truth set. Output: one row per d with mean recall@10; d=64 is 1.0
+    by construction (self-check). Deterministic: identical fold order +
+    vec_id tiebreak. At 100 TB the same evaluation runs on a hash
+    sample of probes; the corpus side is the existing IVF/LSH bucketed
+    pass, unchanged. Monotonicity and self-check gates in
+    tests/test_matryoshka.py."""
+    dims = [8, 16, 32, 64]
+    k = 10
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select("vec_id", _to_double(F.col("embedding")).alias("e"))
+    probes = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    cands = v.select(
+        F.col("vec_id").alias("cand_id"), F.col("e").alias("ce")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("cand_id") != F.col("probe_id"))
+    )
+    sims = pairs.select(
+        "probe_id",
+        "cand_id",
+        *[
+            (
+                _dot(
+                    F.slice(F.col("pe"), 1, d), F.slice(F.col("ce"), 1, d)
+                )
+                / F.sqrt(_norm_sq(F.slice(F.col("pe"), 1, d)))
+                / F.sqrt(_norm_sq(F.slice(F.col("ce"), 1, d)))
+            ).alias(f"sim_{d}")
+            for d in dims
+        ],
+    ).localCheckpoint(eager=True)
+    topk = None
+    for d in dims:
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col(f"sim_{d}").desc(), F.col("cand_id")
+        )
+        t = (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(d).alias("dim"), "probe_id", "cand_id"
+            )
+        )
+        topk = t if topk is None else topk.unionAll(t)
+    truth = topk.filter(F.col("dim") == 64).select(
+        F.col("probe_id").alias("tp"), F.col("cand_id").alias("tc")
+    )
+    hits = topk.join(
+        truth,
+        (F.col("probe_id") == F.col("tp"))
+        & (F.col("cand_id") == F.col("tc")),
+        "left_semi",
+    )
+    n_probes = probes.count()
+    return (
+        hits.groupBy("dim")
+        .agg(
+            rnd(
+                F.count(F.lit(1)).cast("double")
+                / F.lit(float(k * n_probes)),
+                4,
+            ).alias("mean_recall_at_10")
+        )
+        .orderBy("dim")
+    )
