@@ -45,7 +45,7 @@ ORACLE: dict[str, str] = {}
 #:       extras.py, joins tail, text head.
 #:   r4 (this): list below. Pre-gated by the canon sweep at sf0.01 + the
 #:       window at sf0.1 before the driver runs.
-#:   r5: the remaining ~59 never-verified oracle keys (r3-session
+#:   r5: the remaining never-verified oracle keys (r3-session
 #:       additions in registration order: source_json_corrupt_records,
 #:       etl_cdc_compact, etl_fk_integrity, etl_freshness_lag,
 #:       etl_k_anonymity, etl_dataset_fingerprint, etl_forget_propagation,
@@ -55,7 +55,13 @@ ORACLE: dict[str, str] = {}
 #:       join_interval_overlap, etl_merge_upsert, sample_*, analytics r3
 #:       tail, llm_text r3 tail text_lm_score…text_zipf_exponent,
 #:       dedup_embedding_*, vec_knn_classify, dedup_incremental_bloom,
-#:       win_udaf_pandas, plus any r4-session additions), truncated to 50.
+#:       win_udaf_pandas, plus the r4-session additions — first session:
+#:       statistical/reconciliation/timeseries/two-phase families; second
+#:       session: the TPC-H completion trio (agg_forecast_revenue,
+#:       join_product_type_profit, agg_important_stock),
+#:       graph_label_propagation, graph_shortest_path_bounded,
+#:       etl_incremental_join_view, hierarchy_recursive_cte_native,
+#:       fn_pipe_syntax, geo_point_in_polygon — truncated to 50.
 #:   r6: never-verified oracle remainder, then the 36 never-verified
 #:       rows-only keys (ANN surface, multimodal, sink extras,
 #:       sketches/semdedup/mmr/bpe/layout) — at that point a rows-only
