@@ -56,7 +56,7 @@ def test_sketch_is_exact_bottom_k(spark):
 def test_sketch_exact_bottom_k_moderate_cardinality(spark):
     """The empty-bucket guard branch: D between k and ~4k ln k, where a
     naive max-of-minima threshold could undercut the true k-th minimum."""
-    for d in (300, 700, 2_000):
+    for d in (255, 256, 257, 300, 700, 2_000):
         df = _planted(spark, 0, d, "a")
         got = _sketch_map(spark, df)["a"]
         brute = [
