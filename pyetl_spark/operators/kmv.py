@@ -90,8 +90,11 @@ def kmv_sketch(
         )
     )
     # Pass 2: survivors (h <= tau) are ~k*e rows/group; exact bottom-k.
+    # tau is group-cardinality-sized — broadcast it so the filter is
+    # map-side and the full hashed fact never shuffles on the group key
+    # (which would resurrect group skew the bucketed pass-1 avoided).
     return (
-        hashed.join(tau, on=group_cols)
+        hashed.join(F.broadcast(tau), on=group_cols)
         .filter(F.col("_h") <= F.col("_tau"))
         .groupBy(*group_cols)
         .agg(
