@@ -781,7 +781,13 @@ def agg_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per.crossJoin(F.broadcast(tot))
-        .filter(F.col("part_c") * F.col("nparts") > 2 * F.col("total_c"))
+        # decimal(38,0) product: at 100 TB part_c×nparts can exceed
+        # int64 (DuckDB auto-promotes to HUGEINT; Spark ANSI would
+        # throw) — decimal128 keeps the compare exact at any scale
+        .filter(
+            F.col("part_c").cast("decimal(38,0)") * F.col("nparts")
+            > F.lit(2) * F.col("total_c").cast("decimal(38,0)")
+        )
         .select(
             "l_partkey",
             rnd(F.col("part_c").cast("double") / F.lit(10000.0), 2).alias(
