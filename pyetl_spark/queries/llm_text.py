@@ -2913,3 +2913,61 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_pct"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 600
+    )
+    SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, a.lang,
+           CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS n_shared,
+           CAST(len(a.t) AS BIGINT) AS n_contained_toks
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(b.t) > len(a.t)
+      AND len(list_intersect(a.t, b.t)) * 10 >= 9 * len(a.t)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup — the ASYMMETRIC near-dup primitive
+    |A∩B|/|A| ≥ 0.9 with |B| > |A|: doc A is (near-)swallowed by a
+    strictly larger doc B. Symmetric Jaccard misses exactly this case
+    (a paragraph quoted inside a long page scores low Jaccard but 1.0
+    containment), and corpus pipelines drop the CONTAINED side, not an
+    arbitrary pair member — which is why the direction is part of the
+    output contract (Broder'97's containment coefficient; the
+    Lee-et-al substring-span family is the positional sibling,
+    dedup_exact_substring_spans).
+
+    Determinism: the threshold is the pure-integer compare
+    ``10·|A∩B| ≥ 9·|A|`` — no float division anywhere. Blocked on lang
+    + id-bounded like graph_triangles (quadratic-within-block oracle
+    twin by design); the 100 TB route reuses the MinHash bands with the
+    containment estimator r/(r + k_A·(1-r)) on signature agreement
+    rates, or the Bloom seen-set for exact small-in-big probes."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.filter(F.col("doc_id") < 600).select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    n_a = F.size(F.col("a.t"))
+    n_b = F.size(F.col("b.t"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter((n_b > n_a) & (inter * 10 >= 9 * n_a))
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            F.col("a.lang").alias("lang"),
+            inter.cast("long").alias("n_shared"),
+            n_a.cast("long").alias("n_contained_toks"),
+        )
+    )
