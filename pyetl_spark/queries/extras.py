@@ -382,3 +382,59 @@ def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, o_year, n_orders, revenue_cents
         """
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(sign(l_extendedprice * (1.0 - l_discount))
+                    * floor(abs(l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS disc_fx,
+           CAST(sum(CAST(sign(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))
+                    * floor(abs(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS charge_fx
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN
+    expr`) — the reference's reusable-expression surface without ever
+    leaving the JVM. Two functions are defined, one CALLING the other
+    (pyetl_charge → pyetl_disc_price), and used inside an aggregate.
+
+    Why this matters at 100 TB: unlike a Python UDF (per-row serialization)
+    or even a Pandas UDF (Arrow batch hop), a SQL UDF is INLINED by the
+    analyzer — the physical plan contains only the expanded arithmetic
+    expression inside WholeStageCodegen, with constant folding applied
+    through the function body (verified: `disc_price(p, 0.1)` folds to
+    `p * 0.9` in the plan). Zero call overhead, full codegen, and the
+    optimizer sees through the abstraction for pushdown. The oracle inlines
+    the same arithmetic by hand; money sums go through the repo's
+    fixed-point convention (4dp grid for price×(1-disc), 6dp with tax)."""
+    t = load_tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("pyetl_udf_li")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pyetl_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pyetl_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN pyetl_disc_price(p, d) * (1.0 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(sign(pyetl_disc_price(l_extendedprice, l_discount))
+                        * floor(abs(pyetl_disc_price(l_extendedprice, l_discount)) * 10000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS disc_fx,
+               CAST(sum(CAST(sign(pyetl_charge(l_extendedprice, l_discount, l_tax))
+                        * floor(abs(pyetl_charge(l_extendedprice, l_discount, l_tax)) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS charge_fx
+        FROM pyetl_udf_li
+        GROUP BY l_returnflag
+        """
+    )

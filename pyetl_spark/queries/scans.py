@@ -202,3 +202,189 @@ def source_csv_roundtrip_typed(
         .csv(path)
         .select(cols)
     )
+
+
+@query(
+    "source_json_variant",
+    oracle="""
+    WITH fed AS (
+      SELECT '{"meta":{"type":"' || event_type || '","uid":'
+             || CAST(user_id AS VARCHAR) || '},"ids":['
+             || CAST(event_id AS VARCHAR) || ','
+             || CAST(event_id % 97 AS VARCHAR) || ']}' AS payload
+      FROM events
+    ), ext AS (
+      SELECT json_extract_string(payload, '$.meta.type') AS vtype,
+             CAST(json_extract(payload, '$.meta.uid') AS BIGINT) AS uid,
+             CAST(json_extract(payload, '$.ids[1]') AS BIGINT) AS id_mod,
+             CAST(json_extract(payload, '$.meta.absent') AS INT) AS absent
+      FROM fed
+    )
+    SELECT vtype,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(uid) AS BIGINT) AS sum_uid,
+           CAST(sum(id_mod) AS BIGINT) AS sum_mod,
+           CAST(count(absent) AS BIGINT) AS n_absent
+    FROM ext
+    WHERE id_mod < 50
+    GROUP BY vtype
+    """,
+)
+def source_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VARIANT type — the modern
+    schema-on-read path for the reference's "parse JSON records" step when
+    payloads are too heterogeneous for a fixed `from_json` struct.
+
+    A nested payload is synthesized deterministically from event columns
+    (both engines build byte-identical strings, so the oracle is exact),
+    then: `parse_json` → binary VARIANT once per record, `variant_get`
+    typed path extraction (`$.meta.uid`, array index `$.ids[1]`), and
+    `try_variant_get` on an absent path proving null-on-missing instead of
+    error (n_absent = 0 pins it). The oracle spells the same extraction
+    with DuckDB's json_extract.
+
+    Scale: VARIANT encodes to a compact binary (field-id dictionary +
+    offsets), so repeated path access costs O(path) per record with no
+    re-tokenization, and extraction is a pure map-side JVM expression in
+    whole-stage codegen — no Python, no shuffle until the final partial/
+    final aggregate. On parquet, VARIANT columns additionally support
+    shredding (typed subcolumns) so hot paths get columnar pruning; here
+    the source is in-flight JSON, the ingest-side half of that story."""
+    ev = load_tables(spark, sf_dir).events
+    payload = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","uid":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"ids":['),
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit("]}"),
+    )
+    v = ev.select(F.parse_json(payload).alias("v"))
+    ext = v.select(
+        F.variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.variant_get("v", "$.meta.uid", "bigint").alias("uid"),
+        F.variant_get("v", "$.ids[1]", "bigint").alias("id_mod"),
+        F.try_variant_get("v", "$.meta.absent", "int").alias("absent"),
+    )
+    return (
+        ext.filter(F.col("id_mod") < 50)
+        .groupBy("vtype")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("uid").alias("sum_uid"),
+            F.sum("id_mod").alias("sum_mod"),
+            F.count("absent").alias("n_absent"),
+        )
+    )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    WITH gen AS (
+      SELECT CAST(range AS BIGINT) AS id,
+             CAST(range AS BIGINT) % 13 AS bucket,
+             (CAST(range AS BIGINT) * 2654435761) % 1000 AS val
+      FROM range(20000)
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM gen
+    GROUP BY bucket
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python Data Source API — the
+    reference's "plug a new feed into the engine" extension point done the
+    idiomatic PySpark way: a pure-Python DataSource class registered on the
+    session and consumed through the ordinary `spark.read.format(...)`
+    path (pyetl_spark/operators/pydatasource.py).
+
+    The source plans 8 InputPartitions (8 independent read tasks — the
+    same fan-out contract parquet splits satisfy, so a real cluster
+    parallelizes it for free) and each task generates a deterministic,
+    non-overlapping id slab; min/max per bucket additionally pin that no
+    slab was dropped or doubled. The oracle regenerates the identical rows
+    from DuckDB's range() — exact 64-bit integer arithmetic on both sides.
+
+    Synthetic by construction, so sf-independent (like `source_range`);
+    the API surface under test is partition planning + per-task iteration,
+    not data volume."""
+    from pyetl_spark.operators.pydatasource import (
+        SyntheticEventsSource,
+        ship_by_value,
+    )
+
+    ship_by_value()  # workers may not have the repo on PYTHONPATH
+    try:
+        spark.dataSource.register(SyntheticEventsSource)
+    except Exception:
+        pass  # already registered in this session — registration is global
+    gen = (
+        spark.read.format("pyetl_synth_events")
+        .option("rows", 20000)
+        .option("parts", 8)
+        .load()
+    )
+    return gen.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+@query(
+    "source_xml_parse",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS BIGINT) AS n_urgent
+    FROM orders
+    GROUP BY status, o_year
+    """,
+)
+def source_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's native `from_xml` (spark-xml merged into
+    core) — the markup twin of `source_json_parse`. Records are encoded to
+    XML deterministically from orders columns (attribute + child elements,
+    integers only so encoding is byte-stable), then parsed back with a
+    typed schema: `_k` exercises attribute extraction, `p`/`y` element
+    extraction. The oracle computes the same aggregate straight from the
+    base columns, so any decode loss (dropped attr, type demotion,
+    entity-escape bug in the priority string) breaks the hash.
+
+    Scale: encode and parse are both map-side JVM expressions in
+    whole-stage codegen — the same no-shuffle, no-Python contract as the
+    JSON path; one partial/final aggregate ends the plan."""
+    o = load_tables(spark, sf_dir).orders
+    xml = F.concat(
+        F.lit('<o k="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><s>'),
+        F.col("o_orderstatus"),
+        F.lit("</s><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p><y>"),
+        F.year("o_orderdate").cast("string"),
+        F.lit("</y></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "_k BIGINT, s STRING, p STRING, y BIGINT").alias("x")
+    ).select("x.*")
+    return parsed.groupBy(
+        F.col("s").alias("status"), F.col("y").alias("o_year")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("_k").alias("key_sum"),
+        F.count(F.when(F.col("p") == "1-URGENT", 1)).alias("n_urgent"),
+    )

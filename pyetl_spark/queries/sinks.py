@@ -532,3 +532,69 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the orphan must be invisible: exactly the published versions appear
     assert versions == [1, 2, 3], versions
     return out.orderBy("version")
+
+
+@query(
+    "sink_parquet_variant",
+    oracle="""
+    WITH fed AS (
+      SELECT '{"meta":{"type":"' || event_type || '","uid":'
+             || CAST(user_id AS VARCHAR) || '},"ids":['
+             || CAST(event_id AS VARCHAR) || ','
+             || CAST(event_id % 97 AS VARCHAR) || ']}' AS payload
+      FROM events
+    ), ext AS (
+      SELECT json_extract_string(payload, '$.meta.type') AS vtype,
+             CAST(json_extract(payload, '$.meta.uid') AS BIGINT) AS uid,
+             CAST(json_extract(payload, '$.ids[1]') AS BIGINT) AS id_mod
+      FROM fed
+    )
+    SELECT vtype,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(uid) AS BIGINT) AS sum_uid,
+           CAST(sum(id_mod) AS BIGINT) AS sum_mod
+    FROM ext
+    GROUP BY vtype
+    """,
+)
+def sink_parquet_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT column persisted to parquet and read back — the storage half
+    of the semi-structured story (`source_json_variant` is the in-flight
+    half). The payload is parsed to binary VARIANT, LANDED as a parquet
+    VARIANT column (Spark 4 writes the variant logical type:
+    metadata+value twin binaries), re-read, and path-extracted — so the
+    hash-match proves the encode→store→decode loop is lossless, not just
+    the in-memory parse. Tier A via the same deterministic payload oracle.
+
+    Scale: this is the schema-on-read landing pattern for heterogeneous
+    feeds at 100 TB — land VARIANT now, extract typed views later without
+    re-ingesting; parquet shredding (typed subcolumns for hot paths) is
+    the engine-side upgrade that keeps columnar pruning. Write and
+    read-back both parallelize per partition like any parquet IO."""
+    ev = load_tables(spark, sf_dir).events
+    payload = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","uid":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"ids":['),
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit("]}"),
+    )
+    path = _scratch("parquet_variant")
+    ev.select(F.parse_json(payload).alias("v")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    ext = back.select(
+        F.variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.variant_get("v", "$.meta.uid", "bigint").alias("uid"),
+        F.variant_get("v", "$.ids[1]", "bigint").alias("id_mod"),
+    )
+    return ext.groupBy("vtype").agg(
+        F.count("*").alias("n"),
+        F.sum("uid").alias("sum_uid"),
+        F.sum("id_mod").alias("sum_mod"),
+    )
