@@ -342,6 +342,11 @@ _NESTED_LOOP_OK = {
     "events_funnel_windowed",  # 1-row stage counts crossJoined to one row
     "agg_percentile_exact_twophase",  # 1-row n scalar crossJoined onto
                            # the ranked rows for the anchor filter
+    "er_blocking_quality",  # unblocked ground-truth all-pairs on the
+                           # id-bounded (<600) evaluation slice — the
+                           # Christen-style evaluation is all-pairs BY
+                           # DEFINITION; production blocking itself is the
+                           # equi-join being graded
     "agg_psi_drift",       # 1-row smoothed-totals scalar crossJoined onto
                            # the 22-row bucket spine
     "pipeline_experiment_readout",  # four 1-row sub-results crossJoined
