@@ -348,3 +348,68 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+def _lang_profile_udtf():
+    """Table-argument UDTF: consumes a WHOLE partition group (PARTITION BY
+    lang), accumulates across eval() calls, emits one summary row from
+    terminate() — the polymorphic-invocation surface Spark 4 added on top
+    of scalar-arg UDTFs. Built lazily (DDL parse needs a session)."""
+
+    @udtf(returnType="lang string, n_docs bigint, n_tokens bigint")
+    class LangProfile:
+        def __init__(self) -> None:
+            self._lang = None
+            self._docs = 0
+            self._toks = 0
+
+        def eval(self, row) -> None:  # noqa: ANN001
+            if self._lang is not None and row["lang"] != self._lang:
+                # PARTITION BY contract: one group per instance — fail loud
+                raise ValueError(
+                    f"mixed groups in one instance: {self._lang} vs {row['lang']}"
+                )
+            self._lang = row["lang"]
+            self._docs += 1
+            self._toks += len(row["text"].split(" "))
+
+        def terminate(self):
+            if self._lang is not None:
+                yield self._lang, self._docs, self._toks
+
+    return LangProfile
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE doc_id < 2000
+    GROUP BY lang
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument (Spark 4 polymorphic table functions):
+    `SELECT * FROM f(TABLE(t) PARTITION BY lang)` streams each lang's rows
+    through one UDTF instance — eval() per row, terminate() emits the
+    group summary. This is the SQL-surfaced sibling of applyInPandas:
+    user-defined per-GROUP logic invoked from a query, with Spark doing
+    the partition-by shuffle. The oracle is the plain GROUP BY twin.
+
+    Scale posture: same contract as any Python boundary — per-row pickle
+    makes this the declared slow-path proof (like udf_scalar_python), so
+    the input is id-bounded; the production-scale spelling of this exact
+    computation is the JVM aggregate the oracle shows, or applyInPandas
+    when the per-group logic genuinely needs Python. PARTITION BY
+    parallelism is per-group, so a skewed group serializes — salt first
+    (operators/minhash.py's sub-bucket pattern) if groups are huge."""
+    load_tables(spark, sf_dir).documents.filter(
+        F.col("doc_id") < 2000
+    ).createOrReplaceTempView("pyetl_udtf_docs")
+    spark.udtf.register("pyetl_lang_profile", _lang_profile_udtf())
+    return spark.sql(
+        "SELECT * FROM pyetl_lang_profile(TABLE(pyetl_udtf_docs) PARTITION BY lang)"
+    )

@@ -1,6 +1,9 @@
 """Engine-side Spark 4 VARIANT tests (SURVEY.md §1.2: VARIANT is the
-engine-side home for dynamic JSON; oracle queries stick to string+from_json
-for DuckDB parity, so VARIANT coverage lives here)."""
+engine-side home for dynamic JSON). Oracle-checked VARIANT coverage now
+ALSO exists — `source_json_variant` / `sink_parquet_variant` hash-match
+DuckDB by synthesizing deterministic payloads on both engines; these tests
+keep the semantics that oracles can't express (heterogeneous shapes,
+variant dtype surfacing)."""
 
 from __future__ import annotations
 
