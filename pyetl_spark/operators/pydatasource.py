@@ -14,17 +14,23 @@ parquet splits satisfy). The generator below is deterministic per (row id),
 so the output is engine-checkable: the DuckDB oracle reproduces it from
 `range()` exactly. No randomness, no wall clock.
 
-This is the *batch* half of the API; a `SimpleDataSourceStreamReader` twin
-would serve the streaming path (offset bookkeeping replaces the static
-partition plan) — not registered here because the batch contract is the
-oracle-checkable one.
+Both halves of the API live here: `SyntheticEventsSource` (batch,
+oracle-checkable → Tier A key `source_python_datasource`) and
+`CounterStreamSource` (streaming — offset bookkeeping replaces the static
+partition plan; exactly-once resume is pinned by the Tier C test in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth's multiplicative-hash constant — a cheap deterministic scrambler
 #: both engines can evaluate exactly in 64-bit integer arithmetic.
@@ -80,3 +86,46 @@ class SyntheticEventsSource(DataSource):
             rows=int(self.options.get("rows", 10000)),
             parts=int(self.options.get("parts", 8)),
         )
+
+
+class CounterStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch generator: each batch is the next `step`
+    ids. Offsets are plain dicts persisted in the checkpoint's offset log,
+    so a restarted query resumes exactly where it stopped, and
+    `readBetweenOffsets` replays any committed range bit-identically —
+    the two halves of the exactly-once contract a custom streaming source
+    must honor (Kafka's offset semantics, minus the broker)."""
+
+    def __init__(self, step: int) -> None:
+        self._step = step
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):  # noqa: ANN201 — (iterator, next_offset)
+        lo = int(start["n"])
+        hi = lo + self._step
+        return (self._rows(lo, hi), {"n": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN201
+        return self._rows(int(start["n"]), int(end["n"]))
+
+    @staticmethod
+    def _rows(lo: int, hi: int):  # noqa: ANN205
+        return iter([(i, i % 13, (i * _MIX) % 1000) for i in range(lo, hi)])
+
+
+class CounterStreamSource(DataSource):
+    """`spark.readStream.format("pyetl_counter_stream").option("step", n)`
+    — the streaming twin of SyntheticEventsSource (same row formula, so
+    batch and stream outputs are directly comparable)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyetl_counter_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, bucket BIGINT, val BIGINT"
+
+    def simpleStreamReader(self, schema) -> CounterStreamReader:  # noqa: ANN001
+        return CounterStreamReader(step=int(self.options.get("step", 100)))

@@ -9,6 +9,7 @@ session windows, custom per-key state, and foreachBatch multi-sink.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -646,3 +647,50 @@ def test_state_store_reader_inspects_checkpoint_offline(spark, scratch):
     # partition_id pushdown: reading one partition returns a subset
     one = state_rows(spark, ckpt).filter(F.col("partition_id") == 0)
     assert one.count() <= 3
+
+
+def test_python_streaming_datasource_resumes_from_checkpoint(spark, scratch):
+    """Custom streaming source via the Python Data Source API
+    (SimpleDataSourceStreamReader, operators/pydatasource.py): two
+    availableNow runs on ONE checkpoint must produce consecutive,
+    non-overlapping id ranges — the offset log drives exactly-once resume
+    for a source we wrote ourselves."""
+    from pyetl_spark.operators.pydatasource import (
+        CounterStreamSource,
+        ship_by_value,
+    )
+
+    ship_by_value()
+    with contextlib.suppress(Exception):
+        spark.dataSource.register(CounterStreamSource)
+    ckpt = os.path.join(scratch, "ckpt_pyds")
+    out = os.path.join(scratch, "out_pyds")
+
+    def drain():
+        q = (
+            spark.readStream.format("pyetl_counter_stream")
+            .option("step", 7)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert first == list(range(0, 7))
+
+    drain()  # resumes at offset 7 — no replays, no gaps
+    both = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert both == list(range(0, 14))
+
+    # the deterministic formula matches the batch twin's contract
+    rows = {
+        (r["id"], r["bucket"], r["val"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert all(b == i % 13 and v == (i * 2654435761) % 1000 for i, b, v in rows)
