@@ -85,6 +85,12 @@ HEADLINE = [
     "join_product_type_profit",
     "graph_label_propagation",
     "etl_incremental_join_view",
+    # r4 session 3: the modern semi-structured surface — VARIANT parse +
+    # typed path extraction (the schema-on-read ingest probe) and the
+    # analyzer-inlined SQL-UDF aggregate (regression here would mean the
+    # inlining broke and a call boundary appeared)
+    "source_json_variant",
+    "fn_sql_udf",
 ]
 
 
