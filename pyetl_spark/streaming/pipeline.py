@@ -286,6 +286,34 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def stream_stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    interval_minutes: int = 30,
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the unmatched-left rows
+    question ("which errors had NO preceding purchase?") answered in a
+    stream.
+
+    Outer semantics in a stream are watermark-deferred by necessity: a
+    left row can only be emitted null-padded once the watermark proves no
+    matching right row can still arrive (right.ts bound + watermark), so
+    unmatched outputs trail matched ones by up to watermark+interval —
+    the correctness/latency trade every streaming outer join makes. Same
+    state-GC contract as the inner form: the time bound lets both
+    buffers evict."""
+    lw = left.withWatermark("l_ts", watermark)
+    rw = right.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(
+            f"INTERVAL {interval_minutes} MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return lw.join(rw, cond, "leftOuter")
+
+
 def stateful_anomaly_counter_tws(events: DataFrame) -> DataFrame:
     """Spark 4 state-API twin of :func:`stateful_anomaly_counter`
     (`transformWithStateInPandas`): same per-user running error counter,

@@ -694,3 +694,52 @@ def test_python_streaming_datasource_resumes_from_checkpoint(spark, scratch):
         for r in spark.read.parquet(out).collect()
     }
     assert all(b == i % 13 and v == (i * 2654435761) % 1000 for i, b, v in rows)
+
+
+def test_stream_stream_interval_join_left_outer(spark, scratch):
+    """LEFT OUTER stream-stream join: matched errors pair with their
+    purchase; errors with no purchase in the interval surface null-padded
+    — but only after the watermark proves no match can still arrive."""
+    from pyetl_spark.streaming.pipeline import (
+        stream_stream_interval_join_outer,
+    )
+
+    src = os.path.join(scratch, "src")
+    # outer rows only emit when a LATER micro-batch advances the
+    # watermark past their match bound — so the data must arrive over
+    # several batches (maxFilesPerTrigger=1, one file per batch)
+    _write_batch(src, "b1.json", [
+        _row(1, h=9, m=0, user=1, etype="purchase"),
+        _row(2, h=9, m=20, user=1, etype="error"),   # matched (20 min gap)
+        _row(3, h=10, m=30, user=1, etype="error"),  # no purchase in window
+        _row(5, h=11, m=40, user=2, etype="error"),  # user has none at all
+    ])
+    # pushers must SURVIVE the per-side filters: the global watermark is
+    # min over both inputs, so advance each side with its own type (the
+    # view-type pusher of the inner-join test never reaches either input)
+    _write_batch(src, "b2.json", [_row(9, h=23, m=0, user=30, etype="purchase")])
+    _write_batch(src, "b3.json", [_row(10, h=23, m=0, user=31, etype="error")])
+    # one more batch so the post-b3 watermark (22:50) gets an eviction pass
+    _write_batch(src, "b4.json", [_row(11, h=23, m=50, user=3, etype="view")])
+
+    base = read_events_stream(spark, src, max_files_per_trigger=1)
+    errors = base.filter("event_type = 'error'").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = base.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    out = _run_available_now(
+        stream_stream_interval_join_outer(errors, purchases),
+        os.path.join(scratch, "ck_ssoj"),
+        "ssoj_out",
+        spark,
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    # id=10 (the left-side pusher) stays buffered: nothing later advances
+    # the watermark past ITS bound — exactly the deferred-emission trade
+    assert got == {(2, 1), (3, None), (5, None)}
