@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import R, rnd
+from pyetl_spark.parity import R, fxp, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -437,4 +437,101 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pyetl_udf_li
         GROUP BY l_returnflag
         """
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
+                  ELSE upper(o_orderpriority) END AS prio_mixed,
+             o_totalprice
+      FROM orders
+    )
+    SELECT lower(prio_mixed) AS prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS cents
+    FROM mixed
+    GROUP BY prio
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated string semantics (Spark 4 collation support): a
+    case-scrambled priority column is grouped under `UTF8_LCASE`, so
+    '1-urgent' and '1-URGENT' land in ONE group with no expression-level
+    normalization in the aggregation key — the collation IS the equality.
+
+    Correctness subtlety the key pins: the representative value of a
+    collated group is whichever variant a partition saw first —
+    NONDETERMINISTIC across runs — so the output canonicalizes via
+    lower() AFTER the collated grouping; the oracle groups by lower()
+    directly, which is the same partition function by definition.
+
+    Scale: collation comparisons use ICU sort keys inside the JVM hash —
+    still a plain one-shuffle partial/final aggregate; no UDF, no second
+    pass. (Case-insensitive joins get the same property: collate the key
+    once instead of wrapping every probe in lower().)"""
+    o = load_tables(spark, sf_dir).orders
+    mixed = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.lower("o_orderpriority")
+        )
+        .otherwise(F.upper("o_orderpriority"))
+        .cast("string collate UTF8_LCASE")
+        .alias("prio_mixed"),
+        "o_totalprice",
+    )
+    return (
+        mixed.groupBy("prio_mixed")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(fxp(F.col("o_totalprice"), 100)).alias("cents"),
+        )
+        .select(
+            F.lower("prio_mixed").cast("string").alias("prio"), "n", "cents"
+        )
+    )
+
+
+@query(
+    "fn_sql_params",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 `spark.sql(query, args=...)`): values
+    bind as TYPED literals through `:name` markers and the table name
+    binds through the `IDENTIFIER(:t)` clause — the injection-safe way to
+    template queries (string-concatenated SQL is the anti-pattern this
+    API retires). The oracle is the same query with literals inlined,
+    proving parameter binding changes nothing semantically.
+
+    Scale: parameters are resolved before optimization, so constant
+    folding and parquet pushdown see the literal values — identical plan
+    to the inlined spelling (the `>=` reaches PushedFilters)."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("pyetl_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "tbl": "pyetl_param_orders",
+            "min_price": 150000.0,
+            "status": "O",
+        },
     )

@@ -388,3 +388,46 @@ def source_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_k").alias("key_sum"),
         F.count(F.when(F.col("p") == "1-URGENT", 1)).alias("n_urgent"),
     )
+
+
+@query(
+    "source_orc_roundtrip_typed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 5 = 1
+    """,
+)
+def source_orc_roundtrip_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SOURCE fidelity — the columnar sibling of
+    `source_csv_roundtrip_typed`: write an orders slice to ORC, read it
+    back, hash-match the identity oracle. Unlike CSV, ORC carries the
+    schema in the file (types survive natively — no format options to
+    pin), so the roundtrip proves the second columnar format's
+    encode/decode loop end-to-end. TIMESTAMP_NTZ round-trips as its own
+    ORC logical type in Spark 4.
+
+    Scale: ORC brings the same row-group statistics + predicate pushdown
+    contract as parquet (min/max skipping, dictionary encoding); the
+    engine treats both as interchangeable columnar stores — this key
+    keeps the claim tested."""
+    import os
+
+    from pyetl_spark.queries.sinks import _scratch
+
+    path = _scratch("orc_roundtrip")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    src = (
+        load_tables(spark, sf_dir)
+        .orders.filter(F.col("o_orderkey") % 5 == 1)
+        .select(cols)
+    )
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(cols)
