@@ -535,3 +535,63 @@ def fn_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status": "O",
         },
     )
+
+
+@query(
+    "fn_sql_scripting",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM orders
+    ), thr AS (
+      SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS v FROM t
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM t, thr
+    WHERE cents > v
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 `BEGIN … END` procedural blocks): DECLARE a
+    variable, SET it from one query, use it in the next — the multi-step
+    stored-procedure idiom compiled onto the SAME engine (each statement
+    is an ordinary Catalyst plan; the script is control flow around them,
+    not a second execution path). The oracle collapses the two steps into
+    one statement with a scalar subquery, proving the scripted flow
+    changes nothing semantically.
+
+    Determinism note: the threshold is mean PRICE-IN-CENTS — an exact
+    integer sum divided by an integer count, so both engines derive the
+    same double and the > comparison cannot flip on summation order (a
+    naive avg(double) threshold would be order-dependent on both sides).
+
+    Scale: the SET runs one aggregate job, the final SELECT another —
+    same two jobs a driver-side two-step DataFrame program would run; the
+    scalar lives in the session, not in a broadcast of data."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("pyetl_script_orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 0.0;
+          SET thr = (
+            SELECT CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                              AS BIGINT)) AS DOUBLE) / count(*)
+            FROM pyetl_script_orders
+          );
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_above,
+                 CAST(max(o_orderkey) AS BIGINT) AS max_key
+          FROM pyetl_script_orders
+          WHERE CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                     AS BIGINT) > thr
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
