@@ -62,6 +62,11 @@ ORACLE: dict[str, str] = {}
 #:       graph_label_propagation, graph_shortest_path_bounded,
 #:       etl_incremental_join_view, hierarchy_recursive_cte_native,
 #:       fn_pipe_syntax, geo_point_in_polygon — truncated to 50.
+#:       Third session (late adds, queue after the above): the Spark 4
+#:       native surface — source_json_variant, sink_parquet_variant,
+#:       fn_sql_udf, source_python_datasource, source_xml_parse,
+#:       udtf_table_arg, fn_collation, fn_sql_params,
+#:       source_orc_roundtrip_typed, fn_sql_scripting.
 #:   r6: never-verified oracle remainder, then the 36 never-verified
 #:       rows-only keys (ANN surface, multimodal, sink extras,
 #:       sketches/semdedup/mmr/bpe/layout) — at that point a rows-only
