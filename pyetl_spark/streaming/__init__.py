@@ -28,8 +28,11 @@ from pyetl_spark.streaming.pipeline import (
     stateful_anomaly_counter,
     stream_scd2_enrich,
     stream_static_enrich,
+    stream_stream_interval_join,
+    stream_stream_interval_join_outer,
     tumbling_agg,
 )
+from pyetl_spark.streaming.state_inspect import state_metadata, state_rows
 
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
@@ -42,4 +45,8 @@ __all__ = [
     "stream_static_enrich",
     "stream_scd2_enrich",
     "foreach_batch_multi_sink",
+    "stream_stream_interval_join",
+    "stream_stream_interval_join_outer",
+    "state_metadata",
+    "state_rows",
 ]
