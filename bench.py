@@ -154,17 +154,23 @@ def main() -> None:
     first_query_secs = time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for key in headline:
         fn = registry.QUERIES[key]
-        best = float("inf")
+        runs = []
         for _ in range(2):  # best-of-2: measure warm-JVM steady state
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: computes every output column (count() would let
             # Catalyst prune unprojected work), materializes nothing
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            runs.append(time.perf_counter() - start)
+        best = min(runs)
         timings[key] = round(best, 3)
+        # intra-session run spread: (max-min)/best — the noise floor a
+        # round-over-round diff must exceed before it means anything
+        # (the r2→r3 "uniform slowdown" scare was exactly this noise)
+        spreads[key] = round((max(runs) - best) / best, 2) if best > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -172,6 +178,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "run_spread": spreads,
         "sf": sf,
         "cold_start": {
             "session_secs": round(session_secs, 3),
