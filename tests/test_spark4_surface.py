@@ -133,3 +133,30 @@ class TestVariantParquet:
             F.variant_get("v", "$.a", "int").alias("a"),
         ).collect()[0]
         assert row["m"] is None and row["a"] == 1
+
+
+class TestSqlParams:
+    def test_bound_parameter_reaches_pushed_filters(self, spark):
+        """Parameters resolve before optimization: the :min_price bind
+        must appear in the parquet scan's PushedFilters, identical to an
+        inlined literal."""
+        df = registry.QUERIES["fn_sql_params"](spark, SF_ORACLE)
+        plan = _plan(df)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(o_totalprice,150000.0)" in plan
+        assert "EqualTo(o_orderstatus,O)" in plan
+
+
+class TestSqlScripting:
+    def test_script_returns_last_statement_result(self, spark):
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        r = spark.sql(
+            """
+            BEGIN
+              DECLARE v BIGINT DEFAULT 0;
+              SET v = (SELECT sum(id) FROM range(10));
+              SELECT v AS total;
+            END
+            """
+        ).collect()
+        assert r[0]["total"] == 45
