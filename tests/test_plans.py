@@ -616,6 +616,8 @@ _PYTHON_EVAL_OK = {
     "udf_pandas_scalar",       # the mandated Arrow-UDF twin
     "udaf_pandas_grouped",     # mandated grouped-agg pandas UDAF
     "udtf_python",             # mandated Python UDTF
+    "udtf_table_arg",          # TABLE-argument UDTF (declared slow-path
+                               # boundary proof, id-bounded input)
     "grouped_map_applyInPandas",  # mandated grouped-map surface
     "map_partitions_arrow",    # mandated mapInPandas escape hatch
     "win_udaf_pandas",         # windowed pandas UDAF (bounded frames)
