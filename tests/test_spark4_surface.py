@@ -160,3 +160,51 @@ class TestSqlScripting:
             """
         ).collect()
         assert r[0]["total"] == 45
+
+
+class TestSlabMathProperties:
+    def test_slabs_partition_exactly(self):
+        """Pure-Python property: for ANY (rows, parts), the per-partition
+        id slabs cover [0, rows) exactly once — the invariant both the
+        batch reader and a cluster's task fan-out rely on."""
+        from hypothesis import given, strategies as st
+
+        from pyetl_spark.operators.pydatasource import SyntheticEventsReader
+
+        @given(
+            rows=st.integers(min_value=0, max_value=100_000),
+            parts=st.integers(min_value=1, max_value=64),
+        )
+        def check(rows: int, parts: int) -> None:
+            r = SyntheticEventsReader(rows=rows, parts=parts)
+            seen = []
+            for p in r.partitions():
+                seen.extend(t[0] for t in r.read(p))
+            assert sorted(seen) == list(range(rows))
+
+        check()
+
+    def test_stream_offsets_partition_exactly(self):
+        """Stream twin: consecutive read() calls and readBetweenOffsets
+        over the same range yield identical, gap-free id sequences."""
+        from hypothesis import given, strategies as st
+
+        from pyetl_spark.operators.pydatasource import CounterStreamReader
+
+        @given(
+            step=st.integers(min_value=1, max_value=1000),
+            batches=st.integers(min_value=1, max_value=10),
+        )
+        def check(step: int, batches: int) -> None:
+            r = CounterStreamReader(step=step)
+            off = r.initialOffset()
+            ids = []
+            for _ in range(batches):
+                it, nxt = r.read(off)
+                ids.extend(t[0] for t in it)
+                off = nxt
+            assert ids == list(range(step * batches))
+            replay = [t[0] for t in r.readBetweenOffsets({"n": 0}, off)]
+            assert replay == ids
+
+        check()
