@@ -595,3 +595,44 @@ def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "agg_listagg_native",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+             AS distinct_statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    """,
+)
+def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `listagg` (SQL:2023, new in Spark 4) — the engine-level
+    twin of `agg_string_concat`'s collect_list+array_sort composition.
+    `WITHIN GROUP (ORDER BY ...)` makes the concatenation order part of
+    the aggregate itself (without it listagg is partition-order-dependent
+    and could never be hash-declared), and the DISTINCT form dedups
+    before joining. Oracle: DuckDB string_agg with the same ORDER BY.
+
+    Scale: same partial/final aggregate shape as the composition twin —
+    the win is semantic (order is declared, not bolted on) and the
+    standard spelling ports from other SQL:2023 engines unchanged."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("pyetl_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)
+                 AS statuses,
+               listagg(DISTINCT o_orderstatus, '|') WITHIN GROUP (ORDER BY o_orderstatus)
+                 AS distinct_statuses,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pyetl_listagg_orders
+        WHERE o_custkey < 100
+        GROUP BY o_custkey
+        """
+    )

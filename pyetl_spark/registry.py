@@ -66,7 +66,8 @@ ORACLE: dict[str, str] = {}
 #:       native surface — source_json_variant, sink_parquet_variant,
 #:       fn_sql_udf, source_python_datasource, source_xml_parse,
 #:       udtf_table_arg, fn_collation, fn_sql_params,
-#:       source_orc_roundtrip_typed, fn_sql_scripting.
+#:       source_orc_roundtrip_typed, fn_sql_scripting,
+#:       agg_listagg_native.
 #:   r6: never-verified oracle remainder, then the 36 never-verified
 #:       rows-only keys (ANN surface, multimodal, sink extras,
 #:       sketches/semdedup/mmr/bpe/layout) — at that point a rows-only
