@@ -228,6 +228,50 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_width_bucket",
+    oracle=f"""
+    WITH t AS (SELECT {FXP('o_totalprice', 100)} AS cents FROM orders)
+    SELECT CASE WHEN cents < 4194304 THEN 0
+                WHEN cents >= 37748736 THEN 17
+                ELSE CAST(floor((cents - 4194304) / 2097152.0) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM t GROUP BY bucket
+    """,
+)
+def agg_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE `width_bucket` builtin — the engine-level twin of
+    `agg_histogram`'s hand-rolled floor arithmetic, adding the SQL-
+    standard out-of-range semantics the manual form clamps away: values
+    below the low bound land in bucket 0 and values ≥ the high bound in
+    bucket n+1, so the histogram doubles as an outlier tally (the
+    fixture populates all 18 buckets: 0, 1..16, 17). DuckDB has no
+    width_bucket, so the oracle spells out the standard's formula.
+
+    Determinism: binning happens in exact fixed-point CENTS with a
+    power-of-two low bound (2²²) and width (2²¹, n=16 → hi−lo = 2²⁵) —
+    every (v−lo), n·(v−lo), and division is exact in doubles, so the
+    builtin's internal formula and the oracle's spelled-out floor cannot
+    disagree on any input. Same one map-side-combinable aggregate as
+    agg_histogram at any scale."""
+    o = load_tables(spark, sf_dir).orders
+    cents = fxp(F.col("o_totalprice"), 100)
+    bucket = F.width_bucket(
+        cents.cast("double"),
+        F.lit(4194304.0),
+        F.lit(37748736.0),
+        F.lit(16),
+    ).alias("bucket")
+    return o.select(bucket, cents.alias("cents")).groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+@query(
     "agg_bool",
     oracle="""
     SELECT o_orderpriority,

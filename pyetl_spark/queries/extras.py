@@ -575,26 +575,33 @@ def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar lives in the session, not in a broadcast of data."""
     t = load_tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("pyetl_script_orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE thr DOUBLE DEFAULT 0.0;
-          SET thr = (
-            SELECT CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
-                              AS BIGINT)) AS DOUBLE) / count(*)
-            FROM pyetl_script_orders
-          );
-          SELECT o_orderpriority,
-                 CAST(count(*) AS BIGINT) AS n_above,
-                 CAST(max(o_orderkey) AS BIGINT) AS max_key
-          FROM pyetl_script_orders
-          WHERE CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
-                     AS BIGINT) > thr
-          GROUP BY o_orderpriority;
-        END
-        """
-    )
+    try:
+        # Forced eagerly (result is ≤5 priority rows) so the conf can be
+        # restored without racing the script's lazy tail — sweep-order
+        # independence is part of the gating contract (ADVICE r4).
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 0.0;
+              SET thr = (
+                SELECT CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                                  AS BIGINT)) AS DOUBLE) / count(*)
+                FROM pyetl_script_orders
+              );
+              SELECT o_orderpriority,
+                     CAST(count(*) AS BIGINT) AS n_above,
+                     CAST(max(o_orderkey) AS BIGINT) AS max_key
+              FROM pyetl_script_orders
+              WHERE CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                         AS BIGINT) > thr
+              GROUP BY o_orderpriority;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 @query(
@@ -634,5 +641,42 @@ def agg_listagg_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pyetl_listagg_orders
         WHERE o_custkey < 100
         GROUP BY o_custkey
+        """
+    )
+
+
+@query(
+    "fn_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def fn_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` — the modern SQL surface where the grouping key
+    set is inferred from the non-aggregate select items (every 2020s
+    engine grew this; Spark since 3.4). The SQL text is IDENTICAL on
+    both engines modulo nothing — same clause, same inference rule — so
+    the driver hash-match certifies that Spark's ALL-resolution picks
+    exactly the two scalar columns and neither aggregate. The measure is
+    an exact integer cents sum (order-free), so the key is FP-safe.
+
+    Scale: resolves at analysis time into the ordinary partial/final
+    hash aggregate — ALL is sugar, not a plan feature; there is nothing
+    to regress physically (pinned by the shared plan lints)."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("pyetl_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice) * 100.0 + 0.5)
+                   AS BIGINT)) AS cents
+        FROM pyetl_gba_orders
+        GROUP BY ALL
         """
     )

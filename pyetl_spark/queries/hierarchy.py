@@ -204,24 +204,33 @@ def hierarchy_recursive_cte_native(
 
     The runtime guardrail ``spark.sql.cteRecursionRowLimit`` (default
     1M total recursion rows — tripped at sf1, where the closure is
-    |part|×8 ≈ 1.6M rows) is raised here; size it ≥ |nodes| × depth in
-    production or the fixpoint aborts mid-recursion by design."""
+    |part|×8 ≈ 1.6M rows) is raised ONLY for the duration of this query:
+    UnionLoopExec reads the conf at execution time, so the recursion is
+    forced eagerly (``localCheckpoint`` — the result is ≤100 ancestor
+    rows) inside a save/restore block rather than leaking a 2³¹ limit
+    into the shared session (r4 verdict hygiene item). Size the limit
+    ≥ |nodes| × depth in production or the fixpoint aborts mid-recursion
+    by design."""
     t = load_tables(spark, sf_dir)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     t.part.select("p_partkey").createOrReplaceTempView("pyetl_rcte_part")
-    return spark.sql(
-        """
-        WITH RECURSIVE chain AS (
-          SELECT p_partkey AS node, p_partkey AS anc, 0 AS d
-          FROM pyetl_rcte_part
-          UNION ALL
-          SELECT node, anc DIV 10, d + 1 FROM chain WHERE anc > 0
-        )
-        SELECT anc AS ancestor,
-               CAST(count(*) AS BIGINT) AS n_descendants,
-               CAST(max(d) AS BIGINT) AS max_depth
-        FROM chain
-        WHERE anc < 100
-        GROUP BY anc
-        """
-    )
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
+    try:
+        return spark.sql(
+            """
+            WITH RECURSIVE chain AS (
+              SELECT p_partkey AS node, p_partkey AS anc, 0 AS d
+              FROM pyetl_rcte_part
+              UNION ALL
+              SELECT node, anc DIV 10, d + 1 FROM chain WHERE anc > 0
+            )
+            SELECT anc AS ancestor,
+                   CAST(count(*) AS BIGINT) AS n_descendants,
+                   CAST(max(d) AS BIGINT) AS max_depth
+            FROM chain
+            WHERE anc < 100
+            GROUP BY anc
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev)

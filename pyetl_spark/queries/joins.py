@@ -180,16 +180,28 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join ≙ NOT EXISTS (SURVEY §2.3 `join_anti` [S]): customers
-    with no orders at all."""
+    with no URGENT order.
+
+    The original "no orders at all" predicate was VACUOUS at the driver's
+    verification scale — every customer has an order at sf0.01, so the r1
+    hash-match certified an empty set (same failure class as the r4
+    verdict's subq_scalar finding; caught by scripts/empty_result_lint.py).
+    Restricting the right side to one priority keeps the anti-join shape
+    while selecting ~2% of customers at every SF (18 @ sf0.001, 203 @
+    sf0.01, 1,986 @ sf0.1)."""
     t = load_tables(spark, sf_dir)
-    customer, orders = t.customer, t.orders
+    customer = t.customer
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -3058,3 +3058,105 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(rr, 6).alias("reduction_ratio"),
         rnd(pc, 6).alias("pair_completeness"),
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             length(replace(text, ' ', '')) AS n_nonspace,
+             len(list_intersect(
+               list_distinct(string_split(text, ' ')),
+               ['the','be','to','of','and','that','have','with']
+             )) AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT source,
+             (n_words >= 50 AND n_words <= 100000) AS ok_words,
+             (3 * n_words <= n_nonspace AND n_nonspace <= 10 * n_words)
+               AS ok_mean_len,
+             (n_stop >= 2) AS ok_stop,
+             (5 * n_distinct > n_words) AS ok_rep
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ok_words AND ok_mean_len AND ok_stop
+                          AND ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN ok_words THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_word_count,
+           CAST(sum(CASE WHEN ok_mean_len THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_mean_word_len,
+           CAST(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_stopwords,
+           CAST(sum(CASE WHEN ok_rep THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_repetition
+    FROM r GROUP BY source
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", App. A1.1 — the published heuristics
+    every big corpus pipeline starts from), as a per-source scorecard:
+    word-count bounds (50..100k), mean-word-length bounds (3..10 chars),
+    stop-word presence (≥2 of the canonical eight), and repetition
+    (distinct-token fraction > 0.2). Complements `text_quality_score`
+    (a continuous composite) with the hard pass/fail gates and PER-RULE
+    failure attribution — at 100 TB you tune each rule by watching which
+    one is doing the killing, exactly this output.
+
+    Determinism: every rule is an INTEGER comparison (mean length as
+    3n ≤ chars ≤ 10n, repetition as 5·distinct > n — no ratio division
+    anywhere), so the scorecard has zero FP parity surface. Scale: pure
+    per-row expression algebra (split/distinct/intersect are JVM
+    built-ins) + one partial/final aggregate on source — map-side
+    combinable, no shuffle beyond the tiny group-by."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split(F.col("text"), " ")
+    distinct = F.array_distinct(toks)
+    stop = F.array(
+        *[F.lit(w) for w in
+          ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    t = d.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.size(distinct).alias("n_distinct"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias(
+            "n_nonspace"
+        ),
+        F.size(F.array_intersect(distinct, stop)).alias("n_stop"),
+    )
+    ok_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    ok_mean = (3 * F.col("n_words") <= F.col("n_nonspace")) & (
+        F.col("n_nonspace") <= 10 * F.col("n_words")
+    )
+    ok_stop = F.col("n_stop") >= 2
+    ok_rep = 5 * F.col("n_distinct") > F.col("n_words")
+    r = t.select(
+        "source",
+        ok_words.alias("ok_words"),
+        ok_mean.alias("ok_mean_len"),
+        ok_stop.alias("ok_stop"),
+        ok_rep.alias("ok_rep"),
+    )
+    as_fail = lambda c: F.sum(F.when(F.col(c), 0).otherwise(1))  # noqa: E731
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("ok_words")
+                & F.col("ok_mean_len")
+                & F.col("ok_stop")
+                & F.col("ok_rep"),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass"),
+        as_fail("ok_words").alias("fail_word_count"),
+        as_fail("ok_mean_len").alias("fail_mean_word_len"),
+        as_fail("ok_stop").alias("fail_stopwords"),
+        as_fail("ok_rep").alias("fail_repetition"),
+    )

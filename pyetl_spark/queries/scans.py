@@ -161,8 +161,6 @@ def source_csv_roundtrip_typed(
     Scale: CSV write/read parallelize per partition like any source; the
     roundtrip here is fixture-sized scratch. The lesson that matters at
     100 TB is the pinned schema + format options, not the medium."""
-    import os
-
     from pyetl_spark.queries.sinks import _scratch
 
     path = _scratch("csv_roundtrip")
@@ -324,8 +322,13 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_by_value()  # workers may not have the repo on PYTHONPATH
     try:
         spark.dataSource.register(SyntheticEventsSource)
-    except Exception:
-        pass  # already registered in this session — registration is global
+    except Exception as exc:
+        # Registration is session-global, so re-registering on a reused
+        # session is the one benign failure; anything else (API absent,
+        # bad class) must propagate, not surface later as a confusing
+        # format-not-found at read time (ADVICE r4).
+        if "already" not in str(exc).lower() and "exists" not in str(exc).lower():
+            raise
     gen = (
         spark.read.format("pyetl_synth_events")
         .option("rows", 20000)
@@ -411,8 +414,6 @@ def source_orc_roundtrip_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as parquet (min/max skipping, dictionary encoding); the
     engine treats both as interchangeable columnar stores — this key
     keeps the claim tested."""
-    import os
-
     from pyetl_spark.queries.sinks import _scratch
 
     path = _scratch("orc_roundtrip")

@@ -26,21 +26,29 @@ _STATUSES = ["F", "O", "P"]
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE {FXP('o_totalprice', 100)} > (
-      SELECT CAST(avg({FXP('o_totalprice', 100)}) AS BIGINT) * 2 FROM orders
+      SELECT (CAST(avg({FXP('o_totalprice', 100)}) AS BIGINT) * 3) // 2
+      FROM orders
     )
     """,
 )
 def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery: orders above 2× the mean price
+    """Uncorrelated scalar subquery: orders above 1.5× the mean price
     (threshold computed in the exact fixed-point domain so both engines
-    compare against the same integer). Compiles to a one-row broadcast."""
+    compare against the same integer; integer ``*3 div 2`` keeps it exact).
+    Compiles to a one-row broadcast.
+
+    The r4 verdict found the previous 2× threshold selected ZERO rows at
+    every scale factor — a vacuously-green key. 1.5× selects ~1.9% of
+    orders at each SF (380 @ sf0.001, 3,717 @ sf0.01, 37,430 @ sf0.1),
+    so the hash-match now verifies real values.
+    """
     load_tables(spark, sf_dir).register_views()
     return spark.sql(
         f"""
         SELECT o_orderkey, o_totalprice
         FROM orders
         WHERE {FXP('o_totalprice', 100)} > (
-          SELECT CAST(avg({FXP('o_totalprice', 100)}) AS BIGINT) * 2
+          SELECT (CAST(avg({FXP('o_totalprice', 100)}) AS BIGINT) * 3) DIV 2
           FROM orders
         )
         """

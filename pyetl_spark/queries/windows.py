@@ -596,3 +596,61 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         rnd(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_len,
+             min(d) AS run_start
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           min(run_start) AS first_day
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    days, via the classic tabibitosan trick — date minus row_number() is
+    constant within a consecutive run, so the run id falls out of one
+    window pass instead of a self-join or an iterative fixpoint. Distinct
+    from `stream_session` (gap-threshold sessionization on raw event
+    timestamps): islands are calendar-aligned and the run id is an exact
+    date, so every derived column is integer/date-exact — no FP parity
+    surface at all.
+
+    Scale: one distinct (user, day) partial/final agg, one window
+    exchange partitioned by user_id (per-task state = one run counter),
+    two more partial/final aggs on (user, grp) then user — every stage
+    keyed by user, so AQE can reuse the exchange; nothing global."""
+    ev = load_tables(spark, sf_dir).events
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_len"), F.min("d").alias("run_start")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("active_days"),
+        F.count("*").alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.min("run_start").alias("first_day"),
+    )

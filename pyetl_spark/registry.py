@@ -31,111 +31,108 @@ ORACLE: dict[str, str] = {}
 #: window this round; everything else follows in registration order and
 #: earns its row in a later round's rotation.
 #:
-#: r4 window = 45 never-verified oracle keys (the pre-r3 tail FIRST —
-#: windows tail, subqueries.py, tpch_more tail, fn extras, events tail,
-#: llm_text tail — exactly as the r3 rotation plan specified) + 5
-#: RE-VERIFY slots for the oldest r1 evidence so no green row ages past
-#: 3 rounds. r3 went 50/50 green, so there are no reds to re-check.
+#: r5 window = 45 never-driver-verified oracle keys in registration
+#: order (r3-session sources/etl/agg/join/win additions, the Spark-4
+#: native surface, the statistical/TPC-H-completion/graph/timeseries
+#: head) + `subq_scalar` (its r4 slot was VACUOUS — the old 2× threshold
+#: selected 0 rows at every SF, so the hash-match verified nothing; the
+#: predicate is now 1.5× mean and the key re-earns real evidence) + 4
+#: RE-VERIFY slots for the oldest (r2) evidence. r4 went 50/50 green, so
+#: there are no reds to re-check.
 #:
-#: ROTATION PLAN (~50 verifiable slots/round, 286 declared keys, 146
-#: driver-verified after r3):
-#:   r1 (done, 50 rows green): first 50 in registration order.
-#:   r2 (done, 50 rows green): remaining SURVEY §2 keys + r1 fixes + sinks.
-#:   r3 (done, 50 rows green): analytics/events head, windows extras,
+#: ROTATION PLAN (~50 verifiable slots/round, 346 declared keys, 191
+#: distinct driver-verified after r4):
+#:   r1 (done, 50 green): first 50 in registration order.
+#:   r2 (done, 50 green): remaining SURVEY §2 keys + r1 fixes + sinks.
+#:   r3 (done, 50 green): analytics/events head, windows extras,
 #:       extras.py, joins tail, text head.
-#:   r4 (this): list below. Pre-gated by the canon sweep at sf0.01 + the
-#:       window at sf0.1 before the driver runs.
-#:   r5: the remaining never-verified oracle keys (r3-session
-#:       additions in registration order: source_json_corrupt_records,
-#:       etl_cdc_compact, etl_fk_integrity, etl_freshness_lag,
-#:       etl_k_anonymity, etl_dataset_fingerprint, etl_forget_propagation,
-#:       agg_bitmap_distinct, agg_salted_twophase, join_null_safe,
-#:       join_bloom_prefilter, join_asof_tolerance, win_drawdown,
-#:       timeseries.py ts_*, events_rollup_multi_grain,
-#:       join_interval_overlap, etl_merge_upsert, sample_*, analytics r3
-#:       tail, llm_text r3 tail text_lm_score…text_zipf_exponent,
-#:       dedup_embedding_*, vec_knn_classify, dedup_incremental_bloom,
-#:       win_udaf_pandas, plus the r4-session additions — first session:
-#:       statistical/reconciliation/timeseries/two-phase families; second
-#:       session: the TPC-H completion trio (agg_forecast_revenue,
-#:       join_product_type_profit, agg_important_stock),
-#:       graph_label_propagation, graph_shortest_path_bounded,
-#:       etl_incremental_join_view, hierarchy_recursive_cte_native,
-#:       fn_pipe_syntax, geo_point_in_polygon — truncated to 50.
-#:       Third session (late adds, queue after the above): the Spark 4
-#:       native surface — source_json_variant, sink_parquet_variant,
-#:       fn_sql_udf, source_python_datasource, source_xml_parse,
-#:       udtf_table_arg, fn_collation, fn_sql_params,
-#:       source_orc_roundtrip_typed, fn_sql_scripting,
-#:       agg_listagg_native.
-#:   r6: never-verified oracle remainder, then the 36 never-verified
-#:       rows-only keys (ANN surface, multimodal, sink extras,
-#:       sketches/semdedup/mmr/bpe/layout) — at that point a rows-only
-#:       row is the marginal evidence unit.
-#:   r7+: steady-state re-verify rotation — oldest evidence first, plus
-#:       any new keys and any reds from the prior round.
-#: Mechanically: PRIORITY = (reds from last round) + (oracle keys with no
-#: CORRECTNESS row, pre-r3 tail then registration order) + (rows-only keys
-#: with no row) + (oldest-evidence keys), truncated to 50.
+#:   r4 (done, 50 green): pre-r3 tail (windows/subqueries/tpch/fn/events/
+#:       text) + 5 r1 re-verifies. One slot (subq_scalar) later found
+#:       vacuous — re-queued this round after the predicate fix.
+#:   r5 (this): list below. Pre-gated by the canon sweep at sf0.01 +
+#:       sf0.1 + determinism + the new empty-result lint before the
+#:       driver runs.
+#:   r6: never-verified oracle remainder (~69: ts_* tail, sample_*,
+#:       text_lm_score…text_zipf_exponent, dedup_containment,
+#:       er_blocking_quality, dedup_embedding_*, vec_knn_classify,
+#:       statistical r4 families, hierarchy/geo, udtf_table_arg,
+#:       sink_parquet_variant, events_rollup_multi_grain,
+#:       join_interval_overlap, etl_merge_upsert, win_udaf_pandas,
+#:       dedup_incremental_bloom, dedup_allpairs_prefix…), then start
+#:       the 41 never-verified rows-only keys (ANN surface, multimodal,
+#:       sink extras, sketches/semdedup/mmr/bpe/layout) — at that point
+#:       a rows-only row is the marginal evidence unit.
+#:   r7+: finish the rows-only backlog, then steady-state re-verify
+#:       rotation — oldest evidence first, plus any new keys and any
+#:       reds from the prior round.
+#: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
+#: with no CORRECTNESS row, registration order) + (rows-only keys with no
+#: row) + (oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # windows.py tail — never verified (registered pre-r3)
-    "win_nth_value",
-    "win_moving_median",
-    "win_running_distinct",
-    "win_rolling_argmax",
-    "win_since_last_error",
-    # sorts_sets.py tail
-    "set_except_all",
-    # subqueries.py — all never verified
+    # sources (r3/r4-session additions) — never driver-verified
+    "source_json_corrupt_records",
+    "source_csv_roundtrip_typed",
+    "source_json_variant",
+    "source_python_datasource",
+    "source_xml_parse",
+    "source_orc_roundtrip_typed",
+    # etl governance/audit family (r3 session)
+    "etl_cdc_compact",
+    "etl_fk_integrity",
+    "etl_freshness_lag",
+    "etl_k_anonymity",
+    "etl_dataset_fingerprint",
+    "etl_forget_propagation",
+    "etl_incremental_join_view",
+    # agg/join/window additions (r3 session)
+    "agg_bitmap_distinct",
+    "agg_salted_twophase",
+    "join_null_safe",
+    "join_bloom_prefilter",
+    "join_asof_tolerance",
+    "win_drawdown",
+    "win_cume_dist",
+    # TPC-H completion (r4 session)
+    "join_local_supplier_volume",
+    "join_volume_shipping_pairs",
+    "agg_forecast_revenue",
+    "join_product_type_profit",
+    "agg_important_stock",
+    # Spark 4 native surface (r4 third session)
+    "fn_pipe_syntax",
+    "fn_sql_udf",
+    "fn_collation",
+    "fn_sql_params",
+    "fn_sql_scripting",
+    "agg_listagg_native",
+    # statistical / behavioral analytics (r3/r4 sessions)
+    "events_training_examples",
+    "basket_association_rules",
+    "orders_survival_km",
+    "events_bot_detection",
+    "events_stickiness_dau_mau",
+    "agg_rate_wilson_ci",
+    "events_time_to_convert",
+    "events_growth_accounting",
+    "agg_benford_digits",
+    "agg_skyline_2d",
+    # graph + timeseries head (r4 session)
+    "graph_label_propagation",
+    "graph_shortest_path_bounded",
+    "ts_resample_ohlc",
+    "ts_interpolate_linear",
+    # VACUITY RE-VERIFIES — prior green rows were 0-row hash-matches
+    # (subq_scalar found by the r4 verdict; join_anti/set_except found by
+    # this round's empty-result lint over the full-registry sweep: every
+    # customer has an order and supplier nations cover customer nations
+    # at sf0.01, so their r1/r2 evidence certified empty sets). All three
+    # predicates fixed to select rows at every SF.
     "subq_scalar",
-    "subq_in",
-    "subq_correlated",
-    "agg_pivot",
-    "subq_dormant_high_balance",
-    "subq_exists_late_orders",
-    "subq_any_all",
-    # tpch_more.py tail
-    "join_market_share",
-    "join_cust_order_distribution",
-    "subq_small_qty_revenue",
-    "join_disjunctive_pred",
-    "subq_cheapest_supplier",
-    "agg_ship_delay_buckets",
-    "subq_excess_shipments",
-    "join_waiting_orders",
-    # scalar_fns.py tail
-    "fn_bitwise",
-    "fn_hash",
-    "fn_string_parts",
-    "fn_trig",
-    "fn_printf",
-    # analytics/events tail (pre-r3)
-    "events_sliding_distinct_users",
-    "events_audience_overlap",
-    "events_new_vs_returning",
-    "text_ngram_novelty",
-    # llm_text.py tail (pre-r3)
-    "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "text_stratified_cap",
-    "text_pack_sequences",
-    "text_mixture_sample",
-    "pipeline_training_corpus",
-    "text_tfidf_top_terms",
-    "dedup_sorted_neighborhood",
-    "graph_triangles",
-    "dedup_levenshtein",
-    "text_bigrams",
-    "text_source_divergence",
-    "text_decontaminate",
-    "text_repetition",
-    # RE-VERIFY slots — r1 evidence is now 3 rounds old
-    "scan_parquet_project",
-    "scan_pushdown_filter",
-    "source_json_parse",
-    "proj_expr",
-    "filter_compound",
+    "join_anti",
+    "set_except",
+    # RE-VERIFY slots — oldest remaining (r2) evidence
+    "agg_collect_sorted",
+    "win_topk_per_group",
 ]
 
 

@@ -64,6 +64,10 @@ def get_session(app_name: str = "pyetl-spark") -> SparkSession:
         SparkSession.builder.appName(app_name)
         .master(os.environ.get("PYETL_MASTER", f"local[{cpus}]"))
         .config("spark.ui.enabled", "false")
+        # keep stage-progress bars out of stdout — the driver's bench
+        # harness preserves only a ~2 KB stdout tail, and progress-bar
+        # spew is what truncated BENCH_r03's JSON line past parseability
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("PYETL_DRIVER_MEM", "8g"))
     )
     for key, value in ENGINE_CONFS.items():

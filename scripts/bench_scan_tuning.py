@@ -64,7 +64,7 @@ def main() -> None:
     ]:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
         df = q1_shape(spark, sf_dir)
-        n_tasks = df.rdd.getNumPartitions()  # post-agg; scan tasks below
+        post_agg_tasks = df.rdd.getNumPartitions()
         scan_tasks = spark.read.parquet(
             f"{sf_dir}/lineitem.parquet"
         ).rdd.getNumPartitions()
@@ -77,6 +77,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         results[label] = {
             "scan_tasks": scan_tasks,
+            "post_agg_tasks": post_agg_tasks,
             "best_secs": round(best, 3),
         }
     base = results["128MB_default"]["best_secs"]

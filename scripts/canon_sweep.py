@@ -36,7 +36,7 @@ from pyetl_spark.canon import frame_rows as _rows  # noqa: E402
 
 def check_key(spark, duck, key, queries, oracles, sf_dir):
     t0 = time.time()
-    rec = {"key": key, "status": "pass", "err": None, "secs": None}
+    rec = {"key": key, "status": "pass", "rows": None, "err": None, "secs": None}
     try:
         sdf = queries[key](spark, sf_dir)
         pdf_s = sdf.toPandas()  # step 1: Arrow conversion
@@ -44,6 +44,7 @@ def check_key(spark, duck, key, queries, oracles, sf_dir):
         rec.update(status="spark_error", err=traceback.format_exc(limit=3))
         rec["secs"] = round(time.time() - t0, 2)
         return rec
+    rec["rows"] = len(pdf_s)  # vacuity evidence: scripts/empty_result_lint.py
     try:
         pdf_s = _canon_pandas(pdf_s)  # step 2: driver sort_values
     except Exception:
@@ -80,6 +81,12 @@ def check_key(spark, duck, key, queries, oracles, sf_dir):
                 status="value_mismatch",
                 err=json.dumps(bad, default=str)[:2000],
             )
+        elif not rs:
+            # both engines agree on NOTHING — visible inline so a vacuous
+            # Tier-A key (the subq_scalar/join_anti/set_except class)
+            # can't hide behind a green row; empty_result_lint.py
+            # adjudicates across SFs.
+            rec["status"] = "pass_empty"
     rec["secs"] = round(time.time() - t0, 2)
     return rec
 
@@ -118,7 +125,11 @@ def main():
             )
             fh.write(json.dumps(rec) + "\n")
             fh.flush()
-            mark = "ok" if rec["status"] in ("pass", "no_oracle") else "FAIL"
+            mark = (
+                "ok"
+                if rec["status"] in ("pass", "pass_empty", "no_oracle")
+                else "FAIL"
+            )
             if mark == "FAIL":
                 fails += 1
             print(f"[{i + 1}/{len(keys)}] {mark:4s} {rec['status']:16s} {key}",

@@ -149,16 +149,20 @@ class TestSqlParams:
 
 class TestSqlScripting:
     def test_script_returns_last_statement_result(self, spark):
+        prev = spark.conf.get("spark.sql.scripting.enabled")
         spark.conf.set("spark.sql.scripting.enabled", "true")
-        r = spark.sql(
-            """
-            BEGIN
-              DECLARE v BIGINT DEFAULT 0;
-              SET v = (SELECT sum(id) FROM range(10));
-              SELECT v AS total;
-            END
-            """
-        ).collect()
+        try:
+            r = spark.sql(
+                """
+                BEGIN
+                  DECLARE v BIGINT DEFAULT 0;
+                  SET v = (SELECT sum(id) FROM range(10));
+                  SELECT v AS total;
+                END
+                """
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
         assert r[0]["total"] == 45
 
 

@@ -615,3 +615,27 @@ def test_experiment_readout_matches_components(spark):
     assert ro["psi"] == p["psi"]
     assert ro["drift_alert"] == p["drift_alert"]
     assert ro["dq_failed_rules"] == 0  # clean fixture
+
+
+def test_recursive_cte_restores_recursion_limit_conf(spark):
+    """r4 verdict hygiene item: hierarchy_recursive_cte_native must not
+    leak its 2³¹ cteRecursionRowLimit into the shared session — the
+    recursion is forced eagerly inside a save/restore block, so the
+    default guardrail survives for every later query."""
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    df = registry.QUERIES["hierarchy_recursive_cte_native"](spark, SF_ORACLE)
+    after = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    assert after == before
+    # the eager checkpoint must still carry the full result: every
+    # ancestor < 100 with at least itself as a descendant
+    rows = df.collect()
+    assert rows and all(r["n_descendants"] >= 1 for r in rows)
+
+
+def test_sql_scripting_restores_conf(spark):
+    """Same contract for fn_sql_scripting: spark.sql.scripting.enabled
+    goes back to its prior value after the (eagerly-forced) script."""
+    before = spark.conf.get("spark.sql.scripting.enabled")
+    df = registry.QUERIES["fn_sql_scripting"](spark, SF_ORACLE)
+    assert spark.conf.get("spark.sql.scripting.enabled") == before
+    assert df.count() > 0
