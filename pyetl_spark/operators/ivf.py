@@ -22,6 +22,8 @@ expectation instead of the full corpus.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,19 +48,87 @@ def _dot(a, b):
     )
 
 
+#: Above this k, nearest-centroid assignment switches from the inlined
+#: JVM expression to the Arrow kernel: higher-order array functions
+#: evaluate their lambda per ELEMENT (interpreted, boxed), so the
+#: expression path costs ~n·k·dim lambda calls — fine for a bounded
+#: centroid table, pathological once k scales with the corpus
+#: (semdedup's k ∝ n contract; measured: 310 s vs 40 s at sf3).
+_KERNEL_MIN_K = 17
+
+
 def _nearest_cell(vec_df: DataFrame, centroids: DataFrame, vec_col: str):
-    """Attach (cell, dist) of the nearest centroid to every row."""
-    paired = vec_df.crossJoin(F.broadcast(centroids))
-    d = _sq_dist(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy(*[c for c in vec_df.columns]).orderBy(
-        F.col("_d"), F.col("cell")
+    """Attach (cell, dist) of the nearest centroid to every row.
+
+    The k centroids are collected to the driver (k×dim doubles — the
+    bounded state an IVF index IS, by design) and shipped into a single
+    stateless projection; no shuffle, no join, at any k. Two physical
+    forms with BIT-IDENTICAL results:
+
+    - k < _KERNEL_MIN_K: centroids inlined as two aligned array
+      literals; zip the k (centroid, cell) pairs into (dist, cell)
+      structs and take ``array_min`` — wholly JVM-side, keeps the ANN
+      keys' plans Python-free.
+    - k ≥ _KERNEL_MIN_K: Arrow-batched numpy kernel. The distance loop
+      accumulates over the DIMENSION axis in ascending order — the same
+      IEEE add sequence as the zip_with/aggregate expression — and
+      argmin's first-minimum tie-break equals the struct form's
+      lexicographic (dist, cell) min because cells are sorted ascending.
+      Vectorized C replaces per-element interpreted lambdas.
+
+    Both forms replace the original crossJoin(broadcast) + window-rank —
+    an n×k-row sort keyed on embedding arrays that the r5 sf0.1→1→3
+    scaling curve caught dominating the operator once k grew."""
+    rows = sorted(
+        centroids.select("cell", "centroid").collect(),
+        key=lambda r: r["cell"],
     )
+    if len(rows) < _KERNEL_MIN_K:
+        cells_lit = F.lit([int(r["cell"]) for r in rows])
+        cents_lit = F.lit([[float(x) for x in r["centroid"]] for r in rows])
+        best = F.array_min(
+            F.zip_with(
+                cents_lit,
+                cells_lit,
+                lambda cv, cid: F.struct(
+                    _sq_dist(F.col(vec_col), cv).alias("dist"),
+                    cid.alias("cell"),
+                ),
+            )
+        )
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.array(
+            [[float(x) for x in r["centroid"]] for r in rows],
+            dtype=np.float64,
+        )
+        cells = np.array([int(r["cell"]) for r in rows], dtype=np.int64)
+
+        @pandas_udf("cell int, dist double")
+        def _assign(v: pd.Series) -> pd.DataFrame:
+            if len(v) == 0:
+                return pd.DataFrame({"cell": pd.array([], dtype="int32"),
+                                     "dist": pd.array([], dtype="float64")})
+            E = np.stack(v.to_numpy()).astype(np.float64)
+            d = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[1]):  # dim-order == aggregate order
+                diff = E[:, j, None] - C[None, :, j]
+                d += diff * diff
+            hit = d.argmin(axis=1)  # first min == lowest cell (sorted)
+            return pd.DataFrame(
+                {
+                    "cell": cells[hit].astype("int32"),
+                    "dist": d[np.arange(E.shape[0]), hit],
+                }
+            )
+
+        best = _assign(F.col(vec_col))
     return (
-        paired.withColumn("_d", d)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "centroid")
-        .withColumnRenamed("_d", "dist")
+        vec_df.withColumn("_best", best)
+        .withColumn("cell", F.col("_best").getField("cell"))
+        .withColumn("dist", F.col("_best").getField("dist"))
+        .drop("_best")
     )
 
 

@@ -430,7 +430,14 @@ def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN a cluster, dropped rows point at their lowest-id
     representative (operators/semdedup.py). The k×O((n/k)²) scale
     contract and the recall-vs-brute-force gate live in
-    tests/test_approx_operators.py."""
+    tests/test_approx_operators.py.
+
+    k scales WITH the corpus (k = n/250, floor 8) so expected cluster
+    size stays bounded — the r5 scaling curve caught the fixed-k=8 form
+    going superlinear (3× data → 3.42× wall: the O((n/k)²) within-cluster
+    term with k frozen); SemDeDup's own prescription is k ∝ n (LAION ran
+    k=50k). The count() that sizes k is one cheap column-less scan — at
+    production scale it comes from table stats instead."""
     from pyetl_spark.operators.semdedup import semdedup_assign
 
     e = load_tables(spark, sf_dir).embeddings
@@ -438,7 +445,8 @@ def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    return semdedup_assign(v, k=8, tau=0.99, iters=2).orderBy("vec_id")
+    k = max(8, v.count() // 250)
+    return semdedup_assign(v, k=k, tau=0.99, iters=2).orderBy("vec_id")
 
 
 @query("vec_mmr_diversify")  # Tier B — ranking op, rows-only

@@ -413,3 +413,132 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM pyetl_lang_profile(TABLE(pyetl_udtf_docs) PARTITION BY lang)"
     )
+
+
+def _arrow_net_revenue_udf():
+    """PyArrow-native scalar UDF (Spark 4.1 @arrow_udf): the same
+    net-revenue contract as the row/pandas twins, computed directly on
+    pyarrow.Array buffers — no pandas materialization at the boundary.
+    Built lazily (decorator parses DDL types against an active session)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    # functionType passed explicitly: this module's
+    # `from __future__ import annotations` stringifies per-arg hints, so
+    # pyspark's hint-based eval-type inference can't see pa.Array here
+    @arrow_udf("double", ArrowUDFType.SCALAR)
+    def _arrow_net_revenue(price, discount, tax):
+        one = pa.scalar(1.0)
+        return pc.multiply(
+            pc.multiply(price, pc.subtract(one, discount)),
+            pc.add(one, tax),
+        )
+
+    return _arrow_net_revenue
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)}
+             AS net_revenue
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey < 3000
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native scalar UDF (NEW in Spark 4.1: @arrow_udf) — the third
+    Python boundary, completing the progression the family demonstrates:
+    row-at-a-time pickle (udf_scalar_python) → pandas Series over Arrow
+    (udf_pandas_scalar) → raw pyarrow.Array compute (this key), which
+    skips the Arrow→pandas conversion entirely. Same arithmetic contract
+    as both twins, so the identical result hash proves all three
+    boundaries and the JVM expression agree bit-for-bit (pyarrow.compute
+    runs the same IEEE double ops).
+
+    Scale: the cheapest Python boundary Spark has — columnar end to end;
+    prefer it over pandas UDFs when the body is expressible in
+    pyarrow.compute kernels."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 3000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd(
+                _arrow_net_revenue_udf()(
+                    "l_extendedprice", "l_discount", "l_tax"
+                ),
+                2,
+            ).alias("net_revenue"),
+        )
+    )
+
+
+def _arrow_token_stats_udtf():
+    """PyArrow-native UDTF (Spark 4.1 @arrow_udtf): eval() receives whole
+    RecordBatches and yields pyarrow Tables — vectorized where classic
+    @udtf is row-by-row. Emits per-doc token stats computed entirely with
+    pyarrow.compute kernels."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="doc_id bigint, n_tokens bigint, n_uppercase bigint")
+    class _TokenStats:
+        def eval(self, batch: pa.RecordBatch):
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            toks = pc.split_pattern(text, " ")
+            n_tokens = pc.list_value_length(toks).cast(pa.int64())
+            # tokens starting with an ASCII uppercase letter, per doc:
+            # count via flattened parent indices (vectorized, no Python loop)
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks)
+            is_upper = pc.match_substring_regex(flat, "^[A-Z]")
+            upper_parents = pc.filter(parents, is_upper)
+            counts = [0] * len(doc_id)
+            for p in upper_parents.to_pylist():
+                counts[p] += 1
+            yield pa.table(
+                {
+                    "doc_id": doc_id,
+                    "n_tokens": n_tokens,
+                    "n_uppercase": pa.array(counts, pa.int64()),
+                }
+            )
+
+    return _TokenStats
+
+
+@query(
+    "udtf_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> regexp_matches(t, '^[A-Z]')))
+                AS BIGINT) AS n_uppercase
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native UDTF (NEW in Spark 4.1: @arrow_udtf) — the batch-
+    vectorized sibling of `udtf_python`: eval() consumes whole pyarrow
+    RecordBatches and yields Tables, so the per-row Python dispatch that
+    makes classic UDTFs the slow path disappears; the token split and
+    regex run as pyarrow.compute kernels over the batch.
+
+    Scale: same contract as mapInPandas — constant memory per batch,
+    fully parallel per input split; the one remaining Python loop (the
+    parent-index fold) is per-batch and bounded by batch size."""
+    load_tables(spark, sf_dir).documents.filter(
+        F.col("doc_id") < 2000
+    ).select("doc_id", "text").createOrReplaceTempView("pyetl_arrow_docs")
+    spark.udtf.register("pyetl_token_stats", _arrow_token_stats_udtf())
+    return spark.sql(
+        "SELECT * FROM pyetl_token_stats(TABLE(pyetl_arrow_docs))"
+    )

@@ -19,7 +19,9 @@ join graph stays intact and key cardinalities scale like the data:
   a bigger SF looks like.
 
 Written with DuckDB (fast, single pass per table) as plain parquet.
-Run: python scripts/gen_sf1.py [outdir]   (default testdata_sf1/)
+Run: python scripts/gen_sf1.py [outdir] [replicas]
+     (defaults: testdata_sf1/, 10 — pass e.g. 30 for an sf3-scale set,
+     which adds a third point to the scaling curve)
 """
 
 from __future__ import annotations
@@ -38,6 +40,9 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "testdata_sf1",
     )
+    global REPLICAS
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")

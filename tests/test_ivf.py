@@ -165,3 +165,30 @@ def test_persisted_index_matches_in_memory_path(spark):
                     round(r["sim"], 9)) for r in mem]) == \
            sorted([(r["probe_id"], r["rank"], r["cand_id"],
                     round(r["sim"], 9)) for r in per])
+
+
+def test_nearest_cell_jvm_and_arrow_paths_bit_identical(spark, corpus):
+    """_nearest_cell has two physical forms (inlined JVM expression below
+    _KERNEL_MIN_K, Arrow numpy kernel above) that must be BIT-identical:
+    the kernel accumulates over the dimension axis in the same order as
+    the zip_with/aggregate expression and argmin's first-min tie-break
+    equals the (dist, cell) struct min. Force both paths over the SAME
+    k=20 centroids and compare every (id, cell, dist) exactly."""
+    import pyetl_spark.operators.ivf as ivf
+
+    cents = ivf.kmeans_fit(corpus, k=20, iters=1)
+    old = ivf._KERNEL_MIN_K
+    try:
+        ivf._KERNEL_MIN_K = 10_000  # force JVM expression path
+        jvm = {
+            r["vec_id"]: (r["cell"], r["dist"])
+            for r in ivf._nearest_cell(corpus, cents, "e").collect()
+        }
+        ivf._KERNEL_MIN_K = 1  # force Arrow kernel path
+        ker = {
+            r["vec_id"]: (r["cell"], r["dist"])
+            for r in ivf._nearest_cell(corpus, cents, "e").collect()
+        }
+    finally:
+        ivf._KERNEL_MIN_K = old
+    assert jvm == ker  # exact: same cells AND the same double bits

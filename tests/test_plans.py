@@ -618,6 +618,9 @@ _PYTHON_EVAL_OK = {
     "udtf_python",             # mandated Python UDTF
     "udtf_table_arg",          # TABLE-argument UDTF (declared slow-path
                                # boundary proof, id-bounded input)
+    "udf_arrow_scalar",        # Spark 4.1 @arrow_udf boundary proof
+    "udtf_arrow",              # Spark 4.1 @arrow_udtf (batch-vectorized
+                               # UDTF boundary proof, id-bounded input)
     "grouped_map_applyInPandas",  # mandated grouped-map surface
     "map_partitions_arrow",    # mandated mapInPandas escape hatch
     "win_udaf_pandas",         # windowed pandas UDAF (bounded frames)
