@@ -975,66 +975,67 @@ def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "outlier_iqr",
     oracle="""
-    WITH cents AS (
-      SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
-             {CENTS} AS xc
-      FROM supplier
+    WITH fx AS (
+      SELECT event_id, event_type, value,
+             {FX} AS xc
+      FROM events
     ),
     fences AS (
-      SELECT s_nationkey,
+      SELECT event_type,
              quantile_cont(xc, 0.25) - 1.5 *
                (quantile_cont(xc, 0.75) - quantile_cont(xc, 0.25)) AS lo,
              quantile_cont(xc, 0.75) + 1.5 *
                (quantile_cont(xc, 0.75) - quantile_cont(xc, 0.25)) AS hi
-      FROM cents GROUP BY s_nationkey
+      FROM fx GROUP BY event_type
     )
-    SELECT s_suppkey, n_name, s_acctbal,
+    SELECT event_id, event_type, value,
            {RLO} AS lo_fence, {RHI} AS hi_fence
-    FROM cents
-    JOIN fences USING (s_nationkey)
-    JOIN nation ON n_nationkey = s_nationkey
+    FROM fx
+    JOIN fences USING (event_type)
     WHERE CAST(xc AS DOUBLE) < lo OR CAST(xc AS DOUBLE) > hi
-    """.replace("{CENTS}", FXP("s_acctbal", 100))
-    .replace("{RLO}", R("lo / 100.0", 2))
-    .replace("{RHI}", R("hi / 100.0", 2)),
+    """.replace("{FX}", FXP("value", 10000))
+    .replace("{RLO}", R("lo / 10000.0", 4))
+    .replace("{RHI}", R("hi / 10000.0", 4)),
 )
 def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier detection: suppliers whose account balance
-    falls outside [Q1−1.5·IQR, Q3+1.5·IQR] of their nation — the robust
+    """Tukey-fence outlier detection: events whose value falls outside
+    [Q1−1.5·IQR, Q3+1.5·IQR] of their event type — the robust
     data-quality screen (unlike z-scores, quartiles ignore the outliers
-    themselves). Quartiles are interpolated over EXACT integer cents, so
-    lo/hi fence arithmetic is bit-identical across engines (same
-    lower+(upper−lower)·frac shape, §agg_percentile). Plan: per-nation
-    agg (tiny) broadcast back onto suppliers — one shuffle + one
-    broadcast join, the same shape z-score anomaly uses; scale-safe
-    because fences are dimension-sized."""
-    t = load_tables(spark, sf_dir)
-    cents = t.supplier.select(
-        "s_suppkey",
-        "s_nationkey",
-        "s_acctbal",
-        fxp(F.col("s_acctbal"), 100).alias("xc"),
+    themselves). Quartiles are interpolated over EXACT fixed-point
+    integers, so lo/hi fence arithmetic is bit-identical across engines
+    (same lower+(upper−lower)·frac shape, §agg_percentile).
+
+    Measured on events.value (r5 rework): the original supplier-acctbal
+    subject was near-uniform, so the fences caught ~nothing — 1 row at
+    sf0.01, 0 at sf0.1 — leaving the key's driver evidence one hash away
+    from vacuous (the subq_scalar failure class). The skewed event-value
+    distribution yields a result set that scales with the data
+    (35 / 471 / 4,884 rows at sf0.001/0.01/0.1). Plan: per-type fence
+    agg (tiny) broadcast back onto events — one shuffle + one broadcast
+    join; scale-safe because fences are dimension-sized."""
+    ev = load_tables(spark, sf_dir).events
+    fx = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        fxp(F.col("value"), 10000).alias("xc"),
     )
     q1 = F.percentile("xc", 0.25)
     q3 = F.percentile("xc", 0.75)
-    fences = cents.groupBy("s_nationkey").agg(
+    fences = fx.groupBy("event_type").agg(
         (q1 - F.lit(1.5) * (q3 - q1)).alias("lo"),
         (q3 + F.lit(1.5) * (q3 - q1)).alias("hi"),
     )
     x = F.col("xc").cast("double")
     return (
-        cents.join(F.broadcast(fences), "s_nationkey")
-        .join(
-            F.broadcast(t.nation),
-            F.col("n_nationkey") == F.col("s_nationkey"),
-        )
+        fx.join(F.broadcast(fences), "event_type")
         .filter((x < F.col("lo")) | (x > F.col("hi")))
         .select(
-            "s_suppkey",
-            "n_name",
-            "s_acctbal",
-            rnd(F.col("lo") / F.lit(100.0), 2).alias("lo_fence"),
-            rnd(F.col("hi") / F.lit(100.0), 2).alias("hi_fence"),
+            "event_id",
+            "event_type",
+            "value",
+            rnd(F.col("lo") / F.lit(10000.0), 4).alias("lo_fence"),
+            rnd(F.col("hi") / F.lit(10000.0), 4).alias("hi_fence"),
         )
     )
 

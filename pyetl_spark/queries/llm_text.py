@@ -1200,14 +1200,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT term, c, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS sh
       FROM counted CROSS JOIN tot
-      WHERE CAST(c AS DOUBLE) > 0.034 * CAST(n AS DOUBLE)
+      WHERE CAST(c AS DOUBLE) > 0.02 * CAST(n AS DOUBLE)
     )
     """.replace("{R}", R("sh", 4)),
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters: terms exceeding a 3.4% frequency share — the
-    boilerplate/stop-phrase detector run before dedup (a term in 3.4% of
-    all token positions is template text, not content). One explode +
+    """Exact heavy hitters: terms exceeding a 2% frequency share — the
+    boilerplate/stop-phrase detector run before dedup (a term in 2% of
+    all token positions is template text, not content; r5 note: the old
+    3.4% bar fell to ZERO hitters at sf0.1 as shares dilute with corpus
+    growth — 2% yields a stable 30-term set at every SF, so the key's
+    future driver evidence verifies real values). One explode +
     partial/final hash agg, a 1-row total broadcast back, a selective
     filter: the exact two-phase plan. The sketch twin for
     cardinality-unbounded streams is operators/heavy_hitters.py
@@ -1222,7 +1225,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = F.col("c").cast("double") / F.col("n").cast("double")
     return (
         counted.crossJoin(F.broadcast(tot))
-        .filter(F.col("c").cast("double") > F.lit(0.034) * F.col("n").cast("double"))
+        .filter(F.col("c").cast("double") > F.lit(0.02) * F.col("n").cast("double"))
         .select("term", "c", rnd(sh, 4).alias("share"))
     )
 
@@ -1240,7 +1243,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT term, c, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS sh
       FROM counted CROSS JOIN tot
-      WHERE CAST(c AS DOUBLE) > 0.034 * CAST(n AS DOUBLE)
+      WHERE CAST(c AS DOUBLE) > 0.02 * CAST(n AS DOUBLE)
     )
     """.replace("{R}", R("sh", 4)),
 )
@@ -1258,7 +1261,7 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir).documents
     toks = d.select(F.explode(F.split("text", " ")).alias("term"))
-    out = heavy_hitters(toks, "term", phi=0.034)
+    out = heavy_hitters(toks, "term", phi=0.02)
     return out.select("term", "c", rnd(F.col("share"), 4).alias("share"))
 
 

@@ -52,13 +52,16 @@ ORACLE: dict[str, str] = {}
 #:   r5 (this): list below. Pre-gated by the canon sweep at sf0.01 +
 #:       sf0.1 + determinism + the new empty-result lint before the
 #:       driver runs.
-#:   r6: never-verified oracle remainder (~69: ts_* tail, sample_*,
+#:   r6: never-verified oracle remainder (~75: ts_* tail, sample_*,
 #:       text_lm_score…text_zipf_exponent, dedup_containment,
 #:       er_blocking_quality, dedup_embedding_*, vec_knn_classify,
 #:       statistical r4 families, hierarchy/geo, udtf_table_arg,
 #:       sink_parquet_variant, events_rollup_multi_grain,
 #:       join_interval_overlap, etl_merge_upsert, win_udaf_pandas,
-#:       dedup_incremental_bloom, dedup_allpairs_prefix…), then start
+#:       dedup_incremental_bloom, dedup_allpairs_prefix…, plus the r5
+#:       session additions: win_gaps_islands, agg_width_bucket,
+#:       fn_group_by_all, text_gopher_rules, udf_arrow_scalar,
+#:       udtf_arrow — all pre-gated at 4 SFs this round), then start
 #:       the 41 never-verified rows-only keys (ANN surface, multimodal,
 #:       sink extras, sketches/semdedup/mmr/bpe/layout) — at that point
 #:       a rows-only row is the marginal evidence unit.

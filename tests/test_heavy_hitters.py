@@ -55,8 +55,10 @@ def test_share_is_true_global_share(spark):
 
 
 def test_agrees_with_declared_query_on_fixture(spark):
-    """On the documents fixture the operator at phi=0.034 returns the
-    same term set as the exact Tier-A text_heavy_hitters query."""
+    """On the documents fixture the operator at phi=0.02 (the declared
+    queries' threshold — lowered from 3.4% in r5 so the hitter set stays
+    non-empty as shares dilute with corpus growth) returns the same term
+    set as the exact Tier-A text_heavy_hitters query."""
     from pyetl_spark import registry
 
     registry.load_all()
@@ -64,7 +66,7 @@ def test_agrees_with_declared_query_on_fixture(spark):
     toks = d.select(F.explode(F.split("text", " ")).alias("term"))
     got = {
         r["term"]: r["c"]
-        for r in heavy_hitters(toks, "term", phi=0.034).collect()
+        for r in heavy_hitters(toks, "term", phi=0.02).collect()
     }
     want = {
         r["term"]: r["c"]
