@@ -61,14 +61,20 @@ def kmv_sketch(
     group_cols: list[str],
     value_col: str,
     k: int = 256,
+    hash_fn=None,
 ) -> DataFrame:
     """Exact bottom-k hash sketch per group: (group_cols..., kmv: array<long>).
 
     Two bounded passes (see module docstring); the returned array is
     ascending-sorted, length ``min(k, distinct(value_col))``.
+
+    ``hash_fn`` (Column -> Column) defaults to xxhash64 — the scale path.
+    Pass ``parity.phash60`` to build a cross-engine-verifiable sketch (a
+    DuckDB oracle can replay the identical hash); the bottom-k algebra is
+    hash-agnostic, only the estimator's grid changes (see kmv_estimate).
     """
     hashed = df.select(
-        *group_cols, _hash64(F.col(value_col)).alias("_h")
+        *group_cols, (hash_fn or _hash64)(F.col(value_col)).alias("_h")
     )
     # Pass 1: per-(group, bucket) minima -> per-group threshold tau.
     # Guard: tau = max(bucket minima) only bounds the k-th minimum when
@@ -103,17 +109,27 @@ def kmv_sketch(
     )
 
 
-def kmv_estimate(kmv: Column, k: int = 256) -> Column:
+def kmv_estimate(kmv: Column, k: int = 256, grid: float | None = None) -> Column:
     """Unbiased distinct-count estimate from an ascending bottom-k array.
 
     If the sketch is unsaturated (fewer than k values survive, i.e. the
     set had < k distinct values) the count is EXACT = size(kmv); else
     D̂ = (k-1)/u_k with u_k = kth minimum on the unsigned (0,1] grid.
+
+    ``grid=None`` (default) treats values as signed xxhash64 longs and
+    shifts them onto the unsigned 2^64 grid. For a non-negative hash on
+    [0, grid) — e.g. ``parity.PHASH60_GRID`` — pass its size and
+    u_k = (h_k + 1) / grid.
     """
     n = F.size(kmv)
-    kth_u = (
-        F.element_at(kmv, k).cast("double") + F.lit(_TWO63) + F.lit(1.0)
-    ) / F.lit(_TWO64)
+    if grid is None:
+        kth_u = (
+            F.element_at(kmv, k).cast("double") + F.lit(_TWO63) + F.lit(1.0)
+        ) / F.lit(_TWO64)
+    else:
+        kth_u = (
+            F.element_at(kmv, k).cast("double") + F.lit(1.0)
+        ) / F.lit(float(grid))
     return F.when(n < k, n.cast("double")).otherwise(
         F.lit(float(k - 1)) / kth_u
     )
@@ -145,6 +161,8 @@ def kmv_jaccard(a: Column, b: Column, k: int = 256) -> Column:
     return both.cast("double") / F.size(u).cast("double")
 
 
-def kmv_intersect_estimate(a: Column, b: Column, k: int = 256) -> Column:
+def kmv_intersect_estimate(
+    a: Column, b: Column, k: int = 256, grid: float | None = None
+) -> Column:
     """|A ∩ B| estimate = Jaccard(A,B) · |A ∪ B|-estimate."""
-    return kmv_jaccard(a, b, k) * kmv_estimate(kmv_union(a, b, k), k)
+    return kmv_jaccard(a, b, k) * kmv_estimate(kmv_union(a, b, k), k, grid)

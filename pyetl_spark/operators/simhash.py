@@ -60,17 +60,25 @@ def simhash(tokens_col: Column) -> Column:
 
 
 def simhash_df(
-    docs: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    hash_fn=None,
 ) -> DataFrame:
     """DataFrame(id, sh): simhash per doc via explode + 64 flat aggregates.
 
     This is the production path: the Column fold above compiles a 64-wide
     array op per token (megabytes of codegen, slow to JIT); exploding to
     (doc, token_hash) rows and aggregating 64 simple bit-count sums keeps
-    codegen flat and gets map-side partial aggregation for free."""
+    codegen flat and gets map-side partial aggregation for free.
+
+    ``hash_fn`` (Column -> Column) defaults to xxhash64 (the scale path).
+    ``parity.phash60`` makes the fingerprints cross-engine replayable (a
+    60-bit simhash — the top 4 bit-majorities are vacuously 0); the
+    voting/banding algebra is identical either way."""
     exploded = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_t")
-    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    ).select("_id", (hash_fn or F.xxhash64)(F.col("_t")).alias("_h"))
     aggs = [
         F.sum((F.col("_h").bitwiseAND(F.lit(m)) != 0).cast("long")).alias(
             f"_c{j}"
@@ -159,8 +167,9 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     max_hamming: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming (see
     hamming_band_pairs for the blocking scheme)."""
-    sh = simhash_df(docs, id_col, tokens_col)
+    sh = simhash_df(docs, id_col, tokens_col, hash_fn=hash_fn)
     return hamming_band_pairs(sh, id_col, "sh", max_hamming)

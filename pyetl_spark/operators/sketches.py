@@ -12,8 +12,9 @@ Point queries re-hash the probe terms with the same seeds and take the
 min across depth rows — the classic CMS overestimate-only guarantee:
   est ≥ true,  P[est > true + ε·N] ≤ δ  with width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
 Quality is engine-tested in tests/test_approx_operators.py against exact
-counts (never oracle-matched — estimates depend on xxhash64, which DuckDB
-doesn't implement).
+counts. The default hash family is xxhash64 (JVM-fast, Spark-only); pass
+``seeded_hash=parity.phash60_seeded`` to build a sketch a DuckDB oracle
+can replay bit-for-bit (how `text_count_min_freq` earns Tier A).
 """
 
 from __future__ import annotations
@@ -28,10 +29,13 @@ def _seeds(depth: int):
     ).alias("seed")
 
 
-def _bucket(token_col, width: int):
-    return F.pmod(F.xxhash64(F.col("seed"), token_col), F.lit(width)).alias(
-        "bucket"
-    )
+def _default_seeded_hash(seed_col, token_col):
+    return F.xxhash64(seed_col, token_col)
+
+
+def _bucket(token_col, width: int, seeded_hash=None):
+    h = (seeded_hash or _default_seeded_hash)(F.col("seed"), token_col)
+    return F.pmod(h, F.lit(width)).alias("bucket")
 
 
 def cms_build(
@@ -40,6 +44,7 @@ def cms_build(
     weight_col: str | None = None,
     depth: int = 4,
     width: int = 4096,
+    seeded_hash=None,
 ) -> DataFrame:
     """Aggregate a token stream into a count-min sketch.
 
@@ -51,7 +56,7 @@ def cms_build(
         F.col(token_col).alias("_tok"),
         *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
         _seeds(depth),
-    ).select("seed", _bucket(F.col("_tok"), width),
+    ).select("seed", _bucket(F.col("_tok"), width, seeded_hash),
              *( [F.col("_w")] if weight_col else [] ))
     agg = F.sum("_w") if weight_col else F.count(F.lit(1))
     return cells.groupBy("seed", "bucket").agg(agg.cast("long").alias("cnt"))
@@ -63,6 +68,7 @@ def cms_estimate(
     token_col: str = "token",
     depth: int = 4,
     width: int = 4096,
+    seeded_hash=None,
 ) -> DataFrame:
     """Point-query the sketch for each probe term.
 
@@ -73,7 +79,7 @@ def cms_estimate(
     """
     probed = probes.select(
         F.col(token_col).alias("token"), _seeds(depth)
-    ).select("token", "seed", _bucket(F.col("token"), width))
+    ).select("token", "seed", _bucket(F.col("token"), width, seeded_hash))
     joined = probed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
     return (
         joined.withColumn("cnt", F.coalesce("cnt", F.lit(0)))

@@ -83,3 +83,51 @@ def MAVG(expr: str, scale: int, out_dp: int = 4) -> str:
     """DuckDB SQL twin of ``mavg``."""
     total = f"CAST(sum({FXP(expr, scale)}) AS DOUBLE) / {float(scale):.1f}"
     return R(f"{total} / count(*)", out_dp)
+
+
+#: Grid size of the portable 60-bit hash: values are uniform on
+#: [0, 2^60), so u = (h + 1) / 2^60 maps them onto (0, 1].
+PHASH60_GRID = float(1 << 60)
+
+
+def phash60(c: Column) -> Column:
+    """Cross-engine uniform 60-bit hash: first 15 md5 hex chars as BIGINT.
+
+    The sketch-parity sibling of ``rnd``/``fxp``: ``xxhash64`` is
+    Spark-only, so any key whose *evidence* must hash-match a DuckDB
+    oracle hashes through this instead (md5 is bit-identical on both
+    engines; 15 hex chars = 60 bits keeps the value positive in a signed
+    64-bit lane on both). Input is stringified first so integer keys
+    format identically ('123') on both engines."""
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def PHASH60(expr: str) -> str:
+    """DuckDB SQL twin of ``phash60``."""
+    return (
+        f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+
+
+def phash60_seeded(seed: Column, c: Column) -> Column:
+    """Seeded ``phash60``: hash of 'seed|value' — the cross-engine
+    stand-in for xxhash64(seed, col) in sketch families (CMS, MinHash
+    permutations) whose evidence must replay on DuckDB."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", seed.cast("string"), c.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def PHASH60_SEEDED(seed: str, expr: str) -> str:
+    """DuckDB SQL twin of ``phash60_seeded``."""
+    inner = f"CAST({seed} AS VARCHAR) || '|' || CAST({expr} AS VARCHAR)"
+    return f"CAST('0x' || substring(md5({inner}), 1, 15) AS BIGINT)"

@@ -1,9 +1,15 @@
-"""Tier-B query surface for the approximate scale-path operators
+"""Query surface for the approximate scale-path operators
 (SURVEY.md §2.10 `dedup_minhash_lsh` + north-star SimHash / ANN).
 
-Approximate results never hash-match an oracle (SURVEY §5.3 bans declaring
-them), so these register rows-only; their quality gates are the recall
-tests in tests/test_approx_operators.py against the exact Tier-A twins.
+Most keys here register rows-only (Tier B): results that depend on
+sampling, floating-point iteration, or Spark-only hashes never hash-match
+an oracle (SURVEY §5.3 bans declaring them), and their quality gates are
+the recall tests in tests/test_approx_operators.py against the exact
+Tier-A twins. The exceptions are `dedup_simhash` and
+`text_count_min_freq`: those sketches are DETERMINISTIC given their hash
+family, so routing them through the cross-engine ``parity.phash60``
+hashes makes the full sketch pipeline oracle-replayable (Tier A) while
+xxhash64 stays the operators' default at scale.
 """
 
 from __future__ import annotations
@@ -12,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.knn import cosine_topk_lsh
-from pyetl_spark.parity import rnd
+from pyetl_spark.parity import PHASH60, PHASH60_SEEDED, rnd
 from pyetl_spark.operators.minhash import (
     minhash_dedup_assign,
     minhash_near_dup_pairs,
@@ -100,13 +106,71 @@ def pipeline_training_corpus_neardup(
     )
 
 
-@query("dedup_simhash")  # Tier B — approximate, rows-only
+def _simhash_bit_terms() -> str:
+    """60 bit-majority CASE terms of the oracle simhash (bits 60-63 of
+    the 60-bit portable hash are always 0, so their majorities vanish)."""
+    terms = [
+        "CASE WHEN 2 * len(list_filter(hs, x -> ((x >> %d) & 1) = 1)) > n"
+        " THEN CAST(%d AS BIGINT) ELSE CAST(0 AS BIGINT) END" % (j, 1 << j)
+        for j in range(60)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, tk -> {PHASH60("tk")}) AS hs
+      FROM t
+    ),
+    s AS (SELECT doc_id, ({_simhash_bit_terms()}) AS sh FROM h),
+    b AS (
+      SELECT doc_id, sh,
+             (sh & 65535) AS b0, ((sh >> 16) & 65535) AS b1,
+             ((sh >> 32) & 65535) AS b2, ((sh >> 48) & 65535) AS b3
+      FROM s
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b, a.sh AS sh_a, c.sh AS sh_b
+      FROM b a JOIN b c ON a.b0 = c.b0 AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.sh, c.sh
+      FROM b a JOIN b c ON a.b1 = c.b1 AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.sh, c.sh
+      FROM b a JOIN b c ON a.b2 = c.b2 AND a.doc_id < c.doc_id
+      UNION
+      SELECT a.doc_id, c.doc_id, a.sh, c.sh
+      FROM b a JOIN b c ON a.b3 = c.b3 AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (north star: SimHash dedup): 64-bit
     fingerprints, 16-bit-band blocking, hamming <= 3 — linear-cost
-    near-dup sweep for very large corpora."""
+    near-dup sweep for very large corpora.
+
+    Tier A via ``parity.phash60``: simhash is DETERMINISTIC given the
+    token hash (bit-majority votes + banding — no sampling anywhere), so
+    with a cross-engine hash the whole pipeline is oracle-replayable. The
+    oracle recomputes the 60 bit-majorities per doc and mirrors the
+    4x16-bit band blocking as four equi-joins (pigeonhole keeps both
+    sides COMPLETE for hamming <= 3 — this also keeps the oracle
+    sub-quadratic, unlike the declared quadratic jaccard twins).
+    xxhash64 stays the operator default at scale."""
+    from pyetl_spark.parity import phash60
+
     return simhash_near_dup_pairs(
-        _doc_tokens(spark, sf_dir), max_hamming=3
+        _doc_tokens(spark, sf_dir), max_hamming=3, hash_fn=phash60
     ).orderBy("id_a", "id_b")
 
 
@@ -391,7 +455,43 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("text_count_min_freq")  # Tier B — sketch estimates, rows-only
+@query(
+    "text_count_min_freq",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t AS token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS u(t)
+      WHERE t <> ''
+    ),
+    cells AS (
+      SELECT s.seed, ({PHASH60_SEEDED("s.seed", "token")}) % 4096 AS bucket
+      FROM tok CROSS JOIN (VALUES (0), (1), (2), (3)) s(seed)
+    ),
+    sk AS (SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (
+      SELECT token, count(*) AS exact_count FROM tok GROUP BY token
+    ),
+    probes AS (
+      SELECT token, exact_count FROM exact
+      ORDER BY exact_count DESC, token LIMIT 40
+    ),
+    pcells AS (
+      SELECT p.token, p.exact_count, s.seed,
+             ({PHASH60_SEEDED("s.seed", "p.token")}) % 4096 AS bucket
+      FROM probes p CROSS JOIN (VALUES (0), (1), (2), (3)) s(seed)
+    ),
+    est AS (
+      SELECT pc.token, pc.exact_count,
+             min(coalesce(sk.cnt, 0)) AS est_count
+      FROM pcells pc
+      LEFT JOIN sk ON sk.seed = pc.seed AND sk.bucket = pc.bucket
+      GROUP BY pc.token, pc.exact_count
+    )
+    SELECT token, exact_count, est_count,
+           est_count - exact_count AS overcount
+    FROM est
+    """,
+)
 def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch term frequencies vs exact truth (north star:
     streaming/merged frequency stats where an exact per-term groupBy is
@@ -400,17 +500,28 @@ def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-40 terms — the eval twin, same pattern as vec_ann_recall_eval)
     is re-hashed and broadcast-joined against it. Output carries both
     est and exact so the overestimate-only guarantee is visible; bounds
-    are pinned in tests/test_approx_operators.py."""
+    are pinned in tests/test_approx_operators.py.
+
+    Tier A via ``parity.phash60_seeded``: a CMS is DETERMINISTIC given
+    its hash family, so with the cross-engine seeded hash the oracle
+    rebuilds the identical (4 x 4096) counter table and replays the
+    min-across-seeds point queries — sketch construction, bucket
+    collisions, and the overestimate arithmetic all hash-checked.
+    xxhash64 stays the operator default at scale."""
     from pyetl_spark.operators.sketches import cms_build, cms_estimate
+    from pyetl_spark.parity import phash60_seeded
 
     d = load_tables(spark, sf_dir).documents
     tokens = d.select(
         F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    sketch = cms_build(tokens, depth=4, width=4096)
+    sketch = cms_build(tokens, depth=4, width=4096, seeded_hash=phash60_seeded)
     exact = tokens.groupBy("token").agg(F.count("*").alias("exact_count"))
     probes = exact.orderBy(F.desc("exact_count"), "token").limit(40)
-    est = cms_estimate(probes.select("token"), sketch, depth=4, width=4096)
+    est = cms_estimate(
+        probes.select("token"), sketch, depth=4, width=4096,
+        seeded_hash=phash60_seeded,
+    )
     return (
         est.join(probes, "token")
         .select(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import FXP, R, fxp, rnd
+from pyetl_spark.parity import FXP, PHASH60, R, fxp, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -1557,36 +1557,119 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_kmv_distinct")  # Tier B: sketch estimate (exact bottom-k, approx count)
+_KMV_EST = (
+    "CASE WHEN n_distinct < 256 THEN CAST(n_distinct AS DOUBLE) "
+    "ELSE 255.0 / ((CAST(h_k AS DOUBLE) + 1.0) / 1152921504606846976.0) END"
+)
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {PHASH60("user_id")} AS hv FROM events
+    ),
+    rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE rn <= 256) AS INT) AS sketch_size,
+             count(*) AS n_distinct,
+             max(CASE WHEN rn = 256 THEN hv END) AS h_k
+      FROM rk GROUP BY event_type
+    )
+    SELECT event_type, sketch_size, {R(_KMV_EST, 2)} AS approx_users
+    FROM agg
+    """,
+)
 def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta bottom-k distinct sketch per event_type (operators/kmv.py):
-    the k smallest xxhash64 values of user_id, built with bounded state in
+    the k smallest hash values of user_id, built with bounded state in
     two map-combinable passes (bucket-minima threshold, then exact refine
     — NEVER a per-group collect of all distinct hashes), then the
     Beyer-et-al (k-1)/u_k estimator. Groups with < k distinct users are
     EXACT by construction (the sketch is the whole hash set).
 
+    Tier A via the cross-engine ``phash60`` hash (parity.py): the oracle
+    replays the identical md5-prefix hash and k-th-minimum arithmetic in
+    SQL, so the driver hash-checks the ENTIRE sketch pipeline — bottom-k
+    selection, saturation branch, estimator grid. xxhash64 remains the
+    operator's default at scale (hash choice is orthogonal to the
+    algebra; tests/test_kmv.py gates both).
+
     vs agg_hll_sketch_merge: HLL is smaller per sketch; KMV's value lists
     additionally support lossless union and intersection/Jaccard
     estimation (agg_kmv_overlap). At 100 TB both passes are partial/final
-    aggregates on (type, bucket) — no skew, no unbounded buffers.
-    Accuracy gates live in tests/test_kmv.py."""
+    aggregates on (type, bucket) — no skew, no unbounded buffers."""
     from pyetl_spark.operators.kmv import kmv_estimate, kmv_sketch
+    from pyetl_spark.parity import PHASH60_GRID, phash60
 
     ev = load_tables(spark, sf_dir).events
     k = 256
-    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k, hash_fn=phash60)
     return (
         sk.select(
             "event_type",
             F.size("kmv").alias("sketch_size"),
-            rnd(kmv_estimate(F.col("kmv"), k), 2).alias("approx_users"),
+            rnd(
+                kmv_estimate(F.col("kmv"), k, grid=PHASH60_GRID), 2
+            ).alias("approx_users"),
         )
         .orderBy("event_type")
     )
 
 
-@query("agg_kmv_overlap")  # Tier B: sketch-based set-op estimates
+_KMV_UEST = (
+    "CASE WHEN u_size < 256 THEN CAST(u_size AS DOUBLE) "
+    "ELSE 255.0 / ((CAST(h_k AS DOUBLE) + 1.0) / 1152921504606846976.0) END"
+)
+_KMV_JACC = "(CAST(both_cnt AS DOUBLE) / CAST(u_size AS DOUBLE))"
+
+
+@query(
+    "agg_kmv_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {PHASH60("user_id")} AS hv FROM events
+    ),
+    rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT event_type, hv FROM rk WHERE rn <= 256),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    pr AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM ty a JOIN ty b ON a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT pr.ta, pr.tb, s.hv,
+             max(CASE WHEN s.event_type = pr.ta THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.event_type = pr.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pr JOIN sk s ON s.event_type IN (pr.ta, pr.tb)
+      GROUP BY pr.ta, pr.tb, s.hv
+    ),
+    urk AS (
+      SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS urn
+      FROM m
+    ),
+    u AS (
+      SELECT ta, tb, count(*) AS u_size,
+             max(CASE WHEN urn = 256 THEN hv END) AS h_k,
+             count(*) FILTER (WHERE in_a = 1 AND in_b = 1) AS both_cnt
+      FROM urk WHERE urn <= 256 GROUP BY ta, tb
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           {R(_KMV_UEST, 2)} AS approx_union,
+           {R(_KMV_JACC, 4)} AS approx_jaccard,
+           {R(f"{_KMV_JACC} * ({_KMV_UEST})", 2)} AS approx_intersect
+    FROM u
+    """,
+)
 def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap from mergeable sketches: pairwise union size,
     Jaccard, and intersection size of per-event-type KMV user sketches —
@@ -1599,7 +1682,13 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation after that is array algebra on k-bounded lists. That is
     the point at 100 TB: overlap questions over any pair (or rollup) of
     pre-built sketches never rescan the corpus. Exact-overlap twin:
-    events_audience_overlap. Accuracy gates in tests/test_kmv.py."""
+    events_audience_overlap. Accuracy gates in tests/test_kmv.py.
+
+    Tier A via ``phash60`` (see agg_kmv_distinct): the oracle rebuilds
+    the per-type truncated sketches with the same hash, merges them per
+    pair, and replays the union/Jaccard/intersection estimators — the
+    lossless-union property (bottom-k of truncated lists == bottom-k of
+    the full union) is therefore hash-verified, not just unit-tested."""
     from pyetl_spark.operators.kmv import (
         kmv_estimate,
         kmv_intersect_estimate,
@@ -1607,10 +1696,11 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch,
         kmv_union,
     )
+    from pyetl_spark.parity import PHASH60_GRID, phash60
 
     ev = load_tables(spark, sf_dir).events
     k = 256
-    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k)
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=k, hash_fn=phash60)
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
     )
@@ -1622,13 +1712,37 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "type_a",
         "type_b",
-        rnd(kmv_estimate(kmv_union(ka, kb, k), k), 2).alias("approx_union"),
+        rnd(
+            kmv_estimate(kmv_union(ka, kb, k), k, grid=PHASH60_GRID), 2
+        ).alias("approx_union"),
         rnd(kmv_jaccard(ka, kb, k), 4).alias("approx_jaccard"),
-        rnd(kmv_intersect_estimate(ka, kb, k), 2).alias("approx_intersect"),
+        rnd(
+            kmv_intersect_estimate(ka, kb, k, grid=PHASH60_GRID), 2
+        ).alias("approx_intersect"),
     ).orderBy("type_a", "type_b")
 
 
-@query("join_cardinality_estimate")  # Tier B: sampling estimate
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, count(*) AS c FROM orders
+      WHERE {PHASH60("o_orderkey")} < 18014398509481984
+      GROUP BY o_orderkey
+    ),
+    b AS (
+      SELECT l_orderkey AS k, count(*) AS c2 FROM lineitem
+      WHERE {PHASH60("l_orderkey")} < 18014398509481984
+      GROUP BY l_orderkey
+    )
+    SELECT 'orders_x_lineitem_on_orderkey' AS join_id,
+           CAST(sum(c * c2) * 64 AS BIGINT) AS est_join_rows,
+           count(*) AS sampled_matched_keys,
+           CAST(max(c) AS BIGINT) AS max_left_mult,
+           CAST(max(c2) AS BIGINT) AS max_right_mult
+    FROM a JOIN b USING (k)
+    """,
+)
 def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight join-size estimation — the optimizer question "how big
     is orders ⋈ lineitem on orderkey?" answered WITHOUT running the join,
@@ -1647,15 +1761,22 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (cheap aggregates on ~p·|keys| rows pass the shuffle); at
     100 TB p shrinks with key cardinality and the sample fits in one
     executor. Exactness and error gates: tests/test_join_estimate.py
-    (the estimator is deterministic — fixed hash, fixed p)."""
+    (the estimator is deterministic — fixed hash, fixed p).
+
+    Tier A via ``parity.phash60`` (bottom 1/64 of the 2^60 grid): the
+    oracle replays the identical coordinated sample — which keys get
+    picked, every multiplicity, and the 64x scale-up are hash-checked,
+    not just bound-tested."""
+    from pyetl_spark.parity import phash60
+
     t = load_tables(spark, sf_dir)
     p_inv = 64  # sample ~1/64 of the key space
-    thresh = (1 << 63) // p_inv * 2 - (1 << 63)  # bottom 1/64 of signed range
+    thresh = (1 << 60) // p_inv  # bottom 1/64 of the phash60 grid
 
     def keyed_sample(df: DataFrame, key: str) -> DataFrame:
         return (
             df.select(F.col(key).alias("k"))
-            .filter(F.xxhash64(F.col(key)) < thresh)
+            .filter(phash60(F.col(key)) < thresh)
             .groupBy("k")
             .agg(F.count(F.lit(1)).alias("c"))
         )

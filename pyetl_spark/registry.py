@@ -62,9 +62,13 @@ ORACLE: dict[str, str] = {}
 #:       session additions: win_gaps_islands, agg_width_bucket,
 #:       fn_group_by_all, text_gopher_rules, udf_arrow_scalar,
 #:       udtf_arrow — all pre-gated at 4 SFs this round), then start
-#:       the 41 never-verified rows-only keys (ANN surface, multimodal,
-#:       sink extras, sketches/semdedup/mmr/bpe/layout) — at that point
-#:       a rows-only row is the marginal evidence unit.
+#:       the never-verified rows-only keys (ANN surface, multimodal,
+#:       sink extras, semdedup/mmr/bpe/layout; five former members of
+#:       this backlog — agg_kmv_distinct, agg_kmv_overlap, dedup_simhash,
+#:       text_count_min_freq, join_cardinality_estimate — were CONVERTED
+#:       to oracle Tier A in the r5 fourth session via parity.phash60,
+#:       so they queue as first-time oracle keys instead) — at that
+#:       point a rows-only row is the marginal evidence unit.
 #:   r7+: finish the rows-only backlog, then steady-state re-verify
 #:       rotation — oldest evidence first, plus any new keys and any
 #:       reds from the prior round.

@@ -32,6 +32,8 @@ def test_estimate_never_runs_the_join(spark):
     is the per-key aggregate, not fact rows."""
     df = registry.QUERIES["join_cardinality_estimate"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in plan
+    # the coordinated-sample filter (portable md5-prefix hash since the
+    # Tier-A conversion) must sit below the join on both scans
+    assert "md5" in plan
     # two pre-join aggregates (partial+final pairs) feed the join
     assert plan.count("HashAggregate") >= 4

@@ -152,3 +152,78 @@ def test_global_shuffle_rank_is_seed_stable_permutation(spark):
         for r in global_shuffle_rank(df, "k", seed=10).collect()
     }
     assert c != a  # different seed → different permutation
+
+
+def test_phash60_matches_duckdb_twin_exact(spark, duck):
+    """The portable 60-bit md5-prefix hash — the foundation of every
+    hash-verified sketch key (KMV, SimHash, CMS, coordinated sampling) —
+    must be bit-identical across engines for strings AND integer keys
+    (stringification must agree too)."""
+    from pyetl_spark.parity import PHASH60, phash60
+
+    svals = ["", "a", "hello world", "Ünïcode-ärgh", "0", "-17",
+             "a" * 500, "tab\tsep", "9" * 18]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(svals)],
+                               "i long, x string")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", phash60(F.col("x")).alias("y")).collect()
+    }
+    import pandas as pd
+
+    duck.register("_ph1", pd.DataFrame({"i": range(len(svals)), "x": svals}))
+    want = dict(duck.execute(f"SELECT i, {PHASH60('x')} FROM _ph1").fetchall())
+    assert got == want
+    assert all(0 <= v < (1 << 60) for v in got.values())
+
+    ivals = [0, 1, -1, 42, 2**62, -(2**62), 98765432101]
+    dfi = spark.createDataFrame([(i, v) for i, v in enumerate(ivals)],
+                                "i long, x long")
+    got_i = {
+        r["i"]: r["y"]
+        for r in dfi.select("i", phash60(F.col("x")).alias("y")).collect()
+    }
+    duck.register("_ph2", pd.DataFrame({"i": range(len(ivals)), "x": ivals}))
+    want_i = dict(
+        duck.execute(f"SELECT i, {PHASH60('x')} FROM _ph2").fetchall()
+    )
+    assert got_i == want_i
+
+
+def test_phash60_seeded_matches_duckdb_twin_exact(spark, duck):
+    from pyetl_spark.parity import PHASH60_SEEDED, phash60_seeded
+
+    rows = [(s, t) for s in range(4) for t in ["x", "longer token", "|", ""]]
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "i long, seed int, tok string",
+    )
+    got = {
+        r["i"]: r["y"]
+        for r in df.select(
+            "i", phash60_seeded(F.col("seed"), F.col("tok")).alias("y")
+        ).collect()
+    }
+    import pandas as pd
+
+    duck.register(
+        "_ph3",
+        pd.DataFrame(
+            {
+                "i": range(len(rows)),
+                "seed": [s for s, _ in rows],
+                "tok": [t for _, t in rows],
+            }
+        ),
+    )
+    want = dict(
+        duck.execute(
+            f"SELECT i, {PHASH60_SEEDED('seed', 'tok')} FROM _ph3"
+        ).fetchall()
+    )
+    assert got == want
+    # distinct seeds must decorrelate the same token (CMS depth contract)
+    by_tok: dict = {}
+    for (s, t), v in zip(rows, (got[i] for i in range(len(rows)))):
+        by_tok.setdefault(t, set()).add(v)
+    assert all(len(vs) == 4 for vs in by_tok.values())
