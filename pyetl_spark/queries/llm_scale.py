@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.knn import cosine_topk_lsh
-from pyetl_spark.parity import PHASH60, PHASH60_SEEDED, rnd
+from pyetl_spark.parity import PHASH60, PHASH60_SEEDED, R, rnd
 from pyetl_spark.operators.minhash import (
     minhash_dedup_assign,
     minhash_near_dup_pairs,
@@ -174,12 +174,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("vec_ann_lsh")  # Tier B — approximate, rows-only
+def _srp_planes_values() -> str:
+    """The SRP hyperplanes as DuckDB VALUES rows — generated from the
+    SAME ``operators.knn._planes(16, 64, 42)`` the Spark side embeds as
+    literals, so oracle and engine cannot drift."""
+    from pyetl_spark.operators.knn import _planes
+
+    return ", ".join(
+        "({}, [{}])".format(j, ", ".join(f"{v:.1f}" for v in plane))
+        for j, plane in enumerate(_planes(16, 64, 42))
+    )
+
+
+_FOLD_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+_FOLD_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, x -> x * x)), (acc, x) -> acc + x))"
+)
+
+
+@query(
+    "vec_ann_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    planes AS (SELECT * FROM (VALUES {_srp_planes_values()}) AS t(j, p)),
+    sig AS (
+      SELECT d.vec_id,
+             CAST(sum(CASE WHEN d.dot > 0
+                           THEN (CAST(1 AS BIGINT) << d.j)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+      FROM (
+        SELECT v.vec_id, pl.j,
+               {_FOLD_DOT.format(a="v.e", b="pl.p")} AS dot
+        FROM v CROSS JOIN planes pl
+      ) d
+      GROUP BY d.vec_id
+    ),
+    pb AS (
+      SELECT s.vec_id AS probe_id, b.i AS bi, (s.sig >> (4 * b.i)) & 15 AS bv
+      FROM sig s CROSS JOIN (VALUES (0), (1), (2), (3)) b(i)
+      WHERE s.vec_id < 10
+    ),
+    cb AS (
+      SELECT s.vec_id AS cand_id, b.i AS bi, (s.sig >> (4 * b.i)) & 15 AS bv
+      FROM sig s CROSS JOIN (VALUES (0), (1), (2), (3)) b(i)
+    ),
+    cand AS (
+      SELECT DISTINCT pb.probe_id, cb.cand_id
+      FROM pb JOIN cb ON pb.bi = cb.bi AND pb.bv = cb.bv
+                     AND cb.cand_id <> pb.probe_id
+    ),
+    sims AS (
+      SELECT c.probe_id, c.cand_id,
+             {_FOLD_DOT.format(a="p.e", b="q.e")}
+               / {_FOLD_NORM.format(a="p.e")}
+               / {_FOLD_NORM.format(a="q.e")} AS sim
+      FROM cand c
+      JOIN v p ON p.vec_id = c.probe_id
+      JOIN v q ON q.vec_id = c.cand_id
+    )
+    SELECT probe_id, cand_id, {R("sim", 6)} AS sim, rn AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via sign-random-projection LSH (north
     star: similarity search scale path); exact re-rank on candidates, so
     returned sims are true cosines — only the candidate set is approximate.
-    """
+
+    Tier A: SRP is DETERMINISTIC end-to-end — ±1 Rademacher hyperplanes
+    from a splitmix scramble of (seed, bit, dim), signature dot products
+    and cosine re-rank both left-fold in a fixed order (the bit-parity
+    construction vec_cosine_topk already proved), banding is integer
+    algebra. The oracle embeds the SAME plane literals (generated from
+    operators/knn._planes) and replays signature → band join → exact
+    re-rank, so the driver hash-checks which candidates the index
+    recalls, not just that some rows exist. Recall-vs-brute-force gates
+    stay in tests/test_approx_operators.py."""
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
         "vec_id",
@@ -191,7 +273,10 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = v.select(
         F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec")
     )
-    return cosine_topk_lsh(probes, corpus, k=5).orderBy("probe_id", "rank")
+    out = cosine_topk_lsh(probes, corpus, k=5)
+    return out.select(
+        "probe_id", "cand_id", rnd(F.col("sim"), 6).alias("sim"), "rank"
+    ).orderBy("probe_id", "rank")
 
 
 @query("multimodal_features")  # Tier B — stubbed decode, rows-only

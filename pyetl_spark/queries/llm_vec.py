@@ -594,7 +594,56 @@ def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_matryoshka_eval")  # Tier B: evaluation metric over rankings
+def _mat_prefix_sim(d: int) -> str:
+    """DuckDB cosine over the first ``d`` dims, fold-ordered exactly like
+    the Spark ``_dot``/``_norm_sq`` kernels (same left-to-right adds)."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {d}), i -> pe[i] * ce[i])), "
+        "(a, x) -> a + x)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform({v}[1:%d], x -> x * x)), (a, x) -> a + x))" % d
+    )
+    return f"{dot} / {nrm.format(v='pe')} / {nrm.format(v='ce')}"
+
+
+def _mat_topk(d: int) -> str:
+    return f"""
+      SELECT {d} AS dim, probe_id, cand_id FROM (
+        SELECT probe_id, cand_id, row_number() OVER (
+          PARTITION BY probe_id ORDER BY sim_{d} DESC, cand_id) AS rn
+        FROM sims
+      ) WHERE rn <= 10"""
+
+
+@query(
+    "vec_matryoshka_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, p.e AS pe, c.e AS ce
+      FROM v p JOIN v c ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+    ),
+    sims AS (
+      SELECT probe_id, cand_id,
+             {", ".join(f"{_mat_prefix_sim(d)} AS sim_{d}" for d in (8, 16, 32, 64))}
+      FROM pairs
+    ),
+    topk AS ({" UNION ALL ".join(_mat_topk(d) for d in (8, 16, 32, 64))}
+    ),
+    truth AS (SELECT probe_id, cand_id FROM topk WHERE dim = 64)
+    SELECT dim,
+           {R("CAST(count(*) AS DOUBLE) / CAST(10 * (SELECT count(*) FROM v WHERE vec_id < 10) AS DOUBLE)", 4)}
+             AS mean_recall_at_10
+    FROM topk SEMI JOIN truth USING (probe_id, cand_id)
+    GROUP BY dim
+    """,
+)
 def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval evaluation (Kusupati et al. 2022):
     how much recall@10 survives when cosine ranking uses only the first
@@ -611,7 +660,13 @@ def vec_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id tiebreak. At 100 TB the same evaluation runs on a hash
     sample of probes; the corpus side is the existing IVF/LSH bucketed
     pass, unchanged. Monotonicity and self-check gates in
-    tests/test_matryoshka.py."""
+    tests/test_matryoshka.py.
+
+    Tier A: every step is deterministic — prefix-fold cosines (the
+    bit-parity construction vec_cosine_topk proved), row_number with
+    vec_id tiebreaks, set intersection, integer counts — so the oracle
+    replays the full evaluation per dim and the driver hash-checks the
+    recall numbers themselves."""
     dims = [8, 16, 32, 64]
     k = 10
     e = load_tables(spark, sf_dir).embeddings

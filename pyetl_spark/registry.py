@@ -63,11 +63,13 @@ ORACLE: dict[str, str] = {}
 #:       fn_group_by_all, text_gopher_rules, udf_arrow_scalar,
 #:       udtf_arrow — all pre-gated at 4 SFs this round), then start
 #:       the never-verified rows-only keys (ANN surface, multimodal,
-#:       sink extras, semdedup/mmr/bpe/layout; five former members of
+#:       sink extras, semdedup/mmr/bpe/layout; seven former members of
 #:       this backlog — agg_kmv_distinct, agg_kmv_overlap, dedup_simhash,
-#:       text_count_min_freq, join_cardinality_estimate — were CONVERTED
-#:       to oracle Tier A in the r5 fourth session via parity.phash60,
-#:       so they queue as first-time oracle keys instead) — at that
+#:       text_count_min_freq, join_cardinality_estimate via
+#:       parity.phash60, plus vec_ann_lsh and vec_matryoshka_eval via
+#:       the fold-ordered cosine construction — were CONVERTED to oracle
+#:       Tier A in the r5 fourth session, so they queue as first-time
+#:       oracle keys instead) — at that
 #:       point a rows-only row is the marginal evidence unit.
 #:   r7+: finish the rows-only backlog, then steady-state re-verify
 #:       rotation — oldest evidence first, plus any new keys and any
