@@ -98,6 +98,13 @@ HEADLINE = [
     "win_gaps_islands",
     "text_gopher_rules",
     "udf_arrow_scalar",
+    # r5 session 4: the newly oracle-checked sketch families' regression
+    # sentinels — 60-bit simhash banding (explode + 64 flat bit-count
+    # aggregates + band self-join), the CMS bounded aggregate, and the
+    # SRP-LSH candidate index (signature + band join + exact re-rank)
+    "dedup_simhash",
+    "text_count_min_freq",
+    "vec_ann_lsh",
 ]
 
 
@@ -121,6 +128,11 @@ SF1_QUERIES = [
     # dedup (centroid fit + bounded per-cluster windows)
     "graph_label_propagation",
     "text_semdedup",
+    # r5 session 4: simhash's banded self-join — its signature build is
+    # corpus-linear but the PAIR LISTING grows with cluster sizes (the
+    # dup-heavy fixture makes this the worst-case shape; the assignment
+    # form via dedup_components is the 100 TB output, see SCALE.md)
+    "dedup_simhash",
 ]
 
 

@@ -39,6 +39,10 @@ PROBES = [
     "graph_label_propagation",
     "text_semdedup",
     "win_gaps_islands",
+    # r5 session 4: simhash — signature build is linear, but the pair
+    # LISTING grows with cluster sizes; the curve makes that visible
+    # (assignment via dedup_components is the linear-output route)
+    "dedup_simhash",
 ]
 
 
