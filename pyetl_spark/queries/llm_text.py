@@ -3063,6 +3063,141 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_weights() -> list[float]:
+    """Fellegi-Sunter agreement-pattern weights, precomputed in Python
+    so BOTH engines consume identical double literals (the plane-literal
+    trick from vec_ann_lsh — no runtime log() whose libm could differ).
+    Fields: mktsegment / acctbal-bucket / custkey-last-digit with fixed
+    (m, u) priors; pattern id = 4*seg + 2*bal + dig."""
+    import math
+
+    mu = [(0.9, 0.2), (0.85, 0.1), (0.12, 0.1)]  # (m, u) per field
+    out = []
+    for pid in range(8):
+        w = 0.0
+        for bit, (m, u) in zip((4, 2, 1), mu):
+            if pid & bit:
+                w += math.log2(m / u)
+            else:
+                w += math.log2((1.0 - m) / (1.0 - u))
+        out.append(w)
+    return out
+
+
+def _fs_weight_case_sql() -> str:
+    ws = _fs_weights()
+    arms = " ".join(f"WHEN {p} THEN {w!r}" for p, w in enumerate(ws))
+    return f"CASE pattern_id {arms} END"
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+             floor(c_acctbal / 1000.0) AS bal_b,
+             c_custkey % 10 AS dig
+      FROM customer WHERE c_custkey < 2500
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_seg,
+             CASE WHEN a.bal_b = b.bal_b THEN 1 ELSE 0 END AS agree_bal,
+             CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END AS agree_dig
+      FROM c a JOIN c b ON a.nat = b.nat AND a.c_custkey < b.c_custkey
+    ),
+    pat AS (
+      SELECT 4 * agree_seg + 2 * agree_bal + agree_dig AS pattern_id,
+             agree_seg, agree_bal, agree_dig, count(*) AS n_pairs
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    w AS (SELECT *, {_fs_weight_case_sql()} AS wt FROM pat)
+    SELECT CAST(pattern_id AS INT) AS pattern_id,
+           CAST(agree_seg AS INT) AS agree_seg,
+           CAST(agree_bal AS INT) AS agree_bal,
+           CAST(agree_dig AS INT) AS agree_dig,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           {R("wt", 4)} AS weight,
+           CASE WHEN wt >= 4.0 THEN 'match'
+                WHEN wt >= 0.0 THEN 'possible' ELSE 'non_match'
+           END AS decision
+    FROM w
+    """,
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record-linkage scoring (Fellegi & Sunter 1969; the
+    decision model behind every production ER engine, cf. Christen
+    2012 ch. 6): candidate pairs from nation blocking are scored by
+    their field-agreement PATTERN — each field contributes
+    log2(m/u) when it agrees and log2((1-m)/(1-u)) when it doesn't
+    (m = P[agree | same entity], u = P[agree | different]), and the
+    summed weight is thresholded into match / possible / non-match.
+    Output is the classic pattern table: one row per agreement pattern
+    with its pair count, composite weight, and decision — the artifact
+    a linkage analyst reads to set thresholds.
+
+    Determinism: the eight pattern weights are PRECOMPUTED Python
+    double literals consumed identically by both engines (no runtime
+    log()), field agreements are integer compares (the acctbal bucket
+    is floor(x/1000.0) — exact same IEEE divide+floor both sides), and
+    the decision thresholds compare the same literal doubles.
+
+    Scale: same stratified-slice posture as er_blocking_quality — the
+    pair join is blocked (nation) AND id-bounded (the slice whose
+    pattern frequencies you read before running the corpus-wide linkage
+    with these weights); the pattern table is a bounded (≤8-row)
+    aggregate, and at 100 TB the scored-pairs form is the same blocked
+    join with the weight expression inlined — no new shuffle shape.
+    Unlike its unblocked sibling this needs no plan-lint whitelist: the
+    block key makes the pair build a plain hash equi-join on nat."""
+    c = (
+        load_tables(spark, sf_dir)
+        .customer.filter(F.col("c_custkey") < 2500)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_b"),
+            F.pmod(F.col("c_custkey"), F.lit(10)).alias("dig"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.seg") == F.col("b.seg")).cast("int").alias("agree_seg"),
+        (F.col("a.bal_b") == F.col("b.bal_b")).cast("int").alias("agree_bal"),
+        (F.col("a.dig") == F.col("b.dig")).cast("int").alias("agree_dig"),
+    )
+    pat = (
+        pairs.withColumn(
+            "pattern_id",
+            F.col("agree_seg") * 4 + F.col("agree_bal") * 2
+            + F.col("agree_dig"),
+        )
+        .groupBy("pattern_id", "agree_seg", "agree_bal", "agree_dig")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    ws = _fs_weights()
+    wt = F.when(F.col("pattern_id") == 0, F.lit(ws[0]))
+    for p in range(1, 8):
+        wt = wt.when(F.col("pattern_id") == p, F.lit(ws[p]))
+    pat = pat.withColumn("wt", wt)
+    return pat.select(
+        "pattern_id",
+        "agree_seg",
+        "agree_bal",
+        "agree_dig",
+        "n_pairs",
+        rnd(F.col("wt"), 4).alias("weight"),
+        F.when(F.col("wt") >= 4.0, F.lit("match"))
+        .when(F.col("wt") >= 0.0, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    ).orderBy("pattern_id")
+
+
 @query(
     "text_gopher_rules",
     oracle="""
