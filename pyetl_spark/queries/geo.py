@@ -245,3 +245,95 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("poly_id")
         .agg(F.count(F.lit(1)).alias("n_inside"))
     )
+
+
+#: grid side (degree units) for the density surface — 12 x 36 = 432
+#: cells over the full lat/lon range, so the smoothed cell table is
+#: bounded by GEOGRAPHY, not by data volume.
+_DENS_CELL = 10.0
+
+
+@query(
+    "geo_grid_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / {_DENS_CELL}) AS BIGINT) AS cx,
+             CAST(floor(lon / {_DENS_CELL}) AS BIGINT) AS cy,
+             count(*) AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    offs AS (
+      SELECT dx.d AS dx, dy.d AS dy
+      FROM (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+    ),
+    smooth AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, sum(c.n) AS density
+      FROM cells c, offs o
+      GROUP BY 1, 2
+    )
+    SELECT s.cx, s.cy,
+           CAST(c.n AS BIGINT) AS n_points,
+           CAST(s.density AS BIGINT) AS density_3x3
+    FROM smooth s JOIN cells c ON s.cx = c.cx AND s.cy = c.cy
+    ORDER BY density_3x3 DESC, s.cx ASC, s.cy ASC
+    LIMIT 20
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot surface: bin points to a fixed lat/lon grid,
+    smooth each cell with its 3x3 neighborhood sum (box-kernel KDE on
+    the cell lattice), report the top-20 hottest inhabited cells. The
+    standard first query over any geotagged corpus (where is the data?)
+    and the density prior most spatial samplers consume.
+
+    Scale: ONE map-side-combined groupBy bins N points to <=432 cells;
+    the 9-way neighbor explode and the smoothing aggregate run on the
+    CELL table, whose size is fixed by geography — at 100 TB the
+    per-point work is one floor-divide pair and the shuffle carries at
+    most |grid| * 9 rows. Finer grids only grow that constant
+    (1-degree cells = 64.8k rows); the plan shape never touches
+    points^2. Determinism: counts and smoothed sums are exact integers;
+    the top-20 ordering tie-breaks on (cx, cy)."""
+    t = load_tables(spark, sf_dir)
+    pts = t.customer.select(_lat().alias("lat"), _lon().alias("lon"))
+    cell = F.lit(_DENS_CELL)
+    cells = (
+        pts.groupBy(
+            F.floor(F.col("lat") / cell).cast("long").alias("cx"),
+            F.floor(F.col("lon") / cell).cast("long").alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    smooth = (
+        cells.crossJoin(F.broadcast(offs))
+        .groupBy(
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+        .agg(F.sum("n").alias("density"))
+    )
+    own = cells.select(
+        F.col("cx").alias("ocx"), F.col("cy").alias("ocy"),
+        F.col("n").alias("n_points"),
+    )
+    return (
+        smooth.join(
+            own,
+            (F.col("cx") == F.col("ocx")) & (F.col("cy") == F.col("ocy")),
+        )
+        .select(
+            "cx", "cy",
+            F.col("n_points").cast("long").alias("n_points"),
+            F.col("density").cast("long").alias("density_3x3"),
+        )
+        .orderBy(F.desc("density_3x3"), F.asc("cx"), F.asc("cy"))
+        .limit(20)
+    )

@@ -3198,6 +3198,274 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pattern_id")
 
 
+#: EM fixed-point scale: E-step posteriors are snapped to this integer
+#: grid so every M-step sum is exact BIGINT arithmetic — order-free on
+#: both engines (the msum trick applied to latent responsibilities).
+_EM_SCALE = 10**12
+_EM_P0 = 0.05
+_EM_MU0 = (("seg", 0.80, 0.25), ("bal", 0.80, 0.10), ("dig", 0.70, 0.10))
+
+
+def _em_gfx1() -> list[int]:
+    """Iteration-1 E-step posteriors per agreement pattern, precomputed
+    in Python from the literal priors and snapped to the _EM_SCALE
+    integer grid — iteration 1 therefore involves NO runtime floating
+    point at all; both engines consume the same eight BIGINT literals."""
+    import math
+
+    out = []
+    for pid in range(8):
+        num, den = _EM_P0, 1.0 - _EM_P0
+        for bit, (_, m, u) in zip((4, 2, 1), _EM_MU0):
+            if pid & bit:
+                num, den = num * m, den * u
+            else:
+                num, den = num * (1.0 - m), den * (1.0 - u)
+        g = num / (num + den)
+        out.append(int(math.floor(g * _EM_SCALE + 0.5)))
+    return out
+
+
+def _em_gfx1_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN {p} THEN CAST({g} AS BIGINT)"
+        for p, g in enumerate(_em_gfx1())
+    )
+    return f"CASE pattern_id {arms} END"
+
+
+@query(
+    "er_em_mu_estimate",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+             floor(c_acctbal / 1000.0) AS bal_b,
+             c_custkey % 10 AS dig
+      FROM customer WHERE c_custkey < 2500
+    ),
+    pairs AS (
+      SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_seg,
+             CASE WHEN a.bal_b = b.bal_b THEN 1 ELSE 0 END AS agree_bal,
+             CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END AS agree_dig
+      FROM c a JOIN c b ON a.nat = b.nat AND a.c_custkey < b.c_custkey
+    ),
+    pat AS (
+      SELECT 4 * agree_seg + 2 * agree_bal + agree_dig AS pattern_id,
+             agree_seg, agree_bal, agree_dig,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2, 3, 4
+    ),
+    e1 AS (SELECT *, {_em_gfx1_case_sql()} AS gfx FROM pat),
+    agg1 AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(gfx * n) AS BIGINT) AS g,
+             CAST(sum(gfx * n * agree_seg) AS BIGINT) AS gm_seg,
+             CAST(sum(gfx * n * agree_bal) AS BIGINT) AS gm_bal,
+             CAST(sum(gfx * n * agree_dig) AS BIGINT) AS gm_dig,
+             CAST(sum(n * agree_seg) AS BIGINT) AS na_seg,
+             CAST(sum(n * agree_bal) AS BIGINT) AS na_bal,
+             CAST(sum(n * agree_dig) AS BIGINT) AS na_dig
+      FROM e1
+    ),
+    par1 AS (
+      SELECT nn,
+        CAST(g AS DOUBLE) / (CAST(nn AS DOUBLE) * {float(_EM_SCALE)!r}) AS p1,
+        CAST(gm_seg AS DOUBLE) / CAST(g AS DOUBLE) AS m_seg,
+        CAST(gm_bal AS DOUBLE) / CAST(g AS DOUBLE) AS m_bal,
+        CAST(gm_dig AS DOUBLE) / CAST(g AS DOUBLE) AS m_dig,
+        CAST(na_seg * {_EM_SCALE} - gm_seg AS DOUBLE)
+          / CAST(nn * {_EM_SCALE} - g AS DOUBLE) AS u_seg,
+        CAST(na_bal * {_EM_SCALE} - gm_bal AS DOUBLE)
+          / CAST(nn * {_EM_SCALE} - g AS DOUBLE) AS u_bal,
+        CAST(na_dig * {_EM_SCALE} - gm_dig AS DOUBLE)
+          / CAST(nn * {_EM_SCALE} - g AS DOUBLE) AS u_dig
+      FROM agg1
+    ),
+    e2x AS (
+      SELECT pat.*,
+        ((p.p1
+          * (CASE WHEN agree_seg = 1 THEN p.m_seg ELSE 1.0 - p.m_seg END))
+          * (CASE WHEN agree_bal = 1 THEN p.m_bal ELSE 1.0 - p.m_bal END))
+          * (CASE WHEN agree_dig = 1 THEN p.m_dig ELSE 1.0 - p.m_dig END)
+          AS num2,
+        (((1.0 - p.p1)
+          * (CASE WHEN agree_seg = 1 THEN p.u_seg ELSE 1.0 - p.u_seg END))
+          * (CASE WHEN agree_bal = 1 THEN p.u_bal ELSE 1.0 - p.u_bal END))
+          * (CASE WHEN agree_dig = 1 THEN p.u_dig ELSE 1.0 - p.u_dig END)
+          AS den2
+      FROM pat, par1 p
+    ),
+    e2 AS (
+      SELECT pattern_id, agree_seg, agree_bal, agree_dig, n,
+             {FXP("num2 / (num2 + den2)", 10**12)} AS gfx
+      FROM e2x
+    ),
+    agg2 AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(gfx * n) AS BIGINT) AS g,
+             CAST(sum(gfx * n * agree_seg) AS BIGINT) AS gm_seg,
+             CAST(sum(gfx * n * agree_bal) AS BIGINT) AS gm_bal,
+             CAST(sum(gfx * n * agree_dig) AS BIGINT) AS gm_dig,
+             CAST(sum(n * agree_seg) AS BIGINT) AS na_seg,
+             CAST(sum(n * agree_bal) AS BIGINT) AS na_bal,
+             CAST(sum(n * agree_dig) AS BIGINT) AS na_dig
+      FROM e2
+    )
+    SELECT nn AS n_pairs,
+      {R(f"CAST(g AS DOUBLE) / (CAST(nn AS DOUBLE) * {float(_EM_SCALE)!r})", 6)}
+        AS p_match,
+      {R("CAST(gm_seg AS DOUBLE) / CAST(g AS DOUBLE)", 6)} AS m_seg,
+      {R(f"CAST(na_seg * {_EM_SCALE} - gm_seg AS DOUBLE) / CAST(nn * {_EM_SCALE} - g AS DOUBLE)", 6)}
+        AS u_seg,
+      {R("CAST(gm_bal AS DOUBLE) / CAST(g AS DOUBLE)", 6)} AS m_bal,
+      {R(f"CAST(na_bal * {_EM_SCALE} - gm_bal AS DOUBLE) / CAST(nn * {_EM_SCALE} - g AS DOUBLE)", 6)}
+        AS u_bal,
+      {R("CAST(gm_dig AS DOUBLE) / CAST(g AS DOUBLE)", 6)} AS m_dig,
+      {R(f"CAST(na_dig * {_EM_SCALE} - gm_dig AS DOUBLE) / CAST(nn * {_EM_SCALE} - g AS DOUBLE)", 6)}
+        AS u_dig
+    FROM agg2
+    """,
+)
+def er_em_mu_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED estimation of the Fellegi-Sunter m/u parameters by
+    EM over agreement patterns (Winkler 1988; Herzog/Scheuren/Winkler
+    2007 ch. 9) — the learning half of the linkage stack: where
+    `er_fellegi_sunter` consumes given (m, u) priors to score pairs,
+    this key LEARNS them from the unlabeled pair corpus, two fixed
+    synchronous EM iterations from literal starting values.
+
+    The latent-mixture EM is made driver-grade deterministic by two
+    moves: (1) iteration 1's E-step depends only on the literal priors,
+    so its eight pattern posteriors are precomputed in Python and enter
+    both engines as BIGINT literals on the _EM_SCALE grid — no runtime
+    FP at all; (2) every M-step statistic is an exact integer sum of
+    (scaled posterior x count x agreement) terms — the msum trick
+    applied to latent responsibilities — so partition order can't
+    reorder any floating addition; the only runtime doubles are
+    per-row ratios and products of identical integers, evaluated with
+    the same explicit association on both engines. u-parameters derive
+    by exact integer complement (na*S - gm) / (nn*S - g).
+
+    Scale: the pair corpus never leaves the cluster and is touched
+    ONCE — everything after `pat` (the <=8-row agreement-pattern
+    aggregate) is constant-size; more EM iterations replay the tiny
+    e/agg blocks. At 100 TB the blocked pair generation dominates
+    (same posture as er_fellegi_sunter); the pattern-table EM is the
+    textbook way linkage engines fit weights without labels."""
+    c = (
+        load_tables(spark, sf_dir)
+        .customer.filter(F.col("c_custkey") < 2500)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_b"),
+            F.pmod(F.col("c_custkey"), F.lit(10)).alias("dig"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (F.col("a.seg") == F.col("b.seg")).cast("int").alias("agree_seg"),
+            (F.col("a.bal_b") == F.col("b.bal_b")).cast("int").alias("agree_bal"),
+            (F.col("a.dig") == F.col("b.dig")).cast("int").alias("agree_dig"),
+        )
+        .withColumn(
+            "pattern_id",
+            F.col("agree_seg") * 4 + F.col("agree_bal") * 2
+            + F.col("agree_dig"),
+        )
+        .groupBy("pattern_id", "agree_seg", "agree_bal", "agree_dig")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _mstep(e: DataFrame) -> DataFrame:
+        return e.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum(F.col("gfx") * F.col("n")).cast("long").alias("g"),
+            *[
+                F.sum(F.col("gfx") * F.col("n") * F.col(f"agree_{f}"))
+                .cast("long")
+                .alias(f"gm_{f}")
+                for f, _, _ in _EM_MU0
+            ],
+            *[
+                F.sum(F.col("n") * F.col(f"agree_{f}"))
+                .cast("long")
+                .alias(f"na_{f}")
+                for f, _, _ in _EM_MU0
+            ],
+        )
+
+    gfx1 = F.when(F.col("pattern_id") == 0, F.lit(_em_gfx1()[0]))
+    for p in range(1, 8):
+        gfx1 = gfx1.when(F.col("pattern_id") == p, F.lit(_em_gfx1()[p]))
+    agg1 = _mstep(pat.withColumn("gfx", gfx1.cast("long")))
+
+    s_f = F.lit(float(_EM_SCALE))
+    s_i = F.lit(_EM_SCALE)
+    par1 = agg1.select(
+        (F.col("g").cast("double") / (F.col("nn").cast("double") * s_f))
+        .alias("p1"),
+        *[
+            (F.col(f"gm_{f}").cast("double") / F.col("g").cast("double"))
+            .alias(f"m_{f}")
+            for f, _, _ in _EM_MU0
+        ],
+        *[
+            (
+                (F.col(f"na_{f}") * s_i - F.col(f"gm_{f}")).cast("double")
+                / (F.col("nn") * s_i - F.col("g")).cast("double")
+            ).alias(f"u_{f}")
+            for f, _, _ in _EM_MU0
+        ],
+    )
+
+    def _term(kind: str, f: str) -> F.Column:
+        agree = F.col(f"agree_{f}") == 1
+        return F.when(agree, F.col(f"{kind}_{f}")).otherwise(
+            F.lit(1.0) - F.col(f"{kind}_{f}")
+        )
+
+    e2x = pat.crossJoin(F.broadcast(par1))
+    num2 = (
+        (F.col("p1") * _term("m", "seg")) * _term("m", "bal")
+    ) * _term("m", "dig")
+    den2 = (
+        ((F.lit(1.0) - F.col("p1")) * _term("u", "seg")) * _term("u", "bal")
+    ) * _term("u", "dig")
+    e2 = e2x.withColumn("num2", num2).withColumn("den2", den2).withColumn(
+        "gfx", fxp(F.col("num2") / (F.col("num2") + F.col("den2")), _EM_SCALE)
+    )
+    agg2 = _mstep(e2)
+    return agg2.select(
+        F.col("nn").alias("n_pairs"),
+        rnd(
+            F.col("g").cast("double") / (F.col("nn").cast("double") * s_f), 6
+        ).alias("p_match"),
+        *[
+            col
+            for f, _, _ in _EM_MU0
+            for col in (
+                rnd(
+                    F.col(f"gm_{f}").cast("double") / F.col("g").cast("double"),
+                    6,
+                ).alias(f"m_{f}"),
+                rnd(
+                    (F.col(f"na_{f}") * s_i - F.col(f"gm_{f}")).cast("double")
+                    / (F.col("nn") * s_i - F.col("g")).cast("double"),
+                    6,
+                ).alias(f"u_{f}"),
+            )
+        ],
+    )
+
+
 @query(
     "text_gopher_rules",
     oracle="""

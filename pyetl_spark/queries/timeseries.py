@@ -1001,3 +1001,132 @@ def ts_backtest_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winner"),
         )
     )
+
+
+@query(
+    "ts_theil_sen",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             (CAST(year(o.o_orderdate) AS BIGINT) - 1992) * 12
+               + (CAST(month(o.o_orderdate) AS BIGINT) - 1) AS x,
+             sum({FXP("o.o_totalprice", 100)}) AS y_c
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.nation,
+             CAST(b.y_c - a.y_c AS DOUBLE)
+               / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM monthly a JOIN monthly b
+        ON a.nation = b.nation AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT nation, s,
+             row_number() OVER (PARTITION BY nation ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM slopes
+    ),
+    med AS (
+      SELECT nation, CAST(max(n) AS BIGINT) AS n_slopes,
+             sum(s) / count(*) AS med_s
+      FROM ranked
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY nation
+    ),
+    mcount AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_months FROM monthly
+      GROUP BY 1
+    )
+    SELECT m.nation, mc.n_months, m.n_slopes,
+           {R("m.med_s / 100.0", 4)} AS slope_per_month
+    FROM med m JOIN mcount mc ON m.nation = mc.nation
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per nation: the Theil-Sen estimator — the MEDIAN of
+    all pairwise slopes of monthly revenue over month index (Theil
+    1950; Sen 1968). Unlike the OLS twin (revenue_trend_ols) it has a
+    29.3% breakdown point, so one promo-spike month can't hijack the
+    trend — the robust default for KPI drift monitoring.
+
+    Pairwise-slope cost is O(D^2) per series where D = CALENDAR MONTHS
+    (~80 for this fixture's 7-year span) — a constant fixed by the time
+    range, NOT by data volume, so at 100 TB the expensive part stays
+    the monthly rollup: one map-side-combined groupBy on (nation,
+    month); the 3.2k-pairs-per-series slope join and its median run on
+    the tiny aggregate. Longer histories at finer grain grow D, and the
+    documented fallback is the repeated-median / sampled-pairs variant
+    (same shuffle shape, bounded pairs per anchor).
+
+    Determinism: monthly y is an exact cents BIGINT (fxp), x an exact
+    integer, each slope ONE double divide of identical integers;
+    the median avoids percentile interpolation differences by averaging
+    the explicitly-ranked middle element(s) — sum/count over the 1-or-2
+    middle rows, bit-identical on both engines."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + (F.month("o_orderdate").cast("long") - 1)
+            ).alias("x"),
+        )
+        .agg(F.sum(fxp(F.col("o_totalprice"), 100)).alias("y_c"))
+    )
+    a = monthly.select(
+        "nation", F.col("x").alias("xa"), F.col("y_c").alias("ya")
+    )
+    b = monthly.select(
+        F.col("nation").alias("nation_b"),
+        F.col("x").alias("xb"),
+        F.col("y_c").alias("yb"),
+    )
+    slopes = a.join(
+        b,
+        (F.col("nation") == F.col("nation_b")) & (F.col("xa") < F.col("xb")),
+    ).select(
+        "nation",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("xb") - F.col("xa")).cast("double")
+        ).alias("s"),
+    )
+    wn = Window.partitionBy("nation")
+    ranked = slopes.select(
+        "nation",
+        "s",
+        F.row_number().over(wn.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long"))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / F.lit(2.0)).cast("long"))
+        )
+        .groupBy("nation")
+        .agg(
+            F.max("n").cast("long").alias("n_slopes"),
+            (F.sum("s") / F.count(F.lit(1))).alias("med_s"),
+        )
+    )
+    mcount = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    return med.join(mcount, "nation").select(
+        "nation",
+        "n_months",
+        "n_slopes",
+        rnd(F.col("med_s") / F.lit(100.0), 4).alias("slope_per_month"),
+    )

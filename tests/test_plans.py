@@ -361,6 +361,14 @@ _NESTED_LOOP_OK = {
     "geo_point_in_polygon",  # points x 14-literal-edge broadcast dim —
                            # the intended ray-casting probe pass; real
                            # polygon sets gate on bbox grid cells first
+    "geo_grid_density",    # CELL table (<=432 rows, bounded by geography
+                           # not data) x 9-offset broadcast — the 3x3
+                           # smoothing stencil; per-point work upstream is
+                           # one map-side-combined groupBy
+    "er_em_mu_estimate",   # <=8-row agreement-pattern table x 1-row EM
+                           # parameter aggregate, twice — constant-size by
+                           # construction (the pair corpus is reduced
+                           # before any EM step)
 }
 
 registry.load_all()
