@@ -2990,3 +2990,112 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_jx")
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum({FXP("c_acctbal", 100)}) AS BIGINT) AS sum_c,
+             CAST(sum({FXP("c_acctbal", 100)} * {FXP("c_acctbal", 100)})
+               AS BIGINT) AS sum_c2
+      FROM customer GROUP BY 1
+    ),
+    sd AS (
+      SELECT segment, n_h,
+             sqrt((CAST(n_h AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+                   - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))
+                  / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+               AS s_h
+      FROM st
+    ),
+    wt AS (
+      SELECT segment, n_h, s_h,
+             {FXP("CAST(n_h AS DOUBLE) * s_h", 100)} AS wfx
+      FROM sd
+    ),
+    q AS (
+      SELECT segment, n_h, s_h,
+             1000.0 * (CAST(wfx AS DOUBLE)
+                       / CAST(sum(wfx) OVER () AS DOUBLE)) AS quota
+      FROM wt
+    ),
+    fl AS (
+      SELECT segment, n_h, s_h,
+             CAST(floor(quota) AS BIGINT) AS base,
+             quota - floor(quota) AS rem
+      FROM q
+    )
+    SELECT segment, n_h,
+           {R("s_h / 100.0", 4)} AS stddev_bal,
+           base + CASE WHEN row_number() OVER (ORDER BY rem DESC, segment)
+                            <= 1000 - sum(base) OVER () THEN 1 ELSE 0 END
+             AS alloc
+    FROM fl
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample design (Neyman 1934; Cochran
+    1977 ch. 5): split a fixed budget of 1000 samples across the
+    mktsegment strata proportional to N_h * S_h — bigger AND more
+    variable strata earn more samples, the allocation that minimizes
+    the variance of the stratified mean. Rounding is largest-remainder
+    (alloc_largest_remainder's apportionment), so sum(alloc) == 1000
+    exactly.
+
+    Determinism: per-stratum moments are exact BIGINT sums on the cents
+    grid (order-free); variance and sqrt run ONCE per stratum on
+    identical integers (sqrt is IEEE correctly-rounded — identical on
+    both engines); the only cross-stratum float sum is avoided by
+    snapping the weights N_h*S_h to a fixed-point grid first, so the
+    allocation denominator is again an exact integer. Overflow posture:
+    sum(x_c^2) stays under 2^63 through sf1 x 100 (1e13-cent balances);
+    beyond that the moments pre-scale to whole dollars — a grid change,
+    not a plan change.
+
+    Scale: ONE map-side-combined pass over the fact table computes all
+    moments; everything after `st` is a 5-row computation (the global
+    windows run over the STRATUM table, same posture as
+    alloc_largest_remainder)."""
+    c = load_tables(spark, sf_dir).customer
+    xc = fxp(F.col("c_acctbal"), 100)
+    st = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(xc).cast("long").alias("sum_c"),
+        F.sum(xc * xc).cast("long").alias("sum_c2"),
+    )
+    nd = F.col("n_h").cast("double")
+    var = (
+        nd * F.col("sum_c2").cast("double")
+        - F.col("sum_c").cast("double") * F.col("sum_c").cast("double")
+    ) / (nd * (nd - F.lit(1.0)))
+    sd = st.select("segment", "n_h", F.sqrt(var).alias("s_h"))
+    wt = sd.withColumn(
+        "wfx", fxp(F.col("n_h").cast("double") * F.col("s_h"), 100)
+    )
+    w_all = Window.partitionBy()
+    quota = F.lit(1000.0) * (
+        F.col("wfx").cast("double")
+        / F.sum("wfx").over(w_all).cast("double")
+    )
+    fl = wt.select(
+        "segment",
+        "n_h",
+        "s_h",
+        F.floor(quota).cast("long").alias("base"),
+        (quota - F.floor(quota)).alias("rem"),
+    )
+    w_rank = Window.orderBy(F.col("rem").desc(), "segment")
+    alloc = F.col("base") + F.when(
+        F.row_number().over(w_rank)
+        <= F.lit(1000) - F.sum("base").over(w_all),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return fl.select(
+        "segment",
+        "n_h",
+        rnd(F.col("s_h") / F.lit(100.0), 4).alias("stddev_bal"),
+        alloc.alias("alloc"),
+    )

@@ -3566,3 +3566,70 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_fail("ok_stop").alias("fail_stopwords"),
         as_fail("ok_rep").alias("fail_repetition"),
     )
+
+
+@query(
+    "text_budget_select",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS cum_before
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, quality, cum_before
+    FROM ranked WHERE cum_before < 600
+    """,
+)
+def text_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: fill a fixed PER-LANGUAGE token budget
+    (600) with the highest-quality documents first — the greedy
+    knapsack every training-mix pipeline runs when compute, not data,
+    is the binding constraint ("take the best 1B tokens per language",
+    cf. the budget-constrained selections in DoReMi/DSIR-style mixing).
+    Quality here is the distinct-token count (a TTR-style integer
+    proxy; swapping in text_quality_score's model score changes one
+    expression). A doc is kept iff the budget is not yet exhausted
+    BEFORE it (exclusive running sum), so the boundary doc that
+    straddles the budget is included — deterministic, no partial docs.
+
+    Distinct from text_stratified_cap (doc-COUNT cap in hash order) and
+    text_pack_sequences (bin-assignment of everything): this SELECTS a
+    subset under a token budget by quality rank.
+
+    Scale: the window is partitioned by lang and ordered by (quality,
+    doc_id) — integer-exact, but per-lang volume is corpus-scale, so at
+    100 TB the documented two-phase form kicks in: estimate the quality
+    cutoff with an approx-quantile pass (the budget fixes the
+    approximate rank), hard-filter to survivors (tiny), then run this
+    exact window on the survivor set — same output, bounded sort. The
+    fixture form keeps the single window so the oracle is exact."""
+    d = load_tables(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return ranked.filter(F.col("cum_before") < 600).select(
+        "doc_id", "lang", "n_tokens", "quality", "cum_before"
+    )

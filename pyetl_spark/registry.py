@@ -62,8 +62,9 @@ ORACLE: dict[str, str] = {}
 #:       session additions: win_gaps_islands, agg_width_bucket,
 #:       fn_group_by_all, text_gopher_rules, udf_arrow_scalar,
 #:       udtf_arrow, er_fellegi_sunter, er_em_mu_estimate, ts_theil_sen,
-#:       graph_neighbor_jaccard, geo_grid_density — all pre-gated at
-#:       4 SFs this round), then start
+#:       graph_neighbor_jaccard, geo_grid_density,
+#:       sample_neyman_allocation, text_budget_select — all pre-gated
+#:       at 4 SFs this round), then start
 #:       the never-verified rows-only keys (ANN surface, multimodal,
 #:       sink extras, semdedup/mmr/bpe/layout; seven former members of
 #:       this backlog — agg_kmv_distinct, agg_kmv_overlap, dedup_simhash,

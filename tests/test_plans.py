@@ -406,6 +406,10 @@ _GLOBAL_WINDOW_OK = {
     "revenue_pareto",          # decile curve: cum window over 10 rows
     "revenue_yoy",             # year spine: ≤ tens of rows
     "alloc_largest_remainder",  # nation-bounded remainder ranking
+    "sample_neyman_allocation",  # stratum-bounded (<=|mktsegment|=5 rows)
+                                 # share + remainder windows, same
+                                 # apportionment shape as
+                                 # alloc_largest_remainder
     "orders_abc_class",        # declared exact cum-share form; docstring
                                # names the per-nation/range-sort twin
     "orders_survival_km",      # KM curve over distinct day durations
