@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import FXP, PHASH60, R, fxp, rnd
+from pyetl_spark.parity import FXP, PHASH60, PHASH60_SEEDED, R, fxp, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -1797,4 +1797,157 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sampled_matched_keys",
         "max_left_mult",
         "max_right_mult",
+    )
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Cumulative Poisson(1) CDF cut points snapped to the 2^60 hash
+    grid — the seeded hash u ~ Uniform[0, 2^60) maps to a replicate
+    weight by INTEGER threshold compares (no runtime FP in the weight
+    draw; both engines consume identical BIGINT literals). Weights cap
+    at 6 (P[X > 6] < 1e-4 — a negligible, identical truncation on both
+    engines)."""
+    import math
+
+    cum, out, fact = 0.0, [], 1
+    for k in range(6):
+        if k:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        out.append(int(math.floor(cum * float(1 << 60))))
+    return out
+
+
+def _poisson1_case_sql(u: str) -> str:
+    ths = _poisson1_thresholds()
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(ths)
+    )
+    return f"(CASE {arms} ELSE 6 END)"
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT s.seed, o.o_orderkey,
+             {FXP("o.o_totalprice", 100)} AS x_c,
+             {_poisson1_case_sql(PHASH60_SEEDED("s.seed", "o.o_orderkey"))}
+               AS w
+      FROM orders o, (SELECT unnest(range(100)) AS seed) s
+    ),
+    means AS (
+      SELECT seed,
+             (CAST(sum(w * x_c) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+               / 100.0 AS mean_b
+      FROM rep GROUP BY seed
+    ),
+    ranked AS (
+      SELECT mean_b,
+             row_number() OVER (ORDER BY mean_b, seed) AS rn
+      FROM means
+    ),
+    ci AS (
+      SELECT max(CASE WHEN rn = 3 THEN mean_b END) AS lo,
+             max(CASE WHEN rn = 98 THEN mean_b END) AS hi
+      FROM ranked
+    ),
+    full_mean AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             (CAST(sum({FXP("o_totalprice", 100)}) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE)) / 100.0 AS mean_price
+      FROM orders
+    )
+    SELECT f.n_orders,
+           {R("f.mean_price", 4)} AS mean_price,
+           {R("c.lo", 4)} AS boot_lo,
+           {R("c.hi", 4)} AS boot_hi,
+           CAST(100 AS BIGINT) AS b_replicates
+    FROM full_mean f, ci c
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order price — THE
+    resampling method that actually runs on clusters (Chamandy et al.
+    2012, "Estimating Uncertainty for Massive Data Streams"; Kleiner's
+    BLB is its batch cousin): classical bootstrap resampling needs
+    n draws WITH replacement per replicate (a global shuffle per
+    replicate), but for large n the multinomial replicate counts
+    converge to iid Poisson(1) weights — so ALL B replicates compute in
+    ONE pass: each row draws B independent hash-seeded Poisson weights
+    and every replicate is a weighted aggregate, map-side combined.
+
+    Determinism (driver-hash-checkable resampling): the per-(seed, row)
+    uniform comes from the portable 60-bit seeded hash, the Poisson
+    inverse-CDF is INTEGER threshold compares against precomputed
+    BIGINT literals (zero runtime FP in the draw), replicate sums are
+    exact integer (weight x cents) products, and the CI bounds are
+    EXPLICIT rank picks (3rd / 98th of 100 ordered replicate means —
+    the percentile method with ranked selection, no interpolation).
+
+    Scale: the expanded relation is B x |rows|, but it is never
+    materialized — explode(sequence) feeds straight into a partial
+    aggregate inside whole-stage codegen, so the shuffle carries B
+    rows per map task, and the replicate-means table is B rows total
+    (the bounded global window). Tuning B trades CI resolution for
+    one constant in the scan stage; no join, no second pass over the
+    fact table for the replicates. The declared query draws through the
+    portable md5-based phash60_seeded so the driver can hash-check the
+    resampling itself; the production draw is xxhash64(seed, key) —
+    ~10x cheaper per (row, replicate), same plan (the standard
+    hash_fn-parameter convention of the sketch family)."""
+    o = load_tables(spark, sf_dir).orders
+    ths = _poisson1_thresholds()
+    from pyetl_spark.parity import phash60_seeded
+
+    rep = o.select(
+        "o_orderkey",
+        fxp(F.col("o_totalprice"), 100).alias("x_c"),
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("seed"),
+    ).withColumn(
+        "u", phash60_seeded(F.col("seed"), F.col("o_orderkey"))
+    )
+    w = F.when(F.col("u") < ths[0], F.lit(0))
+    for k in range(1, 6):
+        w = w.when(F.col("u") < ths[k], F.lit(k))
+    w = w.otherwise(F.lit(6))
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("seed")
+        .agg(
+            (
+                (
+                    F.sum(F.col("w") * F.col("x_c")).cast("double")
+                    / F.sum("w").cast("double")
+                )
+                / F.lit(100.0)
+            ).alias("mean_b")
+        )
+    )
+    ranked = means.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy("mean_b", "seed"))
+        .alias("rn"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 3, F.col("mean_b"))).alias("lo"),
+        F.max(F.when(F.col("rn") == 98, F.col("mean_b"))).alias("hi"),
+    )
+    full_mean = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            (
+                F.sum(fxp(F.col("o_totalprice"), 100)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.lit(100.0)
+        ).alias("mean_price"),
+    )
+    return full_mean.crossJoin(ci).select(
+        "n_orders",
+        rnd(F.col("mean_price"), 4).alias("mean_price"),
+        rnd(F.col("lo"), 4).alias("boot_lo"),
+        rnd(F.col("hi"), 4).alias("boot_hi"),
+        F.lit(100).cast("long").alias("b_replicates"),
     )

@@ -369,6 +369,8 @@ _NESTED_LOOP_OK = {
                            # parameter aggregate, twice — constant-size by
                            # construction (the pair corpus is reduced
                            # before any EM step)
+    "agg_bootstrap_ci",    # 1-row full-sample stats x 1-row CI bounds —
+                           # the final dashboard-row assembly
 }
 
 registry.load_all()
@@ -425,6 +427,9 @@ _GLOBAL_WINDOW_OK = {
                                # (same bounded table as text_chi_square)
     "ts_sma_crossover",        # day-spine SMA windows: calendar-bounded
     "ts_hampel_outliers",      # day-spine rolling median: calendar-bounded
+    "agg_bootstrap_ci",        # rank pick over the B=100-row replicate-
+                               # means table — bounded by the replicate
+                               # constant, not data
 }
 
 _GLOBAL_WINDOW_RE = re.compile(r"\bWindow\b")
