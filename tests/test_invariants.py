@@ -620,3 +620,101 @@ def test_point_in_polygon_planted_truth(spark):
     }
     for i, (_, _, poly, want) in enumerate(cases):
         assert got[(i, poly)] == want, (i, poly, want)
+
+
+def test_neyman_allocation_sums_to_budget_and_dominates_uniform(spark):
+    """sample_neyman_allocation: exact budget conservation, every
+    stratum sampled, and (Neyman property) allocation ordering follows
+    the N_h * S_h weight ordering."""
+    rows = _q(spark, "sample_neyman_allocation").collect()
+    assert sum(r["alloc"] for r in rows) == 1000
+    assert all(r["alloc"] > 0 for r in rows)
+    by_weight = sorted(rows, key=lambda r: r["n_h"] * r["stddev_bal"])
+    allocs = [r["alloc"] for r in by_weight]
+    # largest-remainder can flip exact ties only; weights here are distinct
+    assert allocs == sorted(allocs)
+
+
+def test_bootstrap_ci_brackets_full_sample_mean(spark):
+    """agg_bootstrap_ci: the percentile CI must bracket the full-sample
+    mean (Poisson weights are mean-1 so replicate means center on it),
+    lo < hi, and the half-width is small relative to the mean."""
+    r = _q(spark, "agg_bootstrap_ci").collect()[0]
+    assert r["boot_lo"] < r["mean_price"] < r["boot_hi"]
+    width = r["boot_hi"] - r["boot_lo"]
+    assert 0 < width < 0.1 * r["mean_price"]
+
+
+def test_budget_select_exclusive_budget_and_quality_order(spark):
+    """text_budget_select: every kept doc starts under the budget
+    (exclusive prefix < 600) and, within a language, kept docs are a
+    PREFIX of the quality ordering — no skipped better doc."""
+    rows = _q(spark, "text_budget_select").collect()
+    assert rows, "selection must be non-empty"
+    assert all(r["cum_before"] < 600 for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (-r["quality"], r["doc_id"]))
+        cum = 0
+        for r in rs:
+            assert r["cum_before"] == cum, (lang, r)
+            cum += r["n_tokens"]
+
+
+def test_em_estimate_separates_match_field_from_noise_field(spark):
+    """er_em_mu_estimate: EM must drive the informative fields (segment,
+    balance bucket — strongly correlated within true duplicate-ish
+    pairs is NOT this fixture, but agreement rates differ by field)
+    to m > u, and all probabilities into (0, 1)."""
+    r = _q(spark, "er_em_mu_estimate").collect()[0]
+    for f in ("seg", "bal", "dig"):
+        assert 0.0 < r[f"m_{f}"] < 1.0
+        assert 0.0 < r[f"u_{f}"] < 1.0
+    assert 0.0 < r["p_match"] < 1.0
+    # the EM fit must find SOME discriminating structure: at least one
+    # field with m materially above u (the mixture is non-degenerate)
+    assert any(
+        r[f"m_{f}"] > r[f"u_{f}"] + 0.05 for f in ("seg", "bal", "dig")
+    )
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    """ts_theil_sen agrees with an independent in-driver recomputation
+    (numpy median over explicitly enumerated pairwise slopes) for every
+    nation."""
+    import numpy as np
+
+    got = {r["nation"]: r for r in _q(spark, "ts_theil_sen").collect()}
+    t = load_tables(spark, SF_ORACLE)
+    monthly = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate").cast("long") - 1992) * 12
+                + (F.month("o_orderdate").cast("long") - 1)
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.floor(F.abs(F.col("o_totalprice")) * 100 + 0.5))
+            .alias("y_c")
+        )
+        .collect()
+    )
+    series = {}
+    for row in monthly:
+        series.setdefault(row["nation"], []).append((row["x"], row["y_c"]))
+    for nation, pts in series.items():
+        pts.sort()
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+        ]
+        want = float(np.median(slopes)) / 100.0
+        assert abs(got[nation]["slope_per_month"] - want) < 1e-3, nation
