@@ -227,3 +227,54 @@ def test_phash60_seeded_matches_duckdb_twin_exact(spark, duck):
     for (s, t), v in zip(rows, (got[i] for i in range(len(rows)))):
         by_tok.setdefault(t, set()).add(v)
     assert all(len(vs) == 4 for vs in by_tok.values())
+
+
+def test_poisson_thresholds_are_valid_cdf_grid():
+    """agg_bootstrap_ci's integer inverse-CDF table: strictly
+    increasing, inside the 2^60 hash range, and each cut matches the
+    cumulative Poisson(1) CDF snapped with the same floor rule."""
+    import math
+
+    from pyetl_spark.queries.stats import _poisson1_thresholds
+
+    ths = _poisson1_thresholds()
+    assert len(ths) == 6
+    assert all(a < b for a, b in zip(ths, ths[1:]))
+    assert 0 < ths[0] and ths[-1] < (1 << 60)
+    cum, fact = 0.0, 1
+    for k, t in enumerate(ths):
+        if k:
+            fact *= k
+        cum += math.exp(-1.0) / fact
+        assert t == int(math.floor(cum * float(1 << 60)))
+    # mass above the last cut (P[X >= 6] ~ 5.9e-4) all maps to weight 6,
+    # so the genuine truncation error is only P[X > 6] ~ 8e-5; either
+    # way it is a literal-table property — identical on both engines
+    assert 1.0 - cum < 1e-3
+
+
+def test_em_iteration1_posteriors_on_grid_and_monotone_in_pattern():
+    """er_em_mu_estimate's precomputed E-step literals: all on the
+    [0, 1e12] grid, and the all-agree pattern (7) must carry the
+    highest match posterior, the all-disagree pattern (0) the lowest —
+    the monotonicity that makes the priors a valid starting point."""
+    from pyetl_spark.queries.llm_text import _EM_SCALE, _em_gfx1
+
+    g = _em_gfx1()
+    assert len(g) == 8
+    assert all(0 < x < _EM_SCALE for x in g)
+    assert max(g) == g[7] and min(g) == g[0]
+
+
+def test_fs_weights_sum_structure():
+    """er_fellegi_sunter's weight table: agreement on any field must
+    increase the composite weight relative to disagreement on that
+    field, for every setting of the other fields."""
+    from pyetl_spark.queries.llm_text import _fs_weights
+
+    ws = _fs_weights()
+    assert len(ws) == 8
+    for bit in (4, 2, 1):
+        for pid in range(8):
+            if pid & bit:
+                assert ws[pid] > ws[pid ^ bit]
