@@ -995,3 +995,185 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered.unpersist()
     hashes.unpersist()
     return out
+
+
+@query(
+    "dedup_minhash_recall_eval",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS s
+      FROM d WHERE len(w) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT cm.da, cm.db
+      FROM common cm
+      JOIN sizes x ON cm.da = x.doc_id
+      JOIN sizes y ON cm.db = y.doc_id
+      WHERE CAST(cm.c AS DOUBLE)
+            / CAST(x.sz + y.sz - cm.c AS DOUBLE) >= 0.5
+    ),
+    mh AS (
+      SELECT doc_id, sd.seed,
+             min({PHASH60_SEEDED("sd.seed", "s")}) AS mv
+      FROM sh, (SELECT unnest(range(8)) AS seed) sd
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             max(CASE WHEN seed % 2 = 0 THEN mv END) AS m0,
+             max(CASE WHEN seed % 2 = 1 THEN mv END) AS m1
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.m0 = b.m0 AND a.m1 = b.m1
+           AND a.doc_id < b.doc_id
+    ),
+    hits AS (
+      SELECT count(*) AS n_hits
+      FROM cand c JOIN truth t ON c.da = t.da AND c.db = t.db
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    nc AS (SELECT count(*) AS n_cand FROM cand)
+    SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(nc.n_cand AS BIGINT) AS n_candidates,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           {R("CAST(h.n_hits AS DOUBLE) / CAST(nc.n_cand AS DOUBLE)", 4)}
+             AS precision,
+           {R("CAST(h.n_hits AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)", 4)}
+             AS recall
+    FROM nt, nc, hits h
+    """,
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END quality eval of the MinHash-LSH dedup pipeline, with
+    the resampling itself driver-hash-checked: build 8 minhash
+    signatures over word-3-gram shingles via the portable seeded hash,
+    band them 4x2, propose candidate pairs, and score the proposal
+    against EXACT shingle-Jaccard>=0.5 truth — one row of corpus-level
+    precision / recall (the banding-theory numbers: P[candidate] =
+    1-(1-j^2)^4, so j=0.99 dups recall ~1.0 while j~0.01 noise almost
+    never collides). The Tier-B production twin (dedup_minhash_lsh /
+    operators/minhash.py, xxhash64, salted windows) has pytest recall
+    gates; THIS key makes the same pipeline shape reproducible on the
+    DuckDB oracle, so the driver verifies which candidates the index
+    recalls, not just that it runs.
+
+    Truth is computed by the inverted-index exact algorithm, NOT an
+    all-pairs scan: only pairs sharing >=1 shingle are scored (a
+    jaccard>=0.5 pair trivially shares one), so the truth join costs
+    Sum(df^2) over shingles — sparse for natural shingles. At 100 TB
+    the standard df-cap/prefix-filter bounds hub shingles and the
+    LSH side is exactly the production plan; the eval's posture matches
+    er_blocking_quality: measure the scheme's quality on the corpus
+    BEFORE trusting it wholesale.
+
+    Determinism: shingle sets are exact string ops; minhashes are mins
+    of identical 60-bit integers; band keys are integer equality;
+    truth thresholds compare exact integer set sizes; the three counts
+    are integers and precision/recall one double divide each."""
+    d = load_tables(spark, sf_dir).documents.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    shingle = F.expr(
+        "transform(sequence(0, size(w) - 3),"
+        " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle)).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("s2"))
+    common = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")),
+            "da",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")),
+            "db",
+        )
+        .filter(
+            F.col("c").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("c")).cast("double")
+            >= 0.5
+        )
+        .select("da", "db")
+    )
+    from pyetl_spark.parity import phash60_seeded
+
+    mh = (
+        sh.select(
+            "doc_id",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("seed"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min(phash60_seeded(F.col("seed"), F.col("s"))).alias("mv"))
+    )
+    bands = mh.groupBy(
+        "doc_id", F.floor(F.col("seed") / 2).alias("band")
+    ).agg(
+        F.max(F.when(F.col("seed") % 2 == 0, F.col("mv"))).alias("m0"),
+        F.max(F.when(F.col("seed") % 2 == 1, F.col("mv"))).alias("m1"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("da"), "band", "m0", "m1"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("db"),
+        F.col("band").alias("band2"),
+        F.col("m0").alias("n0"),
+        F.col("m1").alias("n1"),
+    )
+    cand = (
+        ba.join(
+            bb,
+            (F.col("band") == F.col("band2"))
+            & (F.col("m0") == F.col("n0"))
+            & (F.col("m1") == F.col("n1"))
+            & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    hits = cand.join(truth, ["da", "db"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(hits)
+        .select(
+            F.col("n_truth"),
+            F.col("n_cand").alias("n_candidates"),
+            F.col("n_hits"),
+            rnd(
+                F.col("n_hits").cast("double") / F.col("n_cand").cast("double"),
+                4,
+            ).alias("precision"),
+            rnd(
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

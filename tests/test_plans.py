@@ -371,6 +371,10 @@ _NESTED_LOOP_OK = {
                            # before any EM step)
     "agg_bootstrap_ci",    # 1-row full-sample stats x 1-row CI bounds —
                            # the final dashboard-row assembly
+    "dedup_minhash_recall_eval",  # three 1-row count aggregates cross-
+                           # joined into the precision/recall row; the
+                           # candidate and truth joins upstream are hash
+                           # equi-joins on band keys / shingles
 }
 
 registry.load_all()
