@@ -718,3 +718,15 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
         ]
         want = float(np.median(slopes)) / 100.0
         assert abs(got[nation]["slope_per_month"] - want) < 1e-3, nation
+
+
+def test_minhash_recall_eval_quality_floor(spark):
+    """dedup_minhash_recall_eval: the 4x2 banding must recall ~all
+    near-identical truth pairs (fixture dups sit at j ~ 0.99 where
+    P[candidate] = 1-(1-j^2)^4 ~ 1.0) and keep precision above the
+    random-collision floor; counts must be internally consistent."""
+    r = _q(spark, "dedup_minhash_recall_eval").collect()[0]
+    assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert r["n_truth"] > 0
+    assert r["recall"] >= 0.9
+    assert r["precision"] >= 0.3
