@@ -1089,10 +1089,14 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(0, size(w) - 3),"
         " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
     )
+    # four consumers shuffle sh on different keys (doc_id, both sides
+    # of the shingle join, (doc_id, seed)), so ReuseExchange can't help
+    # — pin the explode once (eager localCheckpoint, the repo's lineage-
+    # pinning idiom) instead of re-scanning the corpus 4x
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(shingle)).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("s2"))

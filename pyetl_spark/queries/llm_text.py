@@ -3090,10 +3090,13 @@ def _fs_weight_case_sql() -> str:
     return f"CASE pattern_id {arms} END"
 
 
-@query(
-    "er_fellegi_sunter",
-    oracle=f"""
-    WITH c AS (
+def _er_pattern_cte(count_alias: str) -> str:
+    """Shared oracle CTE prefix for the record-linkage keys: the
+    blocked-pair agreement-pattern table. er_fellegi_sunter (scoring)
+    and er_em_mu_estimate (EM fitting) MUST consume the identical
+    pattern space — one definition, parameterized only by the count
+    column's name."""
+    return f"""c AS (
       SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
              floor(c_acctbal / 1000.0) AS bal_b,
              c_custkey % 10 AS dig
@@ -3107,9 +3110,54 @@ def _fs_weight_case_sql() -> str:
     ),
     pat AS (
       SELECT 4 * agree_seg + 2 * agree_bal + agree_dig AS pattern_id,
-             agree_seg, agree_bal, agree_dig, count(*) AS n_pairs
+             agree_seg, agree_bal, agree_dig,
+             CAST(count(*) AS BIGINT) AS {count_alias}
       FROM pairs GROUP BY 1, 2, 3, 4
-    ),
+    )"""
+
+
+def _er_pattern_table(spark: SparkSession, sf_dir: str, count_alias: str):
+    """Spark twin of _er_pattern_cte — the one blocked-pair pattern
+    build both linkage keys share."""
+    c = (
+        load_tables(spark, sf_dir)
+        .customer.filter(F.col("c_custkey") < 2500)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_b"),
+            F.pmod(F.col("c_custkey"), F.lit(10)).alias("dig"),
+        )
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (F.col("a.seg") == F.col("b.seg")).cast("int").alias("agree_seg"),
+            (F.col("a.bal_b") == F.col("b.bal_b"))
+            .cast("int")
+            .alias("agree_bal"),
+            (F.col("a.dig") == F.col("b.dig")).cast("int").alias("agree_dig"),
+        )
+        .withColumn(
+            "pattern_id",
+            F.col("agree_seg") * 4 + F.col("agree_bal") * 2
+            + F.col("agree_dig"),
+        )
+        .groupBy("pattern_id", "agree_seg", "agree_bal", "agree_dig")
+        .agg(F.count(F.lit(1)).cast("long").alias(count_alias))
+    )
+
+
+@query(
+    "er_fellegi_sunter",
+    oracle=f"""
+    WITH {_er_pattern_cte("n_pairs")},
     w AS (SELECT *, {_fs_weight_case_sql()} AS wt FROM pat)
     SELECT CAST(pattern_id AS INT) AS pattern_id,
            CAST(agree_seg AS INT) AS agree_seg,
@@ -3148,37 +3196,12 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and at 100 TB the scored-pairs form is the same blocked
     join with the weight expression inlined — no new shuffle shape.
     Unlike its unblocked sibling this needs no plan-lint whitelist: the
-    block key makes the pair build a plain hash equi-join on nat."""
-    c = (
-        load_tables(spark, sf_dir)
-        .customer.filter(F.col("c_custkey") < 2500)
-        .select(
-            "c_custkey",
-            F.col("c_nationkey").alias("nat"),
-            F.col("c_mktsegment").alias("seg"),
-            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_b"),
-            F.pmod(F.col("c_custkey"), F.lit(10)).alias("dig"),
-        )
-    )
-    a, b = c.alias("a"), c.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.nat") == F.col("b.nat"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
-        (F.col("a.seg") == F.col("b.seg")).cast("int").alias("agree_seg"),
-        (F.col("a.bal_b") == F.col("b.bal_b")).cast("int").alias("agree_bal"),
-        (F.col("a.dig") == F.col("b.dig")).cast("int").alias("agree_dig"),
-    )
-    pat = (
-        pairs.withColumn(
-            "pattern_id",
-            F.col("agree_seg") * 4 + F.col("agree_bal") * 2
-            + F.col("agree_dig"),
-        )
-        .groupBy("pattern_id", "agree_seg", "agree_bal", "agree_dig")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
+    block key makes the pair build a plain hash equi-join on nat.
+    The pattern space is built by the SHARED _er_pattern_table /
+    _er_pattern_cte pair, so this scorer and the EM fitter
+    (er_em_mu_estimate) can never drift onto different slices, blocks,
+    or field sets."""
+    pat = _er_pattern_table(spark, sf_dir, "n_pairs")
     ws = _fs_weights()
     wt = F.when(F.col("pattern_id") == 0, F.lit(ws[0]))
     for p in range(1, 8):
@@ -3237,24 +3260,7 @@ def _em_gfx1_case_sql() -> str:
 @query(
     "er_em_mu_estimate",
     oracle=f"""
-    WITH c AS (
-      SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
-             floor(c_acctbal / 1000.0) AS bal_b,
-             c_custkey % 10 AS dig
-      FROM customer WHERE c_custkey < 2500
-    ),
-    pairs AS (
-      SELECT CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS agree_seg,
-             CASE WHEN a.bal_b = b.bal_b THEN 1 ELSE 0 END AS agree_bal,
-             CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END AS agree_dig
-      FROM c a JOIN c b ON a.nat = b.nat AND a.c_custkey < b.c_custkey
-    ),
-    pat AS (
-      SELECT 4 * agree_seg + 2 * agree_bal + agree_dig AS pattern_id,
-             agree_seg, agree_bal, agree_dig,
-             CAST(count(*) AS BIGINT) AS n
-      FROM pairs GROUP BY 1, 2, 3, 4
-    ),
+    WITH {_er_pattern_cte("n")},
     e1 AS (SELECT *, {_em_gfx1_case_sql()} AS gfx FROM pat),
     agg1 AS (
       SELECT CAST(sum(n) AS BIGINT) AS nn,
@@ -3297,7 +3303,7 @@ def _em_gfx1_case_sql() -> str:
     ),
     e2 AS (
       SELECT pattern_id, agree_seg, agree_bal, agree_dig, n,
-             {FXP("num2 / (num2 + den2)", 10**12)} AS gfx
+             {FXP("num2 / (num2 + den2)", _EM_SCALE)} AS gfx
       FROM e2x
     ),
     agg2 AS (
@@ -3351,38 +3357,11 @@ def er_em_mu_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) is constant-size; more EM iterations replay the tiny
     e/agg blocks. At 100 TB the blocked pair generation dominates
     (same posture as er_fellegi_sunter); the pattern-table EM is the
-    textbook way linkage engines fit weights without labels."""
-    c = (
-        load_tables(spark, sf_dir)
-        .customer.filter(F.col("c_custkey") < 2500)
-        .select(
-            "c_custkey",
-            F.col("c_nationkey").alias("nat"),
-            F.col("c_mktsegment").alias("seg"),
-            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_b"),
-            F.pmod(F.col("c_custkey"), F.lit(10)).alias("dig"),
-        )
-    )
-    a, b = c.alias("a"), c.alias("b")
-    pat = (
-        a.join(
-            b,
-            (F.col("a.nat") == F.col("b.nat"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            (F.col("a.seg") == F.col("b.seg")).cast("int").alias("agree_seg"),
-            (F.col("a.bal_b") == F.col("b.bal_b")).cast("int").alias("agree_bal"),
-            (F.col("a.dig") == F.col("b.dig")).cast("int").alias("agree_dig"),
-        )
-        .withColumn(
-            "pattern_id",
-            F.col("agree_seg") * 4 + F.col("agree_bal") * 2
-            + F.col("agree_dig"),
-        )
-        .groupBy("pattern_id", "agree_seg", "agree_bal", "agree_dig")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    textbook way linkage engines fit weights without labels. The
+    pattern space comes from the SHARED _er_pattern_table /
+    _er_pattern_cte pair, so the fitter and the scorer
+    (er_fellegi_sunter) can never drift apart."""
+    pat = _er_pattern_table(spark, sf_dir, "n")
 
     def _mstep(e: DataFrame) -> DataFrame:
         return e.agg(

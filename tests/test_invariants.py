@@ -629,7 +629,31 @@ def test_neyman_allocation_sums_to_budget_and_dominates_uniform(spark):
     rows = _q(spark, "sample_neyman_allocation").collect()
     assert sum(r["alloc"] for r in rows) == 1000
     assert all(r["alloc"] > 0 for r in rows)
-    by_weight = sorted(rows, key=lambda r: r["n_h"] * r["stddev_bal"])
+    # order by the EXACT N_h * S_h weight (recomputed from exact cents
+    # moments), not the 4dp display stddev — the rounded column can flip
+    # near-ties and make the dominance check flaky on other fixtures
+    t = load_tables(spark, SF_ORACLE).customer
+    moments = {
+        r["segment"]: r
+        for r in t.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.abs("c_acctbal") * 100 + F.lit(0.5)).cast("long")).alias("s1"),
+            F.sum(
+                (F.floor(F.abs("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+                 * F.floor(F.abs("c_acctbal") * 100 + F.lit(0.5)).cast("long"))
+            ).alias("s2"),
+        )
+        .collect()
+    }
+
+    def exact_weight(r):
+        m = moments[r["segment"]]
+        n = m["n"]
+        var = (n * m["s2"] - m["s1"] * m["s1"]) / (n * (n - 1))
+        return n * var ** 0.5
+
+    by_weight = sorted(rows, key=exact_weight)
     allocs = [r["alloc"] for r in by_weight]
     # largest-remainder can flip exact ties only; weights here are distinct
     assert allocs == sorted(allocs)
