@@ -81,6 +81,62 @@ ORACLE: dict[str, str] = {}
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (oldest-evidence keys), truncated to 50.
+#: R6 WINDOW DRAFT (computed mechanically this round: oracle keys with
+#: no CORRECTNESS row after the r5 window lands, registration order,
+#: first 50 of 91; swap into PRIORITY at the START of round 6, then
+#: append ~5 oldest-evidence re-verifies if slots remain after any
+#: r5 reds). Remaining after this window: 41 more oracle keys, then
+#: the 34 never-verified rows-only keys (r7 per the rotation plan).
+#:     "win_gaps_islands",
+#:     "fn_group_by_all",
+#:     "agg_width_bucket",
+#:     "graph_neighbor_jaccard",
+#:     "sample_neyman_allocation",
+#:     "events_rollup_multi_grain",
+#:     "join_interval_overlap",
+#:     "etl_merge_upsert",
+#:     "sample_hash_per_group",
+#:     "ts_seasonal_profile",
+#:     "ts_autocorr_lag1",
+#:     "sample_weighted_topk",
+#:     "ts_changepoint_cusum",
+#:     "ts_sma_crossover",
+#:     "ts_hampel_outliers",
+#:     "ts_backtest_naive_mae",
+#:     "ts_theil_sen",
+#:     "text_heavy_hitters",
+#:     "text_heavy_hitters_mg",
+#:     "text_chi_square",
+#:     "text_stopword_discovery",
+#:     "text_bm25_search",
+#:     "text_diversity_simpson",
+#:     "dedup_source_attribution",
+#:     "text_train_split",
+#:     "text_lang_id_trigram",
+#:     "text_lm_score",
+#:     "dedup_allpairs_prefix",
+#:     "text_chunk_overlap",
+#:     "text_pii_redact",
+#:     "text_global_shuffle",
+#:     "dedup_levenshtein_snm",
+#:     "text_winnowing_fingerprint",
+#:     "text_shard_assign",
+#:     "text_url_canonicalize",
+#:     "text_rake_keywords",
+#:     "text_boilerplate_strip",
+#:     "text_zipf_exponent",
+#:     "text_importance_sample_dsir",
+#:     "text_vocab_coverage",
+#:     "text_lang_id_confusion",
+#:     "dedup_containment",
+#:     "er_blocking_quality",
+#:     "er_fellegi_sunter",
+#:     "er_em_mu_estimate",
+#:     "text_gopher_rules",
+#:     "text_budget_select",
+#:     "dedup_embedding_cosine",
+#:     "dedup_embedding_quantized",
+#:     "vec_knn_classify",
 PRIORITY: list[str] = [
     # sources (r3/r4-session additions) — never driver-verified
     "source_json_corrupt_records",
