@@ -1181,3 +1181,67 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "multimodal_manifest_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+             md5(text) AS payload_hash
+      FROM documents
+    )
+    SELECT source, kind,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+           {R("CAST(sum(nbytes) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 2)}
+             AS avg_bytes,
+           CAST(max(nbytes) AS BIGINT) AS max_bytes,
+           CAST(count(DISTINCT payload_hash) AS BIGINT) AS n_distinct_payloads
+    FROM m GROUP BY 1, 2
+    """,
+)
+def multimodal_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-lake manifest audit — the first query any multimodal corpus
+    owner runs: per (source, kind) asset counts, byte totals/averages/
+    maxima, and distinct-payload counts (the exact-dedup headroom
+    estimate) over genuinely-BinaryType payloads. The first TIER-A
+    member of the multimodal family: everything here is relational
+    metadata over the blob column (byte lengths, content hashes), so it
+    oracle-checks even though decode itself stays behind the stub —
+    exactly how a production manifest audit avoids touching pixels.
+
+    Payloads are the fixture adapter's UTF-8 blobs (same construction
+    as operators/multimodal.attach_fake_media); kind is a deterministic
+    doc_id%3 tag standing in for the fixture's missing media-type
+    column. At 100 TB: ONE map-side-combined aggregate whose per-row
+    work is octet_length + md5 — no decode, no shuffle beyond the
+    (source, kind) rollup; the distinct-payload count shuffles hashes,
+    not blobs (and downgrades to HLL when exactness isn't required —
+    agg_approx_distinct is the declared sketch twin)."""
+    d = load_tables(spark, sf_dir).documents
+    payload = F.encode("text", "UTF-8")
+    m = d.select(
+        "source",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("image"))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.length(payload).cast("long").alias("nbytes"),
+        F.md5("text").alias("payload_hash"),
+    )
+    return m.groupBy("source", "kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("nbytes").cast("long").alias("total_bytes"),
+        rnd(
+            F.sum("nbytes").cast("double") / F.count(F.lit(1)).cast("double"),
+            2,
+        ).alias("avg_bytes"),
+        F.max("nbytes").cast("long").alias("max_bytes"),
+        F.countDistinct("payload_hash").cast("long").alias(
+            "n_distinct_payloads"
+        ),
+    )

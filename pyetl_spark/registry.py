@@ -64,8 +64,8 @@ ORACLE: dict[str, str] = {}
 #:       udtf_arrow, er_fellegi_sunter, er_em_mu_estimate, ts_theil_sen,
 #:       graph_neighbor_jaccard, geo_grid_density,
 #:       sample_neyman_allocation, text_budget_select, agg_bootstrap_ci,
-#:       dedup_minhash_recall_eval — all pre-gated at 4 SFs this
-#:       round), then start
+#:       dedup_minhash_recall_eval, multimodal_manifest_stats — all
+#:       pre-gated at 4 SFs this round), then start
 #:       the never-verified rows-only keys (ANN surface, multimodal,
 #:       sink extras, semdedup/mmr/bpe/layout; seven former members of
 #:       this backlog — agg_kmv_distinct, agg_kmv_overlap, dedup_simhash,
