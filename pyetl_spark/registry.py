@@ -81,127 +81,116 @@ ORACLE: dict[str, str] = {}
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (oldest-evidence keys), truncated to 50.
-#: R6 WINDOW DRAFT (computed mechanically this round: oracle keys with
-#: no CORRECTNESS row after the r5 window lands, registration order,
-#: first 50 of 91; swap into PRIORITY at the START of round 6, then
-#: append ~5 oldest-evidence re-verifies if slots remain after any
-#: r5 reds). Remaining after this window: 41 more oracle keys, then
-#: the 34 never-verified rows-only keys (r7 per the rotation plan).
-#:     "win_gaps_islands",
-#:     "fn_group_by_all",
-#:     "agg_width_bucket",
-#:     "graph_neighbor_jaccard",
-#:     "sample_neyman_allocation",
-#:     "events_rollup_multi_grain",
-#:     "join_interval_overlap",
-#:     "etl_merge_upsert",
-#:     "sample_hash_per_group",
-#:     "ts_seasonal_profile",
-#:     "ts_autocorr_lag1",
-#:     "sample_weighted_topk",
-#:     "ts_changepoint_cusum",
-#:     "ts_sma_crossover",
-#:     "ts_hampel_outliers",
-#:     "ts_backtest_naive_mae",
-#:     "ts_theil_sen",
-#:     "text_heavy_hitters",
-#:     "text_heavy_hitters_mg",
-#:     "text_chi_square",
-#:     "text_stopword_discovery",
-#:     "text_bm25_search",
-#:     "text_diversity_simpson",
-#:     "dedup_source_attribution",
-#:     "text_train_split",
-#:     "text_lang_id_trigram",
-#:     "text_lm_score",
-#:     "dedup_allpairs_prefix",
-#:     "text_chunk_overlap",
-#:     "text_pii_redact",
-#:     "text_global_shuffle",
-#:     "dedup_levenshtein_snm",
-#:     "text_winnowing_fingerprint",
-#:     "text_shard_assign",
-#:     "text_url_canonicalize",
-#:     "text_rake_keywords",
-#:     "text_boilerplate_strip",
-#:     "text_zipf_exponent",
-#:     "text_importance_sample_dsir",
-#:     "text_vocab_coverage",
-#:     "text_lang_id_confusion",
-#:     "dedup_containment",
-#:     "er_blocking_quality",
-#:     "er_fellegi_sunter",
-#:     "er_em_mu_estimate",
-#:     "text_gopher_rules",
-#:     "text_budget_select",
-#:     "dedup_embedding_cosine",
-#:     "dedup_embedding_quantized",
-#:     "vec_knn_classify",
+#: R7 WINDOW DRAFT (computed mechanically at the start of r6: the 42
+#: oracle keys still without a CORRECTNESS row after the r6 window
+#: lands, registration order, then the first 8 of the 34 never-verified
+#: rows-only keys to fill the 50 slots; recompute + swap into PRIORITY
+#: at the START of round 7, prepending any r6 reds/vacuous rows first).
+#:     "vec_hard_negatives",
+#:     "vec_covariance_matrix",
+#:     "vec_matryoshka_eval",
+#:     "dedup_simhash",
+#:     "vec_ann_lsh",
+#:     "text_count_min_freq",
+#:     "dedup_incremental_bloom",
+#:     "dedup_minhash_recall_eval",
+#:     "multimodal_manifest_stats",
+#:     "win_udaf_pandas",
+#:     "udtf_table_arg",
+#:     "udf_arrow_scalar",
+#:     "udtf_arrow",
+#:     "sink_parquet_variant",
+#:     "agg_ks_statistic",
+#:     "agg_hhi_concentration",
+#:     "agg_cramers_v",
+#:     "agg_ab_test_ztest",
+#:     "etl_snapshot_reconcile_hash",
+#:     "join_skew_salted",
+#:     "agg_cuped_adjusted",
+#:     "etl_dq_scorecard",
+#:     "win_pct_rank_twophase",
+#:     "etl_partition_skew_audit",
+#:     "events_funnel_windowed",
+#:     "agg_mann_whitney_u",
+#:     "agg_welch_ttest",
+#:     "agg_percentile_exact_twophase",
+#:     "agg_psi_drift",
+#:     "agg_ols_two_feature",
+#:     "pipeline_experiment_readout",
+#:     "agg_ab_srm_check",
+#:     "agg_kmv_distinct",
+#:     "agg_kmv_overlap",
+#:     "join_cardinality_estimate",
+#:     "agg_bootstrap_ci",
+#:     "hierarchy_rollup_transitive",
+#:     "hierarchy_path_depth",
+#:     "hierarchy_recursive_cte_native",
+#:     "geo_radius_join_bucketed",
+#:     "geo_point_in_polygon",
+#:     "geo_grid_density",
+#: ... then the rows-only backlog (ANN surface, multimodal, sink extras,
+#: semdedup/mmr/bpe/layout) — a rows-only row (spark_rows > 0) is the
+#: marginal evidence unit from r7 on.
 PRIORITY: list[str] = [
-    # sources (r3/r4-session additions) — never driver-verified
-    "source_json_corrupt_records",
-    "source_csv_roundtrip_typed",
-    "source_json_variant",
-    "source_python_datasource",
-    "source_xml_parse",
-    "source_orc_roundtrip_typed",
-    # etl governance/audit family (r3 session)
-    "etl_cdc_compact",
-    "etl_fk_integrity",
-    "etl_freshness_lag",
-    "etl_k_anonymity",
-    "etl_dataset_fingerprint",
-    "etl_forget_propagation",
-    "etl_incremental_join_view",
-    # agg/join/window additions (r3 session)
-    "agg_bitmap_distinct",
-    "agg_salted_twophase",
-    "join_null_safe",
-    "join_bloom_prefilter",
-    "join_asof_tolerance",
-    "win_drawdown",
-    "win_cume_dist",
-    # TPC-H completion (r4 session)
-    "join_local_supplier_volume",
-    "join_volume_shipping_pairs",
-    "agg_forecast_revenue",
-    "join_product_type_profit",
-    "agg_important_stock",
-    # Spark 4 native surface (r4 third session)
-    "fn_pipe_syntax",
-    "fn_sql_udf",
-    "fn_collation",
-    "fn_sql_params",
-    "fn_sql_scripting",
-    "agg_listagg_native",
-    # statistical / behavioral analytics (r3/r4 sessions)
-    "events_training_examples",
-    "basket_association_rules",
-    "orders_survival_km",
-    "events_bot_detection",
-    "events_stickiness_dau_mau",
-    "agg_rate_wilson_ci",
-    "events_time_to_convert",
-    "events_growth_accounting",
-    "agg_benford_digits",
-    "agg_skyline_2d",
-    # graph + timeseries head (r4 session)
-    "graph_label_propagation",
-    "graph_shortest_path_bounded",
-    "ts_resample_ohlc",
-    "ts_interpolate_linear",
-    # VACUITY RE-VERIFIES — prior green rows were 0-row hash-matches
-    # (subq_scalar found by the r4 verdict; join_anti/set_except found by
-    # this round's empty-result lint over the full-registry sweep: every
-    # customer has an order and supplier nations cover customer nations
-    # at sf0.01, so their r1/r2 evidence certified empty sets). All three
-    # predicates fixed to select rows at every SF.
-    "subq_scalar",
-    "join_anti",
-    "set_except",
-    # RE-VERIFY slots — oldest remaining (r2) evidence
-    "agg_collect_sorted",
-    "win_topk_per_group",
+    # r6 window — the 50 never-driver-verified oracle keys, mechanically
+    # recomputed this session from CORRECTNESS_r01..r05 vs the registry
+    # (matches the r5 draft exactly): the r5-session additions
+    # (win_gaps_islands, er_*, ts_theil_sen, ...), the ts_*/sample_* tail,
+    # the text_* tail, and the embedding-dedup trio. r5 went 50/50 green,
+    # so there are no reds to prepend and no re-verify debt older than r2
+    # remains unqueued. All 50 were pre-gated by r5's full-registry canon
+    # sweep at 4 SFs + determinism + the zero-row lint; re-gated this
+    # round before declaration (see EVIDENCE_r6.md).
+    "win_gaps_islands",
+    "fn_group_by_all",
+    "agg_width_bucket",
+    "graph_neighbor_jaccard",
+    "sample_neyman_allocation",
+    "events_rollup_multi_grain",
+    "join_interval_overlap",
+    "etl_merge_upsert",
+    "sample_hash_per_group",
+    "ts_seasonal_profile",
+    "ts_autocorr_lag1",
+    "sample_weighted_topk",
+    "ts_changepoint_cusum",
+    "ts_sma_crossover",
+    "ts_hampel_outliers",
+    "ts_backtest_naive_mae",
+    "ts_theil_sen",
+    "text_heavy_hitters",
+    "text_heavy_hitters_mg",
+    "text_chi_square",
+    "text_stopword_discovery",
+    "text_bm25_search",
+    "text_diversity_simpson",
+    "dedup_source_attribution",
+    "text_train_split",
+    "text_lang_id_trigram",
+    "text_lm_score",
+    "dedup_allpairs_prefix",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "text_global_shuffle",
+    "dedup_levenshtein_snm",
+    "text_winnowing_fingerprint",
+    "text_shard_assign",
+    "text_url_canonicalize",
+    "text_rake_keywords",
+    "text_boilerplate_strip",
+    "text_zipf_exponent",
+    "text_importance_sample_dsir",
+    "text_vocab_coverage",
+    "text_lang_id_confusion",
+    "dedup_containment",
+    "er_blocking_quality",
+    "er_fellegi_sunter",
+    "er_em_mu_estimate",
+    "text_gopher_rules",
+    "text_budget_select",
+    "dedup_embedding_cosine",
+    "dedup_embedding_quantized",
+    "vec_knn_classify",
 ]
 
 
