@@ -83,6 +83,13 @@ def _nearest_cell(vec_df: DataFrame, centroids: DataFrame, vec_col: str):
         centroids.select("cell", "centroid").collect(),
         key=lambda r: r["cell"],
     )
+    if not rows:
+        # Fail loudly: an untyped F.lit([]) / np.stack([]) downstream would
+        # crash with an opaque error instead (ADVICE r5 low item).
+        raise ValueError(
+            "_nearest_cell: centroids DataFrame is empty — k-means over an "
+            "empty corpus produces no cells to assign to"
+        )
     if len(rows) < _KERNEL_MIN_K:
         cells_lit = F.lit([int(r["cell"]) for r in rows])
         cents_lit = F.lit([[float(x) for x in r["centroid"]] for r in rows])
@@ -276,7 +283,13 @@ def kmeans_fit(
 def kmeans_inertia(
     corpus: DataFrame, centroids: DataFrame, vec_col: str = "e"
 ) -> float:
-    """Sum of squared distances to assigned centroids (convergence metric)."""
+    """Sum of squared distances to assigned centroids (convergence metric).
+
+    Per-ROW semantics: duplicate embeddings each contribute their own
+    distance term (the textbook inertia). The pre-r5 crossJoin+window
+    implementation silently deduplicated identical rows; the current
+    stateless projection preserves multiplicity, so values on dup-heavy
+    corpora are higher than the old ones — intentionally."""
     assigned = _nearest_cell(corpus.select(vec_col), centroids, vec_col)
     return assigned.agg(F.sum("dist").alias("i")).collect()[0]["i"]
 

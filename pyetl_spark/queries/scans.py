@@ -320,15 +320,12 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ship_by_value()  # workers may not have the repo on PYTHONPATH
-    try:
-        spark.dataSource.register(SyntheticEventsSource)
-    except Exception as exc:
-        # Registration is session-global, so re-registering on a reused
-        # session is the one benign failure; anything else (API absent,
-        # bad class) must propagate, not surface later as a confusing
-        # format-not-found at read time (ADVICE r4).
-        if "already" not in str(exc).lower() and "exists" not in str(exc).lower():
-            raise
+    # Registration is session-global and re-registration REPLACES the
+    # previous entry (probed on pyspark 4.1: DataSourceManager logs a WARN
+    # and overwrites), so register unconditionally — no exception-text
+    # sniffing (ADVICE r5); a real failure (API absent, bad class)
+    # propagates here instead of as format-not-found at read time.
+    spark.dataSource.register(SyntheticEventsSource)
     gen = (
         spark.read.format("pyetl_synth_events")
         .option("rows", 20000)

@@ -50,6 +50,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_scaling_curve.jsonl")
     ap.add_argument("--probes", default=None)
+    ap.add_argument(
+        "--sf01-dir",
+        default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        ),
+        help="sf0.1 fixture dir (same convention as bench.py: "
+        "$SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1)",
+    )
     args = ap.parse_args()
 
     from pyetl_spark import registry
@@ -57,7 +65,7 @@ def main() -> None:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dirs = {
-        0.1: "/root/testdata/sf0.1",
+        0.1: args.sf01_dir,
         1.0: os.path.join(here, "testdata_sf1"),
         3.0: os.path.join(here, "testdata_sf3"),
     }

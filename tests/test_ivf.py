@@ -192,3 +192,11 @@ def test_nearest_cell_jvm_and_arrow_paths_bit_identical(spark, corpus):
     finally:
         ivf._KERNEL_MIN_K = old
     assert jvm == ker  # exact: same cells AND the same double bits
+
+
+def test_empty_centroids_fail_loudly(spark, corpus):
+    """ADVICE r5: an empty centroid table must raise a clear ValueError,
+    not crash deep inside F.lit([]) / np.stack with an opaque error."""
+    empty = spark.createDataFrame([], "cell int, centroid array<double>")
+    with pytest.raises(ValueError, match="centroids DataFrame is empty"):
+        ivf_assign(corpus, empty)
