@@ -2320,16 +2320,23 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword tokenizer trained on the corpus and applied back to
     its vocabulary (operators/bpe.py): the word-frequency table is the
-    only corpus-sized aggregate; the greedy merge loop runs on that
-    bounded table driver-side (industrial trainer shape — HF/SentencePiece
-    train on word counts too); encoding is a no-shuffle Arrow pandas UDF.
-    Merge-sequence exactness vs an independent reference implementation
-    is pinned in tests/test_bpe.py."""
-    from pyetl_spark.operators.bpe import bpe_apply, bpe_train, word_freqs
+    only corpus-sized aggregate; the greedy merge loop runs driver-side
+    on the top-``TRAIN_VOCAB_CAP`` words by frequency (TakeOrderedAnd-
+    Project — a bounded collect even when the corpus's distinct-word
+    tail is unbounded; industrial trainer shape — HF/SentencePiece train
+    on frequency-capped word counts too); encoding is a no-shuffle Arrow
+    pandas UDF. Merge-sequence exactness vs an independent reference
+    implementation and the collect cap are pinned in tests/test_bpe.py."""
+    from pyetl_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        top_word_freqs,
+        word_freqs,
+    )
 
     d = load_tables(spark, sf_dir).documents
     wf = word_freqs(d)
-    rows = [(r["word"], r["freq"]) for r in wf.collect()]
+    rows = top_word_freqs(wf)
     merges = bpe_train(rows, n_merges=24)
     return (
         bpe_apply(wf, merges)

