@@ -82,6 +82,30 @@ def global_order_rank(
     )
 
 
+def ntile_from_rank(rank, n: int, k: int):
+    """SQL ``ntile(k)`` as a pure expression over a 0-based global rank.
+
+    The ANSI definition (identical in Spark and DuckDB): with n rows and
+    k buckets, the first ``n mod k`` buckets hold ``n div k + 1`` rows,
+    the rest ``n div k``. Combined with ``global_order_rank`` this gives
+    the exact global ntile WITHOUT a single-partition window — ``n`` is
+    one driver long (a count), the mapping is a stateless projection.
+
+    Division is on doubles but exact: ranks are < 2^53 and positive, so
+    ``floor(rank / big)`` equals integer division.
+    """
+    q, rem = divmod(int(n), int(k))
+    big = q + 1
+    if q == 0:  # fewer rows than buckets: bucket = rank + 1
+        return (rank + 1).cast("int")
+    head = rem * big  # rows living in the "big" buckets
+    return (
+        F.when(rank < head, F.floor(rank / F.lit(float(big))) + 1)
+        .otherwise(rem + F.floor((rank - head) / F.lit(float(q))) + 1)
+        .cast("int")
+    )
+
+
 def global_order_cumsum(
     df: DataFrame,
     order_cols: list[str],

