@@ -137,3 +137,113 @@ def project(
         lambda acc, x: acc + x,
     )
     return df.withColumn(out_col, dot)
+
+
+def _moments_quantized(vec_col: str, dim: int, scale: float):
+    """mapInPandas fn: per Arrow batch, one row of EXACT integer moments
+    over fixed-point-quantized coordinates (int64 matmul — numpy integer
+    matmul is exact and order-free, unlike the float path above)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(
+                np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    "sum_outer": [(q.T @ q).ravel().tolist()],
+                    "sum_vec": [q.sum(axis=0).tolist()],
+                    "n": [len(q)],
+                }
+            )
+
+    return run
+
+
+def top_component_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: float = 1e4,
+    iters: int = 60,
+) -> tuple[list[float], list[float]]:
+    """Cross-engine-EXACT top principal component: (component, mean).
+
+    Bit-reproducible by construction, so a SQL oracle can replay it
+    (the r7 Tier-A conversion of vec_pca_project):
+
+    - moments are integer sums of fixed-point-quantized coordinates
+      (round-half-away at ``scale``) — exact under ANY batch/partition
+      order, unlike float accumulation;
+    - covariance entries derive from those ints with a FIXED float
+      expression (so/n - (sv_i/n)(sv_j/n));
+    - the power iteration runs a FIXED ``iters`` count in pure Python
+      with explicit ascending folds (acc starts 0.0; no BLAS, whose
+      blocked summation order an oracle could not reproduce), seeded at
+      v0 = normalize([1..dim]);
+    - sign canonicalized: first-largest-|coordinate| entry positive.
+
+    Every float op here is a single IEEE-754 exact-rounded step in a
+    fixed order, so DuckDB executing the same expression tree yields the
+    identical bits. Integer-overflow headroom: |q| <= scale·max|x|, so
+    Σq_iq_j fits int64 up to ~2^63/(scale·max|x|)^2 rows — at true
+    100 TB scale escalate the moment sums to DECIMAL(38,0)."""
+    _ship_module_by_value()
+    schema = "sum_outer array<long>, sum_vec array<long>, n bigint"
+    parts = df.select(vec_col).mapInPandas(
+        _moments_quantized(vec_col, dim, scale), schema=schema
+    ).collect()
+    if not parts:
+        raise ValueError("empty input")
+    so = [0] * (dim * dim)
+    sv = [0] * dim
+    n = 0
+    for r in parts:  # python ints: exact, order-free
+        for k, val in enumerate(r["sum_outer"]):
+            so[k] += val
+        for k, val in enumerate(r["sum_vec"]):
+            sv[k] += val
+        n += r["n"]
+    nf = float(n)
+    mean = [sv[i] / nf for i in range(dim)]
+    cov = [
+        [
+            so[i * dim + j] / nf - (sv[i] / nf) * (sv[j] / nf)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+    def _norm(xs: list[float]) -> float:
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        import math
+
+        return math.sqrt(acc)
+
+    v = [float(i + 1) for i in range(dim)]
+    nv = _norm(v)
+    v = [x / nv for x in v]
+    for _ in range(iters):
+        w = []
+        for i in range(dim):
+            acc = 0.0
+            for k in range(dim):
+                acc = acc + cov[i][k] * v[k]
+            w.append(acc)
+        nw = _norm(w)
+        if nw == 0.0:
+            break
+        v = [x / nw for x in w]
+    amax, idx = -1.0, 0
+    for i, x in enumerate(v):
+        ax = abs(x)
+        if ax > amax:
+            amax, idx = ax, i
+    if v[idx] < 0:
+        v = [-1.0 * x for x in v]
+    return v, mean

@@ -287,20 +287,122 @@ def dedup_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_pca_project")
+def _pca_oracle(dim: int = 64, scale: str = "10000.0", iters: int = 60) -> str:
+    """DuckDB replay of ``top_component_exact`` + projection (see
+    operators/pca.py for why every step is bit-reproducible): integer
+    moments over fixed-point-quantized coordinates, covariance as a fixed
+    float expression, a recursive-CTE power iteration whose folds
+    (list_reduce over a 0.0-prepended ascending list) mirror the Python
+    loops exactly, first-largest-|coordinate| sign canonicalization, and
+    the same centered-dot projection."""
+    d2 = dim * dim
+
+    def dot(row: str, v: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1,{dim}), k -> {row}[k] * {v}[k])), "
+            f"(a,b) -> a + b)"
+        )
+
+    def norm(l: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({l}, x -> x * x)), (a,b) -> a + b))"
+        )
+
+    w_expr = f"list_transform(cov, row -> {dot('row', 'v')})"
+    seed_raw = f"list_transform(generate_series(1,{dim}), i -> CAST(i AS DOUBLE))"
+    proj = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1,{dim}), "
+        f"k -> (q.e[k] - c.mean[k]) * c.vc[k])), (a,b) -> a + b)"
+    )
+    return f"""
+    WITH RECURSIVE q AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding, x ->
+               CAST(sign(CAST(x AS DOUBLE))
+                    * floor(abs(CAST(x AS DOUBLE)) * {scale} + 0.5)
+                    AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    mom AS MATERIALIZED (
+      SELECT pos, CAST(sum(val) AS BIGINT) AS so
+      FROM (
+        SELECT unnest(flatten(list_transform(qe,
+                 a -> list_transform(qe, b -> a * b)))) AS val,
+               unnest(generate_series(1, {d2})) AS pos
+        FROM q
+      ) GROUP BY pos
+    ),
+    svv AS MATERIALIZED (
+      SELECT pos, CAST(sum(val) AS BIGINT) AS sv
+      FROM (
+        SELECT unnest(qe) AS val, unnest(generate_series(1, {dim})) AS pos
+        FROM q
+      ) GROUP BY pos
+    ),
+    covm AS MATERIALIZED (
+      SELECT list_transform(generate_series(1,{dim}), i ->
+               list_transform(generate_series(1,{dim}), j ->
+                 so_l[(i-1)*{dim} + j] / n - (sv_l[i] / n) * (sv_l[j] / n)))
+               AS cov,
+             list_transform(generate_series(1,{dim}), i -> sv_l[i] / n)
+               AS mean
+      FROM (
+        SELECT (SELECT list(CAST(so AS DOUBLE) ORDER BY pos) FROM mom) AS so_l,
+               (SELECT list(CAST(sv AS DOUBLE) ORDER BY pos) FROM svv) AS sv_l,
+               (SELECT CAST(count(*) AS DOUBLE) FROM q) AS n
+      )
+    ),
+    power AS (
+      SELECT 0 AS it,
+             list_transform({seed_raw}, x -> x / {norm(seed_raw)}) AS v,
+             cov, mean
+      FROM covm
+      UNION ALL
+      SELECT it + 1,
+             list_transform({w_expr}, x -> x / {norm(w_expr)}),
+             cov, mean
+      FROM power WHERE it < {iters}
+    ),
+    canon AS (
+      SELECT mean,
+             CASE WHEN v[list_position(list_transform(v, x -> abs(x)),
+                          list_aggregate(list_transform(v, x -> abs(x)),
+                                         'max'))] < 0
+                  THEN list_transform(v, x -> -1.0 * x)
+                  ELSE v END AS vc
+      FROM power WHERE it = {iters}
+    )
+    SELECT q.vec_id, q.label, {R(proj, 4)} AS pc1
+    FROM q, canon c
+    ORDER BY q.vec_id
+    """
+
+
+@query("vec_pca_project", oracle=_pca_oracle())
 def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-B (rows-only): 1-D PCA projection of every embedding onto
-    the corpus's top principal component (operators/pca.py — distributed
-    mapInPandas moment aggregation, driver-side 64×64 power iteration).
-    The projection itself is JVM-side zip_with/aggregate over literal
-    arrays. Iterative float fixpoint + batch-order-sensitive low bits →
-    never hash-declared; pytest pins direction recovery and projection
-    math instead. Downstream use: whitening, 1-D stratified sampling,
-    quantization binning."""
-    from pyetl_spark.operators.pca import project, top_component
+    """1-D PCA projection of every embedding onto the corpus's top
+    principal component (operators/pca.py ``top_component_exact`` —
+    distributed mapInPandas INTEGER moment aggregation, driver-side
+    64×64 pure-Python power iteration). The projection itself is
+    JVM-side zip_with/aggregate over literal arrays.
+
+    Tier A (r7 conversion — the 'iterative algorithms can be
+    oracle-verified' proof): quantized integer moments are exact under
+    any partitioning, every float step is a fixed-order IEEE op, and
+    the oracle replays the identical expression tree in DuckDB
+    (recursive-CTE power iteration, same folds, same seed, same sign
+    rule) — full value-hash parity, not a tolerance check. Direction
+    recovery vs numpy and the projection math stay pinned in
+    tests/test_pca.py. Downstream use: whitening, 1-D stratified
+    sampling, quantization binning."""
+    from pyetl_spark.operators.pca import project, top_component_exact
 
     emb = load_tables(spark, sf_dir).embeddings
-    comp, lam, mean = top_component(emb, dim=64)
+    comp, mean = top_component_exact(emb, dim=64)
     return (
         project(emb, comp, mean)
         .select("vec_id", "label", rnd(F.col("pc1"), 4).alias("pc1"))

