@@ -31,166 +31,106 @@ ORACLE: dict[str, str] = {}
 #: window this round; everything else follows in registration order and
 #: earns its row in a later round's rotation.
 #:
-#: r5 window = 45 never-driver-verified oracle keys in registration
-#: order (r3-session sources/etl/agg/join/win additions, the Spark-4
-#: native surface, the statistical/TPC-H-completion/graph/timeseries
-#: head) + `subq_scalar` (its r4 slot was VACUOUS — the old 2× threshold
-#: selected 0 rows at every SF, so the hash-match verified nothing; the
-#: predicate is now 1.5× mean and the key re-earns real evidence) + 4
-#: RE-VERIFY slots for the oldest (r2) evidence. r4 went 50/50 green, so
-#: there are no reds to re-check.
-#:
-#: ROTATION PLAN (~50 verifiable slots/round, 346 declared keys, 191
-#: distinct driver-verified after r4):
+#: ROTATION HISTORY (~50 verifiable slots/round; 362 declared keys, 325
+#: with oracles after the r7 conversions; 286 distinct driver-verified
+#: after r6):
 #:   r1 (done, 50 green): first 50 in registration order.
 #:   r2 (done, 50 green): remaining SURVEY §2 keys + r1 fixes + sinks.
 #:   r3 (done, 50 green): analytics/events head, windows extras,
 #:       extras.py, joins tail, text head.
-#:   r4 (done, 50 green): pre-r3 tail (windows/subqueries/tpch/fn/events/
-#:       text) + 5 r1 re-verifies. One slot (subq_scalar) later found
-#:       vacuous — re-queued this round after the predicate fix.
-#:   r5 (this): list below. Pre-gated by the canon sweep at sf0.01 +
-#:       sf0.1 + determinism + the new empty-result lint before the
-#:       driver runs.
-#:   r6: never-verified oracle remainder (~75: ts_* tail, sample_*,
-#:       text_lm_score…text_zipf_exponent, dedup_containment,
-#:       er_blocking_quality, dedup_embedding_*, vec_knn_classify,
-#:       statistical r4 families, hierarchy/geo, udtf_table_arg,
-#:       sink_parquet_variant, events_rollup_multi_grain,
-#:       join_interval_overlap, etl_merge_upsert, win_udaf_pandas,
-#:       dedup_incremental_bloom, dedup_allpairs_prefix…, plus the r5
-#:       session additions: win_gaps_islands, agg_width_bucket,
-#:       fn_group_by_all, text_gopher_rules, udf_arrow_scalar,
-#:       udtf_arrow, er_fellegi_sunter, er_em_mu_estimate, ts_theil_sen,
-#:       graph_neighbor_jaccard, geo_grid_density,
-#:       sample_neyman_allocation, text_budget_select, agg_bootstrap_ci,
-#:       dedup_minhash_recall_eval, multimodal_manifest_stats — all
-#:       pre-gated at 4 SFs this round), then start
-#:       the never-verified rows-only keys (ANN surface, multimodal,
-#:       sink extras, semdedup/mmr/bpe/layout; seven former members of
-#:       this backlog — agg_kmv_distinct, agg_kmv_overlap, dedup_simhash,
-#:       text_count_min_freq, join_cardinality_estimate via
-#:       parity.phash60, plus vec_ann_lsh and vec_matryoshka_eval via
-#:       the fold-ordered cosine construction — were CONVERTED to oracle
-#:       Tier A in the r5 fourth session, so they queue as first-time
-#:       oracle keys instead) — at that
-#:       point a rows-only row is the marginal evidence unit.
-#:   r7+: finish the rows-only backlog, then steady-state re-verify
-#:       rotation — oldest evidence first, plus any new keys and any
-#:       reds from the prior round.
+#:   r4 (done, 50 green): pre-r3 tail + 5 r1 re-verifies. One slot
+#:       (subq_scalar) later found vacuous — re-queued in r5 after the
+#:       predicate fix.
+#:   r5 (done, 50 green): 45 never-verified oracle keys + subq_scalar
+#:       re-verify + 4 oldest-evidence (r2) re-verifies. Pre-gated by the
+#:       full-registry canon sweep at 4 SFs + determinism + the
+#:       empty-result lint (canon_sweep_r5_*.jsonl).
+#:   r6 (done, 50 green): the next 50 never-verified oracle keys
+#:       (win_gaps_islands … vec_knn_classify). Gating evidence: the r5
+#:       full-362-key canon sweep at sf0.001/sf0.01
+#:       (canon_sweep_r5_full362_sf001.jsonl, *_sf01 predecessors) +
+#:       determinism_sweep_r5_full360.jsonl — the r6 micro-session
+#:       (67 s) did NOT re-run the gate; a prior comment here cited a
+#:       nonexistent EVIDENCE_r6.md for that re-run, corrected in r7
+#:       (the r5 artifacts are the actual evidence; see EVIDENCE_r7.md).
+#:   r7 (this): list below — ALL 47 remaining never-verified oracle keys
+#:       in registration order (42 from the r6 draft + the 5 keys
+#:       converted rows-only → oracle this round: vec_pca_project,
+#:       agg_approx_percentile, text_pack_greedy, sink_orc,
+#:       sink_parquet_zstd) + 3 never-verified rows-only keys. The
+#:       rows-only picks deviate from registration order deliberately:
+#:       the two flagship 100 TB pipelines the r6 verdict called out as
+#:       evidence-free (pipeline_training_corpus_neardup, text_semdedup)
+#:       go first, then win_ewma (first rows-only in registration
+#:       order). Gating: r7 canon sweeps (subqfix/gwfix/conv/window
+#:       JSONLs) + determinism + empty-result lint; see EVIDENCE_r7.md.
+#:   r8+: the 26 remaining never-verified rows-only keys (a rows-only
+#:       row is the marginal evidence unit for them), then steady-state
+#:       re-verify rotation, oldest evidence first — starting with the
+#:       three subquery keys whose results CHANGED in r7 (subq_scalar,
+#:       subq_correlated, subq_dormant_high_balance: engine-exact
+#:       integer-division thresholds replaced the truncate-vs-round
+#:       CAST(avg); their r4/r5 driver rows predate the fix, own-sweep
+#:       evidence in canon_sweep_r7_subqfix.jsonl), plus any new keys
+#:       and any reds from the prior round.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
-#: row) + (oldest-evidence keys), truncated to 50.
-#: R7 WINDOW DRAFT (computed mechanically at the start of r6: the 42
-#: oracle keys still without a CORRECTNESS row after the r6 window
-#: lands, registration order, then the first 8 of the 34 never-verified
-#: rows-only keys to fill the 50 slots; recompute + swap into PRIORITY
-#: at the START of round 7, prepending any r6 reds/vacuous rows first).
-#:     "vec_hard_negatives",
-#:     "vec_covariance_matrix",
-#:     "vec_matryoshka_eval",
-#:     "dedup_simhash",
-#:     "vec_ann_lsh",
-#:     "text_count_min_freq",
-#:     "dedup_incremental_bloom",
-#:     "dedup_minhash_recall_eval",
-#:     "multimodal_manifest_stats",
-#:     "win_udaf_pandas",
-#:     "udtf_table_arg",
-#:     "udf_arrow_scalar",
-#:     "udtf_arrow",
-#:     "sink_parquet_variant",
-#:     "agg_ks_statistic",
-#:     "agg_hhi_concentration",
-#:     "agg_cramers_v",
-#:     "agg_ab_test_ztest",
-#:     "etl_snapshot_reconcile_hash",
-#:     "join_skew_salted",
-#:     "agg_cuped_adjusted",
-#:     "etl_dq_scorecard",
-#:     "win_pct_rank_twophase",
-#:     "etl_partition_skew_audit",
-#:     "events_funnel_windowed",
-#:     "agg_mann_whitney_u",
-#:     "agg_welch_ttest",
-#:     "agg_percentile_exact_twophase",
-#:     "agg_psi_drift",
-#:     "agg_ols_two_feature",
-#:     "pipeline_experiment_readout",
-#:     "agg_ab_srm_check",
-#:     "agg_kmv_distinct",
-#:     "agg_kmv_overlap",
-#:     "join_cardinality_estimate",
-#:     "agg_bootstrap_ci",
-#:     "hierarchy_rollup_transitive",
-#:     "hierarchy_path_depth",
-#:     "hierarchy_recursive_cte_native",
-#:     "geo_radius_join_bucketed",
-#:     "geo_point_in_polygon",
-#:     "geo_grid_density",
-#: ... then the rows-only backlog (ANN surface, multimodal, sink extras,
-#: semdedup/mmr/bpe/layout) — a rows-only row (spark_rows > 0) is the
-#: marginal evidence unit from r7 on.
+#: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r6 window — the 50 never-driver-verified oracle keys, mechanically
-    # recomputed this session from CORRECTNESS_r01..r05 vs the registry
-    # (matches the r5 draft exactly): the r5-session additions
-    # (win_gaps_islands, er_*, ts_theil_sen, ...), the ts_*/sample_* tail,
-    # the text_* tail, and the embedding-dedup trio. r5 went 50/50 green,
-    # so there are no reds to prepend and no re-verify debt older than r2
-    # remains unqueued. All 50 were pre-gated by r5's full-registry canon
-    # sweep at 4 SFs + determinism + the zero-row lint; re-gated this
-    # round before declaration (see EVIDENCE_r6.md).
-    "win_gaps_islands",
-    "fn_group_by_all",
-    "agg_width_bucket",
-    "graph_neighbor_jaccard",
-    "sample_neyman_allocation",
-    "events_rollup_multi_grain",
-    "join_interval_overlap",
-    "etl_merge_upsert",
-    "sample_hash_per_group",
-    "ts_seasonal_profile",
-    "ts_autocorr_lag1",
-    "sample_weighted_topk",
-    "ts_changepoint_cusum",
-    "ts_sma_crossover",
-    "ts_hampel_outliers",
-    "ts_backtest_naive_mae",
-    "ts_theil_sen",
-    "text_heavy_hitters",
-    "text_heavy_hitters_mg",
-    "text_chi_square",
-    "text_stopword_discovery",
-    "text_bm25_search",
-    "text_diversity_simpson",
-    "dedup_source_attribution",
-    "text_train_split",
-    "text_lang_id_trigram",
-    "text_lm_score",
-    "dedup_allpairs_prefix",
-    "text_chunk_overlap",
-    "text_pii_redact",
-    "text_global_shuffle",
-    "dedup_levenshtein_snm",
-    "text_winnowing_fingerprint",
-    "text_shard_assign",
-    "text_url_canonicalize",
-    "text_rake_keywords",
-    "text_boilerplate_strip",
-    "text_zipf_exponent",
-    "text_importance_sample_dsir",
-    "text_vocab_coverage",
-    "text_lang_id_confusion",
-    "dedup_containment",
-    "er_blocking_quality",
-    "er_fellegi_sunter",
-    "er_em_mu_estimate",
-    "text_gopher_rules",
-    "text_budget_select",
-    "dedup_embedding_cosine",
-    "dedup_embedding_quantized",
-    "vec_knn_classify",
+    # r7 window — recomputed mechanically this session from
+    # CORRECTNESS_r01..r06 vs the registry: 47 never-verified oracle keys
+    # (registration order) + pipeline_training_corpus_neardup,
+    # text_semdedup, win_ewma (rows-only; flagships first, see above).
+    "vec_pca_project",
+    "vec_hard_negatives",
+    "vec_covariance_matrix",
+    "vec_matryoshka_eval",
+    "dedup_simhash",
+    "vec_ann_lsh",
+    "text_count_min_freq",
+    "dedup_incremental_bloom",
+    "dedup_minhash_recall_eval",
+    "multimodal_manifest_stats",
+    "win_udaf_pandas",
+    "agg_approx_percentile",
+    "text_pack_greedy",
+    "udtf_table_arg",
+    "udf_arrow_scalar",
+    "udtf_arrow",
+    "sink_orc",
+    "sink_parquet_zstd",
+    "sink_parquet_variant",
+    "agg_ks_statistic",
+    "agg_hhi_concentration",
+    "agg_cramers_v",
+    "agg_ab_test_ztest",
+    "etl_snapshot_reconcile_hash",
+    "join_skew_salted",
+    "agg_cuped_adjusted",
+    "etl_dq_scorecard",
+    "win_pct_rank_twophase",
+    "etl_partition_skew_audit",
+    "events_funnel_windowed",
+    "agg_mann_whitney_u",
+    "agg_welch_ttest",
+    "agg_percentile_exact_twophase",
+    "agg_psi_drift",
+    "agg_ols_two_feature",
+    "pipeline_experiment_readout",
+    "agg_ab_srm_check",
+    "agg_kmv_distinct",
+    "agg_kmv_overlap",
+    "join_cardinality_estimate",
+    "agg_bootstrap_ci",
+    "hierarchy_rollup_transitive",
+    "hierarchy_path_depth",
+    "hierarchy_recursive_cte_native",
+    "geo_radius_join_bucketed",
+    "geo_point_in_polygon",
+    "geo_grid_density",
+    "pipeline_training_corpus_neardup",
+    "text_semdedup",
+    "win_ewma",
 ]
 
 
