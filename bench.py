@@ -14,6 +14,8 @@ headliners, so BENCH_r{N}.json is directly comparable to both.
 Methodology mirrors BASELINE.md's advice: ONE SparkSession for the whole
 suite, a small warm-up to amortize codegen, per-query wall time around a
 count()-style action (results are consumed, not collected to driver).
+Per-query numbers are the MEDIAN of 3 warm runs (r7): robust to the
+2-3 s run-to-run spread that best-of-2 let mask real regressions.
 """
 
 from __future__ import annotations
@@ -183,19 +185,22 @@ def main() -> None:
     for key in headline:
         fn = registry.QUERIES[key]
         runs = []
-        for _ in range(2):  # best-of-2: measure warm-JVM steady state
+        # median-of-3 (r6 verdict item 9): best-of-2 let 2-3 s of
+        # run-to-run spread mask real regressions on a ~47 s suite; the
+        # median is robust to one outlier in either direction.
+        for _ in range(3):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: computes every output column (count() would let
             # Catalyst prune unprojected work), materializes nothing
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
-        best = min(runs)
-        timings[key] = round(best, 3)
-        # intra-session run spread: (max-min)/best — the noise floor a
+        med = sorted(runs)[len(runs) // 2]
+        timings[key] = round(med, 3)
+        # intra-session run spread: (max-min)/median — the noise floor a
         # round-over-round diff must exceed before it means anything
         # (the r2→r3 "uniform slowdown" scare was exactly this noise)
-        spreads[key] = round((max(runs) - best) / best, 2) if best > 0 else 0.0
+        spreads[key] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
     out = {
