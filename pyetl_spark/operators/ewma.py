@@ -51,11 +51,27 @@ def ewma(
     order = [ts_col] + ([tiebreak] if tiebreak else [])
     cols = [key, *order, value_col]
 
+    # The recurrence is an EXPLICIT loop, not pandas' ewm C kernel:
+    # y_t = om·y_{t-1} + a·x_t with the two products formed before the
+    # add, so every step is the same fixed IEEE op sequence a SQL oracle
+    # can replay (win_ewma's DuckDB recursive CTE computes literally
+    # `om * y + a * x`). pandas ewm(adjust=False) is the same math but
+    # an unspecified internal op order — equal only to ~1e-16, which a
+    # value hash cannot tolerate. Cost: pure-Python steps over ≤ a few
+    # hundred rows per key (the applyInPandas group), negligible next to
+    # the shuffle.
+    a = float(alpha)
+    om = 1.0 - a
+
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")
-        pdf[out_col] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
-        )
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        ys = []
+        y = 0.0
+        for i, x in enumerate(xs):
+            y = float(x) if i == 0 else om * y + a * float(x)
+            ys.append(y)
+        pdf[out_col] = ys
         return pdf
 
     schema = ", ".join(

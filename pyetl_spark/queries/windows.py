@@ -384,15 +384,43 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("win_ewma")
+@query(
+    "win_ewma",
+    oracle="""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id, rn, x AS y FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn,
+             (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * w.y
+               + CAST(0.3 AS DOUBLE) * b.x
+      FROM walk w JOIN base b
+        ON b.user_id = w.user_id AND b.rn = w.rn + 1
+    )
+    SELECT user_id, event_id,
+           (sign(y) * floor(abs(y) * 1000000.0 + 0.5) / 1000000.0) AS ewma
+    FROM walk
+    """,
+)
 def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-B (rows-only): per-user exponentially weighted moving average
-    of event values in event-time order (operators/ewma.py,
-    applyInPandas). The recursive y_t = αx_t + (1−α)y_{t−1} depends on
-    the unbounded past through a recurrence — not expressible as any SQL
-    window frame on either engine, hence no oracle; pytest pins the
-    closed form, ordering, and determinism instead. One shuffle on
-    user_id; pandas runs the recurrence vectorized per group."""
+    """Per-user exponentially weighted moving average of event values in
+    event-time order (operators/ewma.py, applyInPandas). The recursive
+    y_t = αx_t + (1−α)y_{t−1} depends on the unbounded past through a
+    recurrence — not expressible as any SQL window FRAME, so the oracle
+    replays it as a DuckDB recursive CTE advancing one row per user per
+    step (depth = max events/user, 99 on these fixtures at every SF).
+
+    Tier A (r7 conversion): the operator's recurrence is an explicit
+    fixed-order loop (om·y + α·x, see operators/ewma.py) and the CTE
+    computes the literal same expression — the constants 1.0−0.3 and 0.3
+    are bit-identical doubles on both engines (probed), so the hash
+    matches without tolerance. pytest additionally pins the closed form,
+    ordering, and determinism. One shuffle on user_id."""
     from pyetl_spark.operators.ewma import ewma
 
     e = load_tables(spark, sf_dir).events

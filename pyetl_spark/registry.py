@@ -61,10 +61,11 @@ ORACLE: dict[str, str] = {}
 #:       rows-only picks deviate from registration order deliberately:
 #:       the two flagship 100 TB pipelines the r6 verdict called out as
 #:       evidence-free (pipeline_training_corpus_neardup, text_semdedup)
-#:       go first, then win_ewma (first rows-only in registration
-#:       order). Gating: r7 canon sweeps (subqfix/gwfix/conv/window
+#:       go first, then win_ewma (first rows-only in registration order
+#:       at window-computation time; converted to Tier-A later in r7 —
+#:       recursive-CTE EWMA replay — so it earns a HASH row). Gating: r7 canon sweeps (subqfix/gwfix/conv/window
 #:       JSONLs) + determinism + empty-result lint; see EVIDENCE_r7.md.
-#:   r8+: the 26 remaining never-verified rows-only keys (a rows-only
+#:   r8+: the remaining never-verified rows-only keys (a rows-only
 #:       row is the marginal evidence unit for them), then steady-state
 #:       re-verify rotation, oldest evidence first — starting with the
 #:       three subquery keys whose results CHANGED in r7 (subq_scalar,
