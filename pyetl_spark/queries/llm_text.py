@@ -2350,7 +2350,52 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_exact_substring_spans")  # Tier B — hash spans, rows-only
+@query(
+    "dedup_exact_substring_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 8
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(toks) - 8)) AS span_start,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(toks[i:i+7], ' '))) AS span
+      FROM toks
+    ),
+    dup AS (
+      SELECT span, count(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT s.doc_id, s.span_start, d.n_docs
+      FROM spans s JOIN dup d USING (span)
+    ),
+    isl AS (
+      SELECT doc_id, span_start, n_docs,
+             CASE WHEN lag(span_start) OVER w IS NULL
+                       OR span_start - lag(span_start) OVER w > 8
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)
+    ),
+    isl2 AS (
+      SELECT doc_id, span_start, n_docs,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY span_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           min(span_start) AS cut_from_token,
+           max(span_start) + 7 AS cut_to_token,
+           max(n_docs) AS max_span_docs
+    FROM isl2
+    GROUP BY doc_id, island
+    ORDER BY doc_id, cut_from_token
+    """,
+)
 def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection at span level (the
     'dedup training data at the substring, not document, granularity'
@@ -2362,7 +2407,16 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy on the span hash, one window per doc for the merge —
     never a doc×doc comparison. (Suffix arrays give the same answer for
     unbounded match length; fixed-k span hashing is the standard
-    MapReduce-able form, catching every duplication of length >= k.)"""
+    MapReduce-able form, catching every duplication of length >= k.)
+
+    Tier A (r7 conversion): the span hash never reaches the output — it
+    only decides which spans COLLIDE — so the engine keeps xxhash64 (at
+    scale, shuffling 8-byte hashes beats shuffling 8-token strings) while
+    the oracle groups by the literal span text; identical collision
+    structure, no cross-engine hash pairing needed. (A truly adversarial
+    xxhash64 collision would merge two distinct spans — ~2^-64 per pair,
+    absent by construction on these fixtures and detectable as a hash
+    mismatch if it ever occurred.)"""
     k = 8
     d = load_tables(spark, sf_dir).documents
     toks = d.select(

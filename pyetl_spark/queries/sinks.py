@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyetl_spark.parity import fxp
+from pyetl_spark.parity import FXP, fxp
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -183,7 +183,15 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("phase")
 
 
-@query("sink_bucketed_join")  # Tier B
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY c_mktsegment, o_orderpriority
+    """,
+)
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table layout (plans/layout.py): pay the shuffle ONCE at
     write time — both tables land bucketed+sorted on the join key — and
@@ -222,6 +230,10 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
     )
     joined = bucketed_join(spark, "bkt_orders_q", "bkt_cust_q")
+    # Tier A (r7): the oracle is the plain join/aggregate over the source
+    # tables, so the hash proves the bucketed WRITE+exchange-free JOIN
+    # round-trip lost or duplicated nothing (the zero-Exchange plan
+    # itself stays pinned in tests/test_layout.py).
     return (
         joined.groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
@@ -266,7 +278,18 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_schema_evolution")  # Tier B
+@query(
+    "sink_schema_evolution",
+    oracle="""
+    SELECT 1 AS batch, count(*) AS n_rows, count(*) AS n_null_status,
+           CAST(0 AS BIGINT) AS n_status_values
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, count(*), 0, count(DISTINCT o_orderstatus)
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY batch
+    """,
+)
 def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across landed batches — long-lived lake tables
     gain columns over time, and old files must stay readable without a
@@ -277,7 +300,12 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves both the union (column exists everywhere) and the backfill
     (nulls confined to batch 1). At 100 TB, mergeSchema's footer-listing
     cost is why real deployments record the merged schema once in a
-    catalog/table format; the read semantics verified here are the same."""
+    catalog/table format; the read semantics verified here are the same.
+
+    Tier A (r7): every audit cell is predictable from the source table
+    (batch 1 = even orderkeys with the status column ABSENT → n_null ==
+    n_rows and 0 distinct values; batch 2 = odd with real statuses), so
+    the oracle pins the whole merge+backfill contract."""
     path = _scratch("schema_evolution")
     o = load_tables(spark, sf_dir).orders
     v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
@@ -302,7 +330,18 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_dpp_partitioned_join")  # Tier B
+@query(
+    "sink_dpp_partitioned_join",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           count(*) AS n_orders,
+           CAST(sum({FXP('o_totalprice', 100)}) AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE year(o_orderdate) IN (2000, 2001)
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
 def sink_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning over a Hive-partitioned sink: orders land
     partitioned by order year, then a join against a filtered dimension
@@ -337,7 +376,35 @@ def sink_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_manifest_atomic_publish")  # Tier B
+#: Cross-engine row fingerprint used by the manifest sinks: first 12 md5
+#: hex chars of the '|'-joined stringified row, mod a prime, summed mod
+#: the prime — both engines compute identical string casts (probed:
+#: double/timestamp→string match on every fixture value) and identical
+#: md5, so the content fingerprint is oracle-replayable.
+_FP_PRIME = 1000000007
+
+
+def _fp_sql(cols: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5({cols}), 1, 12)) AS BIGINT) "
+        f"% {_FP_PRIME}"
+    )
+
+
+@query(
+    "sink_manifest_atomic_publish",
+    oracle=f"""
+    SELECT CAST(2 AS INT) AS version, CAST(2 AS INT) AS n_files,
+           count(*) AS n_rows_manifest, count(*) AS n_rows_read,
+           CAST(sum(h) % {_FP_PRIME} AS BIGINT) AS fingerprint,
+           true AS consistent
+    FROM (
+      SELECT {_fp_sql("CAST(s_suppkey AS VARCHAR) || '|' || s_name"
+                      " || '|' || CAST(s_acctbal AS VARCHAR)")} AS h
+      FROM supplier WHERE s_acctbal > 0
+    )
+    """,
+)
 def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic publish via manifest — the reference's temp-write →
     atomic-rename move (SURVEY §3.1) in its lake-native form: data files
@@ -370,7 +437,10 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def publish(version: int, df: DataFrame) -> None:
         vdir = os.path.join(path, f"v{version}")
-        df.write.mode("overwrite").parquet(vdir)
+        df.repartition(2).write.mode("overwrite").parquet(vdir)  # 2 files,
+        # deterministically: the audit row (and its r7 oracle) pins
+        # n_files == 2; round-robin repartition never leaves a
+        # partition empty for >= 2 rows
         files = sorted(
             os.path.basename(f)
             for f in glob.glob(os.path.join(vdir, "part-*"))
@@ -436,7 +506,32 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_snapshot_time_travel")  # Tier B
+@query(
+    "sink_snapshot_time_travel",
+    oracle=f"""
+    WITH f AS (
+      SELECT year(o_orderdate) AS y,
+             {_fp_sql("CAST(o_orderkey AS VARCHAR) || '|' ||"
+                      " CAST(o_custkey AS VARCHAR) || '|' ||"
+                      " CAST(o_totalprice AS VARCHAR) || '|' ||"
+                      " CAST(o_orderdate AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    v AS (SELECT * FROM (VALUES (1, 2000), (2, 2001), (3, 2002))
+          AS t(version, horizon)),
+    agg AS (
+      SELECT v.version, count(f.y) AS n_rows,
+             CAST(sum(f.h) % {_FP_PRIME} AS BIGINT) AS fingerprint
+      FROM v JOIN f ON f.y < v.horizon
+      GROUP BY v.version
+    )
+    SELECT CAST(version AS INT) AS version, n_rows,
+           n_rows - coalesce(lag(n_rows) OVER (ORDER BY version), 0)
+             AS rows_added,
+           fingerprint, true AS consistent
+    FROM agg ORDER BY version
+    """,
+)
 def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over retained manifest versions — the read-side dual
     of sink_manifest_atomic_publish: because every publish keeps its

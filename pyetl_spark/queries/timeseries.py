@@ -592,7 +592,54 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ts_forecast_holt")  # Tier B — iterative recursion, rows-only
+def _holt_oracle(alpha: str = "0.5", beta: str = "0.3") -> str:
+    """DuckDB replay of the Holt recursion (operators/holt.py): anchor
+    state l=x_1, b=x_2−x_1; each step the literal same fixed-order
+    expression the Python loop computes (products before adds; IEEE
+    addition of the two product terms is order-insensitive bitwise).
+    ``l_new`` is duplicated textually where b needs it — pure expression,
+    identical bits. Depth = max days per user (≤ events/user, 99 here)."""
+    a = f"CAST({alpha} AS DOUBLE)"
+    oma = f"(CAST(1.0 AS DOUBLE) - CAST({alpha} AS DOUBLE))"
+    bb = f"CAST({beta} AS DOUBLE)"
+    omb = f"(CAST(1.0 AS DOUBLE) - CAST({beta} AS DOUBLE))"
+    l_new = f"{a} * r.x + {oma} * (w.l + w.b)"
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum({FXP('value', 100)}) AS DOUBLE) / 100.0 AS x
+      FROM events GROUP BY user_id, day
+    ),
+    ranked AS MATERIALIZED (
+      SELECT user_id, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM daily
+    ),
+    walk AS (
+      SELECT r1.user_id, r1.rn, r1.n, r1.x AS l, r2.x - r1.x AS b
+      FROM ranked r1 JOIN ranked r2
+        ON r2.user_id = r1.user_id AND r2.rn = 2
+      WHERE r1.rn = 1
+      UNION ALL
+      SELECT w.user_id, w.rn + 1, w.n,
+             {l_new},
+             {bb} * (({l_new}) - w.l) + {omb} * w.b
+      FROM walk w JOIN ranked r
+        ON r.user_id = w.user_id AND r.rn = w.rn + 1
+    )
+    SELECT user_id, level, trend, CAST(h AS INT) AS h,
+           level + CAST(h AS DOUBLE) * trend AS forecast
+    FROM (
+      SELECT user_id, l AS level, b AS trend,
+             unnest(generate_series(1, 3)) AS h
+      FROM walk WHERE rn = n
+    )
+    ORDER BY user_id, h
+    """
+
+
+@query("ts_forecast_holt", oracle=_holt_oracle())
 def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend forecasting per user (operators/holt.py): daily
     exact-cents totals per user (one combinable aggregate), then the
@@ -600,7 +647,13 @@ def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a series, parallel across series, two floats of state. The
     3-day-ahead forecasts are what a capacity planner joins back against
     actuals. Recursion exactness vs the pure-Python reference is pinned
-    in tests/test_holt.py."""
+    in tests/test_holt.py.
+
+    Tier A (r7 conversion, same family as win_ewma): the recursion's
+    inputs are exact (integer-cents daily sums / 100.0) and every float
+    step is a fixed-order IEEE expression, so the DuckDB recursive CTE
+    in ``_holt_oracle`` replays it bit-identically — full value-hash
+    parity on raw doubles, no rounding, no tolerance."""
     from pyetl_spark.operators.holt import holt_forecast
 
     ev = load_tables(spark, sf_dir).events

@@ -65,8 +65,14 @@ ORACLE: dict[str, str] = {}
 #:       at window-computation time; converted to Tier-A later in r7 —
 #:       recursive-CTE EWMA replay — so it earns a HASH row). Gating: r7 canon sweeps (subqfix/gwfix/conv/window
 #:       JSONLs) + determinism + empty-result lint; see EVIDENCE_r7.md.
-#:   r8+: the remaining never-verified rows-only keys (a rows-only
-#:       row is the marginal evidence unit for them), then steady-state
+#:   r8+: the 7 keys converted rows-only → Tier-A late in r7 AFTER the
+#:       window was pinned (ts_forecast_holt, dedup_exact_substring_spans,
+#:       sink_bucketed_join, sink_schema_evolution,
+#:       sink_dpp_partitioned_join, sink_manifest_atomic_publish,
+#:       sink_snapshot_time_travel — each gated at 4 SFs + determinism,
+#:       canon_sweep_r7_conv.jsonl), then the remaining never-verified
+#:       rows-only keys (a rows-only row is the marginal evidence unit
+#:       for them), then steady-state
 #:       re-verify rotation, oldest evidence first — starting with the
 #:       three subquery keys whose results CHANGED in r7 (subq_scalar,
 #:       subq_correlated, subq_dormant_high_balance: engine-exact
