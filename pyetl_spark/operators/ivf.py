@@ -363,3 +363,75 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_fit_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Oracle-replayable Lloyd k-means → DataFrame(cell int, centroid
+    array<double>) — the r7 cross-engine-exact variant of ``kmeans_fit``
+    (same family as pca.top_component_exact):
+
+    - seeds are phash60-spread (md5-based, bit-identical on DuckDB)
+      instead of xxhash64-spread: bucket = phash60(id) % k, seed = the
+      bucket's (hash, id)-min vector, cells relabeled densely in bucket
+      order;
+    - each Lloyd mean is computed from EXACT integer sums of fixed-point
+      quantized coordinates (round-half-away at ``scale``), then
+      descaled with a fixed float expression
+      ((Σq / n) / scale) — order-free under any partitioning, unlike
+      float sums;
+    - assignment reuses ``_nearest_cell``'s JVM expression path, whose
+      ascending zip_with/aggregate folds a SQL oracle replays verbatim.
+
+    Trade-off vs ``kmeans_fit``: centroids are quantized to ``scale``
+    precision between iterations (immaterial for clustering quality at
+    1e-4 of the data range) and seeds hash differently, so cell
+    compositions differ from the xxhash64 variant — callers that need
+    driver-hash evidence use THIS form; xxhash64 stays the default at
+    scale."""
+    from pyetl_spark.parity import fxp, phash60
+
+    h = phash60(F.col(id_col))
+    best = F.min(
+        F.struct(
+            h.alias("h"), F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+        )
+    )
+    per_bucket = (
+        corpus.groupBy(F.pmod(h, F.lit(k)).alias("bucket"))
+        .agg(best.alias("b"))
+        .select("bucket", F.col("b.v").alias("centroid"))
+    )
+    cents = per_bucket.select(
+        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
+        "centroid",
+    )
+    for _ in range(iters):
+        assigned = _nearest_cell(
+            corpus.select(id_col, vec_col), cents, vec_col
+        )
+        exploded = assigned.select(
+            "cell", F.posexplode(vec_col).alias("pos", "x")
+        )
+        means = exploded.groupBy("cell", "pos").agg(
+            (
+                (
+                    F.sum(fxp(F.col("x"), scale)).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / F.lit(float(scale))
+            ).alias("m")
+        )
+        cents = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    return cents

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.operators.knn import cosine_topk_lsh
-from pyetl_spark.parity import PHASH60, PHASH60_SEEDED, R, rnd
+from pyetl_spark.parity import FXP, PHASH60, PHASH60_SEEDED, R, rnd
 from pyetl_spark.operators.minhash import (
     minhash_dedup_assign,
     minhash_near_dup_pairs,
@@ -310,22 +310,169 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("vec_ann_ivf")  # Tier B — approximate candidate set, rows-only
+def _sq_sql(a: str, c: str, dim: int = 64) -> str:
+    """DuckDB twin of ivf._sq_dist: ascending fold of (a_i − c_i)²."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1,{dim}), "
+        f"i -> ({a}[i] - {c}[i]) * ({a}[i] - {c}[i]))), (x,y) -> x + y)"
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB twin of ivf._dot: ascending fold of a_i·b_i."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1,{dim}), "
+        f"i -> {a}[i] * {b}[i])), (x,y) -> x + y)"
+    )
+
+
+def _normsq_sql(a: str) -> str:
+    """DuckDB twin of ivf._norm_sq."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform({a}, x -> x * x)), (x,y) -> x + y)"
+    )
+
+
+def _kmeans_ctes(k: int | str = 8, iters: int = 2, dim: int = 64) -> str:
+    """CTE chain replaying operators/ivf.kmeans_fit_exact in DuckDB:
+    phash60-spread seeds, then ``iters`` textually-unrolled Lloyd steps
+    (assignment = first-min index over ascending (dist, cell) — identical
+    to the engine's array_min-of-structs tie-break because cells ascend
+    with list position; means = exact integer fixed-point sums descaled
+    with the same float expression). Produces c{iters}(cents, cells)."""
+
+    def assign(s: str) -> str:
+        dists = (
+            f"list_transform({s}.cents, c -> {_sq_sql('p.e', 'c', dim)})"
+        )
+        return (
+            f"{s}.cells[list_position({dists}, "
+            f"list_aggregate({dists}, 'min'))]"
+        )
+
+    parts = [
+        f"""v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY bucket) - 1 AS INT) AS cell,
+             e AS centroid
+      FROM (
+        SELECT bucket, e,
+               row_number() OVER (PARTITION BY bucket ORDER BY h, vec_id)
+                 AS rb
+        FROM (SELECT vec_id, e, {PHASH60('vec_id')} AS h,
+                     {PHASH60('vec_id')} % ({k}) AS bucket FROM v)
+      ) WHERE rb = 1
+    ),
+    c0 AS MATERIALIZED (
+      SELECT list(centroid ORDER BY cell) AS cents,
+             list(cell ORDER BY cell) AS cells
+      FROM seeds
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT p.vec_id, p.e, {assign(f'c{i - 1}')} AS cell
+      FROM v p, c{i - 1} c{i - 1}
+    ),
+    m{i} AS (
+      SELECT cell, pos,
+             (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10000.0
+               AS m
+      FROM (
+        SELECT cell, unnest(generate_series(1,{dim})) AS pos,
+               unnest(list_transform(e, x -> {FXP('x', 10**4)})) AS q
+        FROM a{i}
+      ) GROUP BY cell, pos
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT list(centroid ORDER BY cell) AS cents,
+             list(cell ORDER BY cell) AS cells
+      FROM (SELECT cell, list(m ORDER BY pos) AS centroid
+            FROM m{i} GROUP BY cell)
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _ivf_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Full DuckDB replay of vec_ann_ivf: exact k-means cells, nprobe=2
+    cell search ranked by (dist, cell), fold-ordered cosine re-rank
+    top-5 by (sim DESC, cand_id)."""
+    dists = f"list_transform(s.cents, c -> {_sq_sql('p.e', 'c', dim)})"
+    final = f"c{iters}"
+    return f"""
+    WITH {_kmeans_ctes(k, iters, dim)},
+    idx AS MATERIALIZED (
+      SELECT p.vec_id AS cand_id, p.e AS cand_vec,
+             s.cells[list_position({dists}, list_aggregate({dists}, 'min'))]
+               AS cell
+      FROM v p, {final} s
+    ),
+    pcells AS (
+      SELECT probe_id, probe_vec, cell FROM (
+        SELECT probe_id, probe_vec, cell,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cell)
+                 AS rn
+        FROM (
+          SELECT p.vec_id AS probe_id, p.e AS probe_vec,
+                 unnest(s.cells) AS cell,
+                 unnest({dists}) AS d
+          FROM v p, {final} s WHERE p.vec_id < 10
+        )
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT DISTINCT pc.probe_id, i.cand_id,
+             {_dot_sql('pc.probe_vec', 'i.cand_vec', dim)}
+               / sqrt({_normsq_sql('pc.probe_vec')})
+               / sqrt({_normsq_sql('i.cand_vec')}) AS sim
+      FROM pcells pc JOIN idx i USING (cell)
+      WHERE i.cand_id != pc.probe_id
+    )
+    SELECT probe_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT probe_id, cand_id, sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY sim DESC, cand_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    ORDER BY probe_id, rank
+    """
+
+
+@query("vec_ann_ivf", oracle=_ivf_oracle())
 def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors (north star: similarity search,
     clustered-corpus path): deterministic distributed k-means builds the
-    cells (hash-spread seeds, operators/ivf.py), probes search the
-    nprobe=2 nearest cells, exact cosine re-rank inside. Recall vs the
-    brute-force twin is asserted in tests/test_ivf.py; cell balance is
-    observable via cell_size_stats."""
-    from pyetl_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
+    cells, probes search the nprobe=2 nearest cells, exact cosine
+    re-rank inside. Recall vs the brute-force twin is asserted in
+    tests/test_ivf.py; cell balance is observable via cell_size_stats.
+
+    Tier A (r7 conversion): the clustering is ``kmeans_fit_exact``
+    (operators/ivf.py) — phash60-spread seeds + integer-quantized Lloyd
+    means + ascending-fold distances — so the ENTIRE index-build +
+    search pipeline is replayed by the DuckDB oracle (``_ivf_oracle``:
+    unrolled Lloyd CTEs, same argmin tie-break, same fold-ordered
+    cosine) and hash-matches on raw doubles. xxhash64-seeded
+    ``kmeans_fit`` remains the non-oracle default elsewhere."""
+    from pyetl_spark.operators.ivf import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit_exact,
+    )
 
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    cents = kmeans_fit(v, k=8, iters=2)
+    cents = kmeans_fit_exact(v, k=8, iters=2)
     indexed = ivf_assign(v, cents).select(
         F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec"), "cell"
     )
@@ -382,7 +529,76 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
-@query("vec_ann_recall_eval")  # Tier B — evaluation of an approximate op
+def _recall_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of vec_ann_recall_eval: the _ivf_oracle approx set
+    joined against the exact brute-force top-5 (same fold-ordered
+    cosine), per-probe recall@5."""
+    dists = f"list_transform(s.cents, c -> {_sq_sql('p.e', 'c', dim)})"
+    final = f"c{iters}"
+    cos = (
+        f"{_dot_sql('pr.e', 'ca.e', dim)}"
+        f" / sqrt({_normsq_sql('pr.e')}) / sqrt({_normsq_sql('ca.e')})"
+    )
+    return f"""
+    WITH {_kmeans_ctes(k, iters, dim)},
+    idx AS MATERIALIZED (
+      SELECT p.vec_id AS cand_id, p.e AS cand_vec,
+             s.cells[list_position({dists}, list_aggregate({dists}, 'min'))]
+               AS cell
+      FROM v p, {final} s
+    ),
+    pcells AS (
+      SELECT probe_id, probe_vec, cell FROM (
+        SELECT probe_id, probe_vec, cell,
+               row_number() OVER (PARTITION BY probe_id ORDER BY d, cell)
+                 AS rn
+        FROM (
+          SELECT p.vec_id AS probe_id, p.e AS probe_vec,
+                 unnest(s.cells) AS cell,
+                 unnest({dists}) AS d
+          FROM v p, {final} s WHERE p.vec_id < 10
+        )
+      ) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, cand_id) AS rank
+        FROM (
+          SELECT DISTINCT pc.probe_id, i.cand_id,
+                 {_dot_sql('pc.probe_vec', 'i.cand_vec', dim)}
+                   / sqrt({_normsq_sql('pc.probe_vec')})
+                   / sqrt({_normsq_sql('i.cand_vec')}) AS sim
+          FROM pcells pc JOIN idx i USING (cell)
+          WHERE i.cand_id != pc.probe_id
+        )
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT pr.vec_id AS probe_id, ca.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY pr.vec_id
+                                  ORDER BY {cos} DESC, ca.vec_id) AS rn
+        FROM v pr JOIN v ca ON pr.vec_id < 10 AND ca.vec_id != pr.vec_id
+      ) WHERE rn <= 5
+    )
+    SELECT e.probe_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           e.n_true,
+           {R('CAST(coalesce(h.n_hits, 0) AS DOUBLE) / e.n_true', 4)}
+             AS recall_at_5
+    FROM (SELECT probe_id, count(*) AS n_true FROM exact GROUP BY probe_id) e
+    LEFT JOIN (
+      SELECT probe_id, count(*) AS n_hits
+      FROM exact JOIN approx USING (probe_id, cand_id)
+      GROUP BY probe_id
+    ) h USING (probe_id)
+    ORDER BY e.probe_id
+    """
+
+
+@query("vec_ann_recall_eval", oracle=_recall_oracle())
 def vec_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as DATA: per-probe recall@5 of the IVF index (k=8
     cells, nprobe=2) against exact brute-force cosine, plus the overall
@@ -390,16 +606,24 @@ def vec_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its index (an index whose recall silently decays is worse than
     none). Ground truth reuses the same fold-ordered cosine as
     vec_cosine_topk; the comparison is a per-probe set intersection
-    computed with one join. Approximate subject → Tier-B rows-only;
-    the NUMBERS inside are what the judge/ops read."""
-    from pyetl_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
+    computed with one join.
+
+    Tier A (r7 conversion): rides ``kmeans_fit_exact`` like vec_ann_ivf,
+    so BOTH sides of the evaluation — the approximate index and the
+    exact ground truth — are replayed by the DuckDB oracle and the
+    recall numbers themselves hash-match."""
+    from pyetl_spark.operators.ivf import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit_exact,
+    )
 
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    cents = kmeans_fit(v, k=8, iters=2)
+    cents = kmeans_fit_exact(v, k=8, iters=2)
     indexed = ivf_assign(v, cents).select(
         F.col("vec_id").alias("cand_id"), F.col("e").alias("cand_vec"), "cell"
     )
@@ -634,7 +858,46 @@ def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_semdedup")  # Tier B — approximate (cluster-scoped), rows-only
+def _semdedup_oracle(iters: int = 2, dim: int = 64, tau: str = "0.99") -> str:
+    """DuckDB replay of text_semdedup: dynamic k = max(8, n/250) exact
+    k-means cells, then per-cell pairwise fold-ordered cosine with the
+    lowest-earlier-id-above-tau representative rule."""
+    k_sql = "SELECT greatest(8, count(*) // 250) FROM v"
+    dists = f"list_transform(s.cents, c -> {_sq_sql('p.e', 'c', dim)})"
+    final = f"c{iters}"
+
+    def den(a: str) -> str:
+        nsq = _normsq_sql(a)
+        return (
+            f"(CASE WHEN {nsq} = 0 THEN CAST(1.0 AS DOUBLE)"
+            f" ELSE sqrt({nsq}) END)"
+        )
+
+    sim = (
+        f"(({_dot_sql('l.e', 'e2.e', dim)} / {den('l.e')}) / {den('e2.e')})"
+    )
+    return f"""
+    WITH {_kmeans_ctes(k_sql, iters, dim)},
+    asg AS MATERIALIZED (
+      SELECT p.vec_id, p.e,
+             s.cells[list_position({dists}, list_aggregate({dists}, 'min'))]
+               AS cell
+      FROM v p, {final} s
+    ),
+    pairs AS (
+      SELECT l.vec_id AS vid, min(e2.vec_id) AS dup_of
+      FROM asg l JOIN asg e2
+        ON l.cell = e2.cell AND e2.vec_id < l.vec_id
+      WHERE {sim} > CAST({tau} AS DOUBLE)
+      GROUP BY l.vec_id
+    )
+    SELECT a.vec_id, a.cell, (p.dup_of IS NULL) AS keep, p.dup_of
+    FROM asg a LEFT JOIN pairs p ON p.vid = a.vec_id
+    ORDER BY a.vec_id
+    """
+
+
+@query("text_semdedup", oracle=_semdedup_oracle())
 def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup removal over the embeddings table:
     k-means partitions the space, exact cosine pairs are checked only
@@ -648,8 +911,14 @@ def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     going superlinear (3× data → 3.42× wall: the O((n/k)²) within-cluster
     term with k frozen); SemDeDup's own prescription is k ∝ n (LAION ran
     k=50k). The count() that sizes k is one cheap column-less scan — at
-    production scale it comes from table stats instead."""
-    from pyetl_spark.operators.semdedup import semdedup_assign
+    production scale it comes from table stats instead.
+
+    Tier A (r7 conversion): rides ``semdedup_assign_exact`` — exact
+    k-means (phash60 seeds, integer-quantized means) + fold-ordered
+    in-cell cosine — so the DuckDB oracle (``_semdedup_oracle``, dynamic
+    k via the same greatest(8, n//250)) replays the whole clustered
+    dedup and the keep/dup_of assignments hash-match."""
+    from pyetl_spark.operators.semdedup import semdedup_assign_exact
 
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
@@ -657,7 +926,7 @@ def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     k = max(8, v.count() // 250)
-    return semdedup_assign(v, k=k, tau=0.99, iters=2).orderBy("vec_id")
+    return semdedup_assign_exact(v, k=k, tau=0.99, iters=2).orderBy("vec_id")
 
 
 @query("vec_mmr_diversify")  # Tier B — ranking op, rows-only
@@ -827,7 +1096,11 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from pyetl_spark.operators.ivf import ivf_assign, ivf_topk, kmeans_fit
+    from pyetl_spark.operators.ivf import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit_exact,
+    )
 
     # per-run directory: the query phase READS this path back as its
     # correctness-critical input, so concurrent runs (test suite + bench,
@@ -860,7 +1133,7 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     # build + persist (the nightly job)
-    cents = kmeans_fit(v, k=8, iters=2)
+    cents = kmeans_fit_exact(v, k=8, iters=2)
     cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
     ivf_assign(v, cents).write.partitionBy("cell").mode("overwrite").parquet(
         os.path.join(base, "corpus")

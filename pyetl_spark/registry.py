@@ -62,15 +62,20 @@ ORACLE: dict[str, str] = {}
 #:       the two flagship 100 TB pipelines the r6 verdict called out as
 #:       evidence-free (pipeline_training_corpus_neardup, text_semdedup)
 #:       go first, then win_ewma (first rows-only in registration order
-#:       at window-computation time; converted to Tier-A later in r7 —
-#:       recursive-CTE EWMA replay — so it earns a HASH row). Gating: r7 canon sweeps (subqfix/gwfix/conv/window
-#:       JSONLs) + determinism + empty-result lint; see EVIDENCE_r7.md.
-#:   r8+: the 7 keys converted rows-only → Tier-A late in r7 AFTER the
+#:       at window-computation time). win_ewma AND text_semdedup were
+#:       converted to Tier-A later in r7 (recursive-CTE EWMA replay;
+#:       exact-k-means semdedup replay), so 49 of the 50 slots are
+#:       hash-checked — only pipeline_training_corpus_neardup stays
+#:       rows-only. Gating: r7 consolidated canon sweeps
+#:       (canon_sweep_r7_changed_* + canon_sweep_r7_window_*) +
+#:       determinism + empty-result lint; see EVIDENCE_r7.md.
+#:   r8+: the 9 keys converted rows-only → Tier-A late in r7 AFTER the
 #:       window was pinned (ts_forecast_holt, dedup_exact_substring_spans,
 #:       sink_bucketed_join, sink_schema_evolution,
 #:       sink_dpp_partitioned_join, sink_manifest_atomic_publish,
-#:       sink_snapshot_time_travel — each gated at 4 SFs + determinism,
-#:       canon_sweep_r7_conv.jsonl), then the remaining never-verified
+#:       sink_snapshot_time_travel, vec_ann_ivf, vec_ann_recall_eval —
+#:       each gated at 4 SFs + determinism,
+#:       canon_sweep_r7_changed_*.jsonl), then the remaining never-verified
 #:       rows-only keys (a rows-only row is the marginal evidence unit
 #:       for them), then steady-state
 #:       re-verify rotation, oldest evidence first — starting with the
@@ -78,7 +83,7 @@ ORACLE: dict[str, str] = {}
 #:       subq_correlated, subq_dormant_high_balance: engine-exact
 #:       integer-division thresholds replaced the truncate-vs-round
 #:       CAST(avg); their r4/r5 driver rows predate the fix, own-sweep
-#:       evidence in canon_sweep_r7_subqfix.jsonl), plus any new keys
+#:       evidence in canon_sweep_r7_changed_*.jsonl), plus any new keys
 #:       and any reds from the prior round.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
