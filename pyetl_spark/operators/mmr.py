@@ -104,3 +104,57 @@ def mmr_rerank(
         F.col(rel_col).alias("rel"),
     )
     return pool.groupBy("probe_id").applyInPandas(run, schema=_OUT_SCHEMA)
+
+
+def mmr_rerank_exact(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    probe_col: str = "probe_id",
+    id_col: str = "cand_id",
+    vec_col: str = "cand_vec",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Oracle-replayable ``mmr_rerank`` (r7): the candidate-candidate
+    cosine matrix is built with dimension-ascending accumulation and the
+    (dot/den_i)/den_j normalization — the identical IEEE sequence as the
+    zip_with/aggregate folds a SQL oracle computes — instead of
+    normalize-then-BLAS-matmul. ``mmr_select`` itself is already exact
+    (elementwise score arithmetic, exact max, id tiebreak), so only the
+    similarity kernel changes. Same two-stage scale shape."""
+    _ship_module_by_value()
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        E = np.stack(pdf["cand_vec"].to_numpy()).astype(np.float64)
+        n = len(pdf)
+        S = np.zeros((n, n), dtype=np.float64)
+        nsq = np.zeros(n, dtype=np.float64)
+        for j in range(E.shape[1]):  # dim-order == aggregate fold order
+            S += E[:, j, None] * E[None, :, j]
+            nsq += E[:, j] * E[:, j]
+        den = np.where(nsq == 0.0, 1.0, np.sqrt(nsq))
+        sim = (S / den[:, None]) / den[None, :]
+        picks = mmr_select(
+            pdf["rel"].to_numpy().astype(np.float64),
+            sim,
+            pdf["cand_id"].to_numpy(),
+            k,
+            lam,
+        )
+        return pd.DataFrame(
+            {
+                "probe_id": pdf["probe_id"].iloc[0],
+                "cand_id": [pdf["cand_id"].iloc[i] for i, _ in picks],
+                "mmr_rank": np.arange(1, len(picks) + 1, dtype=np.int32),
+                "mmr_score": [s for _, s in picks],
+            }
+        )
+
+    pool = candidates.select(
+        F.col(probe_col).alias("probe_id"),
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col(rel_col).alias("rel"),
+    )
+    return pool.groupBy("probe_id").applyInPandas(run, schema=_OUT_SCHEMA)

@@ -81,3 +81,66 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Oracle-replayable PageRank: ranks held as INTEGER fixed-point at
+    ``scale`` (1e-12 resolution) so every per-iteration sum is exact and
+    order-free under any partitioning — the float form's
+    summation-order caveat disappears and a SQL oracle replays the loop
+    verbatim (r7, same family as ivf.kmeans_fit_exact).
+
+    Per iteration (all integer ops): contribution = rank DIV out_degree,
+    damped = base + (damping_num·Σcontrib) DIV damping_den, with
+    base = ((scale·(den−num)) DIV den) DIV n. Floor divisions leak
+    O(n/scale) total mass per round — 1e-12-sized, far below the float
+    form's own dangling-node leak, and deterministic. Fixed ``iters``
+    (no float-delta early stop — the stop test itself would be
+    order-sensitive). Returns DataFrame(node, rank double = q/scale)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    init_q = scale // n
+    base_q = ((scale * (damping_den - damping_num)) // damping_den) // n
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    ranks = nodes.withColumn("rq", F.lit(init_q).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src] == ranks.node)
+            .join(out_deg, ranks.node == out_deg.node)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("rq DIV deg").alias("cq"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("cq").alias("inq"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base_q} AS BIGINT) + "
+                    f"({damping_num} * coalesce(inq, CAST(0 AS BIGINT)))"
+                    f" DIV {damping_den}"
+                ).alias("rq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        (F.col("rq").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -929,15 +929,97 @@ def text_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_assign_exact(v, k=k, tau=0.99, iters=2).orderBy("vec_id")
 
 
-@query("vec_mmr_diversify")  # Tier B — ranking op, rows-only
+def _mmr_oracle(k: int = 10, pool: int = 30, dim: int = 64) -> str:
+    """DuckDB replay of vec_mmr_diversify: fold-ordered brute-force
+    top-``pool`` retrieval, then ``k`` textually-unrolled greedy MMR
+    steps — per step, the (score DESC, cand_id) row_number pick mirrors
+    mmr_select's exact-float-tie lowest-id argmax, and the max-sim state
+    update mirrors np.maximum with the (dot/den_c)/den_pick cosine."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    oml = f"(CAST(1.0 AS DOUBLE) - {lam})"
+
+    def den(a: str) -> str:
+        nsq = _normsq_sql(a)
+        return (
+            f"(CASE WHEN {nsq} = 0 THEN CAST(1.0 AS DOUBLE)"
+            f" ELSE sqrt({nsq}) END)"
+        )
+
+    score = f"{lam} * rel - {oml} * ms"
+    rel_sim = (
+        f"{_dot_sql('p.e', 'c.e', dim)}"
+        f" / sqrt({_normsq_sql('p.e')}) / sqrt({_normsq_sql('c.e')})"
+    )
+    upd_sim = (
+        f"(({_dot_sql('s.cv', 'p.pick_vec', dim)} / {den('s.cv')})"
+        f" / {den('p.pick_vec')})"
+    )
+    parts = [
+        f"""v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    st0 AS MATERIALIZED (
+      SELECT probe_id, cand_id, cv, rel,
+             CAST(0.0 AS DOUBLE) AS ms, false AS chosen
+      FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id, c.e AS cv,
+               {rel_sim} AS rel,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {rel_sim} DESC, c.vec_id) AS rn
+        FROM v p JOIN v c ON p.vec_id < 5 AND c.vec_id != p.vec_id
+      ) WHERE rn <= {pool}
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""pick{i} AS MATERIALIZED (
+      SELECT probe_id, cand_id AS pick_id, cv AS pick_vec,
+             {score} AS score
+      FROM (
+        SELECT probe_id, cand_id, cv, rel, ms,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY {score} DESC, cand_id) AS rn
+        FROM st{i - 1} WHERE NOT chosen
+      ) WHERE rn = 1
+    ),
+    st{i} AS MATERIALIZED (
+      SELECT s.probe_id, s.cand_id, s.cv, s.rel,
+             greatest(s.ms, {upd_sim}) AS ms,
+             s.chosen OR (s.cand_id = p.pick_id) AS chosen
+      FROM st{i - 1} s JOIN pick{i} p USING (probe_id)
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT probe_id, pick_id AS cand_id, CAST({i} AS INT) AS mmr_rank,"
+        f" score AS mmr_score FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    {unions}
+    ORDER BY probe_id, mmr_rank
+    """
+    )
+
+
+@query("vec_mmr_diversify", oracle=_mmr_oracle())
 def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified top-k (MMR λ=0.7): stage-1 brute-force cosine top-30
     per probe (the distributed retrieval), stage-2 greedy MMR re-rank
     per probe pool inside applyInPandas (operators/mmr.py). Exactness of
     the greedy loop vs a NumPy reference is engine-tested in
-    tests/test_approx_operators.py."""
+    tests/test_approx_operators.py.
+
+    Tier A (r7 conversion): ``mmr_rerank_exact`` builds the in-pool
+    cosine matrix with dimension-ascending accumulation, so every float
+    in the greedy loop is a fixed-order IEEE value and the DuckDB oracle
+    (``_mmr_oracle``, k unrolled pick/update stages) replays the whole
+    diversified ranking — scores included — bit-for-bit."""
     from pyetl_spark.operators.knn import cosine_topk_bruteforce
-    from pyetl_spark.operators.mmr import mmr_rerank
+    from pyetl_spark.operators.mmr import mmr_rerank_exact
 
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
@@ -954,7 +1036,7 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "cand_id", F.col("sim").alias("rel")
     )
     pool = cands.join(corpus, "cand_id")
-    return mmr_rerank(pool, k=10, lam=0.7).orderBy("probe_id", "mmr_rank")
+    return mmr_rerank_exact(pool, k=10, lam=0.7).orderBy("probe_id", "mmr_rank")
 
 
 @query("multimodal_frame_sample")  # Tier B — stubbed decode, rows-only
@@ -1081,7 +1163,7 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage_idx")
 
 
-@query("vec_ann_ivf_persisted")  # Tier B — approximate, rows-only
+@query("vec_ann_ivf_persisted", oracle=_ivf_oracle())
 def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index LIFECYCLE: build once, persist, query from the persisted
     form — the shape that matters at 100 TB, where the k-means fit + cell
@@ -1092,7 +1174,13 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning turns nprobe/k into a file-listing fraction, not
     just a row fraction. Query phase re-reads both artifacts cold (no
     lineage back to the build) and must produce the same neighbors as the
-    in-memory path (asserted in tests/test_ivf.py)."""
+    in-memory path (asserted in tests/test_ivf.py).
+
+    Tier A (r7 conversion): the build rides ``kmeans_fit_exact`` like
+    vec_ann_ivf, and persisting is a LAYOUT change only (parquet
+    round-trips the centroid/corpus doubles losslessly), so the SAME
+    ``_ivf_oracle`` pins the persisted query path — the hash match
+    proves the index survived the disk round-trip bit-exactly."""
     import os
     import tempfile
 

@@ -631,19 +631,82 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")
+def _pagerank_oracle(iters: int = 10, scale: int = 10**12) -> str:
+    """DuckDB replay of graph_pagerank: the jaccard edge build, then
+    ``iters`` textually-unrolled integer fixed-point PageRank rounds
+    (operators/pagerank.pagerank_exact) — pure integer arithmetic, so
+    the replay is exact regardless of partitioning or join order."""
+    base_q = f"(SELECT (({scale} * 15) // 100) // n FROM st)"
+    parts = [
+        f"""toks AS MATERIALIZED (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id < 600
+    ),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE)
+            >= 0.85
+    ),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      )
+    ),
+    deg AS MATERIALIZED (
+      SELECT u AS node, count(*) AS deg FROM edges GROUP BY u
+    ),
+    st AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, (SELECT {scale} // n FROM st) AS rq FROM nodes
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT nd.node,
+             {base_q} + (85 * coalesce(s.inq, 0)) // 100 AS rq
+      FROM nodes nd LEFT JOIN (
+        SELECT e.v AS node, sum(r.rq // d.deg) AS inq
+        FROM edges e JOIN r{i - 1} r ON r.node = e.u
+                     JOIN deg d ON d.node = e.u
+        GROUP BY e.v
+      ) s ON s.node = nd.node
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node AS doc_id,
+           {R(f'CAST(rq AS DOUBLE) / {float(scale)}', 6)} AS rank
+    FROM r{iters}
+    ORDER BY rank DESC, doc_id
+    """
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-B (rows-only): PageRank authority over the near-dup pair
-    graph — rank docs inside duplication clusters so corpus curation can
-    keep the most "central" representative instead of the min-id one
+    """PageRank authority over the near-dup pair graph — rank docs
+    inside duplication clusters so corpus curation can keep the most
+    "central" representative instead of the min-id one
     (operators/pagerank.py, power iteration as DataFrame algebra).
 
-    Iterative float fixpoint → summation order varies with partitioning,
-    so never hash-declared (SURVEY §5.3); pytest pins convergence and
-    ordering semantics on known graphs instead. Same id-bounded pair
-    build as dedup_components; at 100 TB the edges come from MinHashLSH
-    and every per-iteration shuffle keys on the node id."""
-    from pyetl_spark.operators.pagerank import pagerank
+    Tier A (r7 conversion): rides ``pagerank_exact`` — integer
+    fixed-point ranks at 1e-12 resolution, so per-iteration sums are
+    exact and order-free and the DuckDB oracle replays all 10 rounds
+    verbatim (``_pagerank_oracle``). The float ``pagerank`` (with its
+    L1-delta early stop) remains the non-oracle operator; pytest pins
+    the two forms agree to float tolerance on known graphs. Same
+    id-bounded pair build as dedup_components; at 100 TB the edges come
+    from MinHashLSH and every per-iteration shuffle keys on node id."""
+    from pyetl_spark.operators.pagerank import pagerank_exact
 
     d = load_tables(spark, sf_dir).documents
     toks = d.filter(F.col("doc_id") < 600).select(
@@ -664,7 +727,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
     )
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    ranks = pagerank(edges, max_iters=10)
+    ranks = pagerank_exact(edges, iters=10)
     return ranks.select(
         F.col("node").alias("doc_id"), rnd(F.col("rank"), 6).alias("rank")
     ).orderBy(F.col("rank").desc(), "doc_id")

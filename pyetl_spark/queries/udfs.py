@@ -396,7 +396,18 @@ def text_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge")  # Tier B: sketches are approximate
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_custkey) AS exact_customers,
+           count(DISTINCT c_nationkey) AS n_partial_sketches,
+           true AS sketch_within_tol
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL):
     build per-nation customer sketches, then UNION the sketches per
@@ -404,18 +415,39 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB distinct-counts cheap (partial sketches are tiny, merge is
     associative, pre-aggregated sketches can be stored per partition and
     re-merged for any rollup without rescanning). Accuracy vs exact is
-    asserted in tests/test_approx_operators.py."""
+    asserted in tests/test_approx_operators.py.
+
+    Tier A (r7 conversion, the agg_approx_percentile pattern): sketch
+    estimates are implementation artifacts no oracle can reproduce, so
+    the output carries the EXACT distinct count (hash-verified), the
+    partial-sketch count (= distinct nations per segment, exact), and
+    ``sketch_within_tol`` — the merged estimate within 5% relative error
+    of exact (HLL lgK=12 gives ~1.6% expected), pinned TRUE by the
+    oracle so a broken sketch/merge breaks the driver hash."""
     c = load_tables(spark, sf_dir).customer
     per_nation = c.groupBy("c_mktsegment", "c_nationkey").agg(
-        F.hll_sketch_agg("c_custkey").alias("sk")
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+    )
+    merged = per_nation.groupBy("c_mktsegment").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"),
+        F.count("*").alias("n_partial_sketches"),
+    )
+    exact = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("exact_customers")
     )
     return (
-        per_nation.groupBy("c_mktsegment")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "approx_customers"
-            ),
-            F.count("*").alias("n_partial_sketches"),
+        exact.join(merged, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            "n_partial_sketches",
+            (
+                F.abs(
+                    F.col("approx").cast("double")
+                    - F.col("exact_customers").cast("double")
+                )
+                <= F.lit(0.05) * F.col("exact_customers").cast("double")
+            ).alias("sketch_within_tol"),
         )
         .orderBy("c_mktsegment")
     )

@@ -49,3 +49,20 @@ def test_authority_ordering(spark):
     e = _edges(spark, [(1, 3), (2, 3), (3, 1)])
     ranks = {r["node"]: r["rank"] for r in pagerank(e).collect()}
     assert ranks[3] > ranks[1] > ranks[2]
+
+
+def test_exact_form_agrees_with_float_form(spark):
+    """pagerank_exact (integer fixed-point, oracle tier) must agree with
+    the float power iteration to well beyond its 1e-12 quantization on a
+    known graph — same damping, same rounds, no early stop on either."""
+    from pyetl_spark.operators.pagerank import pagerank, pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (1, 3)], ["u", "v"]
+    )
+    f = {r["node"]: r["rank"]
+         for r in pagerank(edges, max_iters=10, tol=0.0).collect()}
+    q = {r["node"]: r["rank"] for r in pagerank_exact(edges, iters=10).collect()}
+    assert set(f) == set(q)
+    for node in f:
+        assert abs(f[node] - q[node]) < 1e-9, (node, f[node], q[node])

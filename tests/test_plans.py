@@ -324,6 +324,10 @@ _NESTED_LOOP_OK = {
     "agg_benford_digits",  # 1-row digit-total scalar crossJoined in
     "basket_association_rules",  # 1-row basket-total scalar crossJoined in
     "orders_survival_km",  # 1-row censoring-horizon scalar crossJoined in
+    "orders_abc_class",    # 1-row grand-total scalar crossJoined in (the
+                           # r7 two-phase cumsum re-route replaced the
+                           # sum-over-() global window with a broadcast
+                           # one-row total)
     "subq_any_all",        # 1-row ALL-bound scalar (max) crossJoined in —
                            # the standard quantified-subquery rewrite
     "text_semdedup",       # k-means cell assignment: vectors × broadcast
