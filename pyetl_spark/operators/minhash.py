@@ -120,6 +120,12 @@ def lsh_candidate_pairs(
     on dup-heavy corpora. When the goal is dedup (not pair listing), use
     ``minhash_dedup_assign`` — linear star edges + connected components.
     """
+    # NOT pinned, deliberately (r7 measurement): although the self-join
+    # references banded on both sides, localCheckpoint-pinning it moved
+    # sf0.1 wall from 5.3 s to 5.7 s median — the join/distinct shuffles
+    # dominate, and eager materialization costs more than the duplicated
+    # signature pass saves. (Winnowing's fpsets pin IS a win because its
+    # fingerprint chain re-executes ~7×, not 2×.)
     banded = _banded(docs, id_col, tokens_col, num_hashes, bands, seed)
     left = banded.select(
         F.col("band_idx").alias("bi"),
