@@ -179,10 +179,24 @@ def adc_topk(
             _sq_dist(F.col("v"), F.col("centroid")).alias("pd"),
         )
     )
+    # ADC distance = SUM of the m per-subspace table entries — folded in
+    # FIXED sub order (collect → sort by sub → ascending fold) instead of
+    # F.sum, whose float accumulation order varies with partitioning.
+    # Makes the distance bit-deterministic (and SQL-replayable) for the
+    # cost of sorting m=8 structs per candidate (r7 oracle tier).
     scored = (
         codes.join(F.broadcast(table), ["sub", "code"])
         .groupBy("pid", "id")
-        .agg(F.sum("pd").alias("adc_dist"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub", "pd"))),
+                    lambda st: st.getField("pd"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist")
+        )
     )
     w = Window.partitionBy("pid").orderBy("adc_dist", "id")
     return (
@@ -192,3 +206,67 @@ def adc_topk(
             F.col("pid").alias(probe_id), "id", "adc_dist", "rank"
         )
     )
+
+
+def pq_fit_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Oracle-replayable ``pq_fit`` (r7, same recipe as
+    ivf.kmeans_fit_exact): phash60-seeded buckets per subspace
+    (md5-based, cross-engine; (hash, id)-min tiebreak), Lloyd means from
+    exact integer sums of fixed-point-quantized coordinates, and the
+    argmin assignment's min-struct (already order-free). Codebooks are
+    quantized to ``scale`` between iterations — immaterial at 1e-4 of
+    the data range, decisive for hash verifiability."""
+    from pyetl_spark.parity import fxp, phash60_seeded
+
+    sub_df = split_subvectors(corpus, id_col, vec_col, m, dim)
+    h = phash60_seeded(F.col("sub"), F.col("id"))
+    best_seed = F.min(
+        F.struct(h.alias("h"), F.col("id").alias("i"), F.col("v").alias("v"))
+    )
+    per_bucket = (
+        sub_df.groupBy("sub", F.pmod(h, F.lit(k)).alias("bucket"))
+        .agg(best_seed.alias("b"))
+        .select("sub", "bucket", F.col("b.v").alias("centroid"))
+    )
+    w = Window.partitionBy("sub").orderBy("bucket")
+    codebook = per_bucket.select(
+        "sub",
+        (F.row_number().over(w) - 1).alias("cell"),
+        "centroid",
+    )
+    for _ in range(iters):
+        assigned = _assign(sub_df, codebook)
+        means = (
+            assigned.select(
+                "sub",
+                F.col("code").alias("cell"),
+                F.posexplode("v").alias("pos", "x"),
+            )
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                (
+                    (
+                        F.sum(fxp(F.col("x"), scale)).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    / F.lit(float(scale))
+                ).alias("mval")
+            )
+        )
+        codebook = means.groupBy("sub", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda st: st.getField("mval"),
+            ).alias("centroid")
+        )
+        codebook = codebook.localCheckpoint(eager=True)
+    return codebook

@@ -502,7 +502,104 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_payloads(media).orderBy("media_id", "chunk_idx")
 
 
-@query("vec_pq_adc_topk")  # Tier B — quantized approximate distances, rows-only
+def _pq_oracle(
+    m: int = 8, k: int = 16, dim: int = 64, iters: int = 2, topk: int = 5
+) -> str:
+    """DuckDB replay of vec_pq_adc_topk: per-subspace phash60-seeded
+    codebooks, ``iters`` unrolled Lloyd rounds with integer-quantized
+    means, min-(dist, cell) assignment, and the ADC sum folded in fixed
+    sub order — mirrors operators/pq.pq_fit_exact + adc_topk."""
+    d_sub = dim // m
+    seed_h = PHASH60_SEEDED("sub", "id")
+
+    def assign(cb: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+      SELECT id, sub, sv, cell AS code FROM (
+        SELECT s.id, s.sub, s.sv, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY {_sq_sql('s.sv', 'c.centroid', d_sub)}, c.cell
+               ) AS rn
+        FROM subs s JOIN {cb} c USING (sub)
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        f"""v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    subs AS MATERIALIZED (
+      SELECT v.vec_id AS id, s.sub,
+             v.e[s.sub*{d_sub}+1 : s.sub*{d_sub}+{d_sub}] AS sv
+      FROM v, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT sub,
+             CAST(row_number() OVER (PARTITION BY sub ORDER BY bucket) - 1
+                  AS INT) AS cell,
+             centroid
+      FROM (
+        SELECT sub, bucket, sv AS centroid FROM (
+          SELECT sub, {seed_h} % {k} AS bucket, sv,
+                 row_number() OVER (PARTITION BY sub, {seed_h} % {k}
+                                    ORDER BY {seed_h}, id) AS rb
+          FROM subs
+        ) WHERE rb = 1
+      )
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"cb{i - 1}", f"a{i}"))
+        parts.append(
+            f"""cb{i} AS MATERIALIZED (
+      SELECT sub, cell, list(mval ORDER BY pos) AS centroid FROM (
+        SELECT sub, code AS cell, pos,
+               (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10000.0
+                 AS mval
+        FROM (
+          SELECT sub, code,
+                 unnest(generate_series(1, {d_sub})) AS pos,
+                 unnest(list_transform(sv, x -> {FXP('x', 10**4)})) AS q
+          FROM a{i}
+        ) GROUP BY sub, code, pos
+      ) GROUP BY sub, cell
+    )"""
+        )
+    parts.append(assign(f"cb{iters}", "enc"))
+    parts.append(
+        f"""ptab AS MATERIALIZED (
+      SELECT p.id AS pid, p.sub, c.cell AS code,
+             {_sq_sql('p.sv', 'c.centroid', d_sub)} AS pd
+      FROM subs p JOIN cb{iters} c USING (sub)
+      WHERE p.id < 5
+    ),
+    scored AS (
+      SELECT t.pid, e2.id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t.pd ORDER BY t.sub)), (a,b) -> a + b) AS adc_dist
+      FROM enc e2 JOIN ptab t ON t.sub = e2.sub AND t.code = e2.code
+      GROUP BY t.pid, e2.id
+    )"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT pid AS probe_id, id AS neighbor_id,
+           {R('adc_dist', 4)} AS adc_dist, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT pid, id, adc_dist,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY adc_dist, id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    ORDER BY probe_id, rank
+    """
+    )
+
+
+@query("vec_pq_adc_topk", oracle=_pq_oracle())
 def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/pq.py): train m=8 k=16 codebooks
     in one distributed Lloyd loop, compress every embedding to 8 4-bit
@@ -510,12 +607,18 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-vector search fit a cluster), then answer 5 probes by
     asymmetric distance: per-probe m×k lookup table broadcast into ONE
     equi-join on (sub, code) + a sum — no per-pair distance loop.
-    Approximate by construction → rows-only; pytest pins recall vs
-    exact L2 and training monotonicity on planted clusters."""
-    from pyetl_spark.operators.pq import adc_topk, pq_encode, pq_fit
+    pytest pins recall vs exact L2 and training monotonicity on planted
+    clusters.
+
+    Tier A (r7 conversion, closing the exact-fold family): codebooks
+    come from ``pq_fit_exact`` (phash60 seeds, integer-quantized means)
+    and the ADC sum folds in fixed sub order, so the DuckDB oracle
+    (``_pq_oracle``) replays train + encode + search end-to-end and the
+    quantized distances hash-match."""
+    from pyetl_spark.operators.pq import adc_topk, pq_encode, pq_fit_exact
 
     emb = load_tables(spark, sf_dir).embeddings
-    cb = pq_fit(emb, m=8, k=16, dim=64, iters=2)
+    cb = pq_fit_exact(emb, m=8, k=16, dim=64, iters=2)
     codes = pq_encode(emb, cb, m=8, dim=64)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"

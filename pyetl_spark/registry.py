@@ -69,14 +69,14 @@ ORACLE: dict[str, str] = {}
 #:       rows-only. Gating: r7 consolidated canon sweeps
 #:       (canon_sweep_r7_changed_* + canon_sweep_r7_window_*) +
 #:       determinism + empty-result lint; see EVIDENCE_r7.md.
-#:   r8+: the 13 keys converted rows-only → Tier-A late in r7 AFTER the
+#:   r8+: the 14 keys converted rows-only → Tier-A late in r7 AFTER the
 #:       window was pinned (ts_forecast_holt, dedup_exact_substring_spans,
 #:       sink_bucketed_join, sink_schema_evolution,
 #:       sink_dpp_partitioned_join, sink_manifest_atomic_publish,
 #:       sink_snapshot_time_travel, vec_ann_ivf, vec_ann_recall_eval,
 #:       graph_pagerank, vec_mmr_diversify, agg_hll_sketch_merge,
-#:       vec_ann_ivf_persisted — each gated at 4 SFs + determinism,
-#:       canon_sweep_r7_changed_*.jsonl), then the
+#:       vec_ann_ivf_persisted, vec_pq_adc_topk — each gated at 4 SFs +
+#:       determinism, canon_sweep_r7_changed_*.jsonl), then the
 #:       remaining never-verified
 #:       rows-only keys (a rows-only row is the marginal evidence unit
 #:       for them), then steady-state
