@@ -3736,3 +3736,103 @@ def text_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum_before") < 600).select(
         "doc_id", "lang", "n_tokens", "quality", "cum_before"
     )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents
+      WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 8
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 7),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      FROM toks
+    ),
+    eval_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % 101 = 0),
+    train_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 != 0),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_hit
+      FROM eval_g e JOIN train_g t USING (gram)
+      GROUP BY e.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_grams FROM eval_g GROUP BY doc_id
+    )
+    SELECT t.doc_id AS eval_doc_id, t.n_grams,
+           coalesce(h.n_hit, 0) AS n_hit,
+           (sign(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE))
+            * floor(abs(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE))
+                    * 10000.0 + 0.5) / 10000.0) AS contamination_frac,
+           (CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE))
+             >= 0.1 AS contaminated
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    ORDER BY eval_doc_id
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set DECONTAMINATION check — the audit every training run
+    needs before trusting its benchmarks (the n-gram overlap method of
+    GPT-3 appendix C / Dodge et al. 2021, public): an eval document is
+    contaminated when a meaningful fraction of its 8-gram windows also
+    appear anywhere in the training corpus. Here the held-out slice is
+    doc_id % 101 == 0 (the deterministic ~1% eval sample); output is
+    per-eval-doc distinct-8-gram count, hit count, overlap fraction, and
+    the >= 10% contamination flag.
+
+    Scale shape: gram extraction is linear in tokens (same span fan-out
+    as dedup_exact_substring_spans); the train side reduces to DISTINCT
+    gram hashes before the join, so the exchange carries one row per
+    distinct gram, never per occurrence; the join keys on the 8-byte
+    xxhash64 of the gram, not the string (the hash never reaches the
+    output — the oracle joins on the literal gram text, identical
+    collision structure, same argument as dedup_exact_substring_spans).
+    At 100 TB the train-gram side is the big relation and the eval side
+    is tiny — Catalyst broadcasts the eval grams, so the check is one
+    scan over the corpus grams."""
+    k = 8
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("toks", i, k))
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    eval_g = grams.filter(F.col("doc_id") % 101 == 0)
+    train_g = (
+        grams.filter(F.col("doc_id") % 101 != 0).select("gram").distinct()
+    )
+    hits = (
+        eval_g.join(train_g, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = eval_g.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    frac = F.coalesce("n_hit", F.lit(0)).cast("double") / F.col(
+        "n_grams"
+    ).cast("double")
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            rnd(frac, 4).alias("contamination_frac"),
+            (frac >= 0.1).alias("contaminated"),
+        )
+        .orderBy("eval_doc_id")
+    )

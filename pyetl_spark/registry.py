@@ -76,8 +76,10 @@ ORACLE: dict[str, str] = {}
 #:       sink_snapshot_time_travel, vec_ann_ivf, vec_ann_recall_eval,
 #:       graph_pagerank, vec_mmr_diversify, agg_hll_sketch_merge,
 #:       vec_ann_ivf_persisted, vec_pq_adc_topk — each gated at 4 SFs +
-#:       determinism, canon_sweep_r7_changed_*.jsonl), then the
-#:       remaining never-verified
+#:       determinism, canon_sweep_r7_changed_*.jsonl) + the new
+#:       `text_contamination_check` key (eval-set decontamination,
+#:       added late r7, gated at 4 SFs + determinism + planted-copy
+#:       invariant test), then the remaining never-verified
 #:       rows-only keys (a rows-only row is the marginal evidence unit
 #:       for them), then steady-state
 #:       re-verify rotation, oldest evidence first — starting with the

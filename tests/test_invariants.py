@@ -754,3 +754,51 @@ def test_minhash_recall_eval_quality_floor(spark):
     assert r["n_truth"] > 0
     assert r["recall"] >= 0.9
     assert r["precision"] >= 0.3
+
+
+def test_contamination_check_detects_planted_copy(spark, tmp_path):
+    """An eval doc whose text is copied verbatim from a train doc must
+    come back contaminated=true with frac 1.0; an eval doc with unique
+    text must come back 0.0/false (text_contamination_check)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyetl_spark.registry import QUERIES, load_all
+    from pyetl_spark.tables import TABLE_NAMES
+    from tests.conftest import SF_ORACLE
+
+    load_all()
+    fx = tmp_path / "contam"
+    fx.mkdir()
+    for name in TABLE_NAMES:
+        if name == "documents":
+            continue
+        os.symlink(f"{SF_ORACLE}/{name}.parquet", fx / f"{name}.parquet")
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 5, 7, 0], pa.int64()),
+            "text": pa.array(
+                # 3/5/7 (% 101 != 0): train docs; 0 (% 101 == 0): the
+                # eval doc, a verbatim copy of train doc 3's text
+                [shared, uniq + " extra words here pad pad pad",
+                 "filler text that matters not at all here ok",
+                 shared],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(docs, fx / "documents.parquet")
+    out = {
+        r["eval_doc_id"]: r
+        for r in QUERIES["text_contamination_check"](
+            spark, str(fx)
+        ).collect()
+    }
+    assert 0 in out and out[0]["contaminated"] is True
+    assert out[0]["contamination_frac"] == 1.0
