@@ -53,7 +53,8 @@ ORACLE: dict[str, str] = {}
 #:       (67 s) did NOT re-run the gate; a prior comment here cited a
 #:       nonexistent EVIDENCE_r6.md for that re-run, corrected in r7
 #:       (the r5 artifacts are the actual evidence; see EVIDENCE_r7.md).
-#:   r7 (this): list below — ALL 47 remaining never-verified oracle keys
+#:   r7 (done, 49 hash + 1 rows-only green): ALL 47 remaining
+#:       never-verified oracle keys
 #:       in registration order (42 from the r6 draft + the 5 keys
 #:       converted rows-only → oracle this round: vec_pca_project,
 #:       agg_approx_percentile, text_pack_greedy, sink_orc,
@@ -69,7 +70,10 @@ ORACLE: dict[str, str] = {}
 #:       rows-only. Gating: r7 consolidated canon sweeps
 #:       (canon_sweep_r7_changed_* + canon_sweep_r7_window_*) +
 #:       determinism + empty-result lint; see EVIDENCE_r7.md.
-#:   r8+: the 14 keys converted rows-only → Tier-A late in r7 AFTER the
+#:   r8 (this): the list below executes the draft that follows — all 27
+#:       never-verified keys + the 6 stale-row keys + revenue_pareto
+#:       (re-routed this round) + 16 oldest-evidence (r1) fills.
+#:   r8+ draft (written in r7): the 14 keys converted rows-only → Tier-A late in r7 AFTER the
 #:       window was pinned (ts_forecast_holt, dedup_exact_substring_spans,
 #:       sink_bucketed_join, sink_schema_evolution,
 #:       sink_dpp_partitioned_join, sink_manifest_atomic_publish,
@@ -93,60 +97,67 @@ ORACLE: dict[str, str] = {}
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r7 window — recomputed mechanically this session from
-    # CORRECTNESS_r01..r06 vs the registry: 47 never-verified oracle keys
-    # (registration order) + pipeline_training_corpus_neardup,
-    # text_semdedup, win_ewma (rows-only; flagships first, see above).
-    "vec_pca_project",
-    "vec_hard_negatives",
-    "vec_covariance_matrix",
-    "vec_matryoshka_eval",
-    "dedup_simhash",
-    "vec_ann_lsh",
-    "text_count_min_freq",
-    "dedup_incremental_bloom",
-    "dedup_minhash_recall_eval",
-    "multimodal_manifest_stats",
-    "win_udaf_pandas",
-    "agg_approx_percentile",
-    "text_pack_greedy",
-    "udtf_table_arg",
-    "udf_arrow_scalar",
-    "udtf_arrow",
-    "sink_orc",
-    "sink_parquet_zstd",
-    "sink_parquet_variant",
-    "agg_ks_statistic",
-    "agg_hhi_concentration",
-    "agg_cramers_v",
-    "agg_ab_test_ztest",
-    "etl_snapshot_reconcile_hash",
-    "join_skew_salted",
-    "agg_cuped_adjusted",
-    "etl_dq_scorecard",
-    "win_pct_rank_twophase",
-    "etl_partition_skew_audit",
-    "events_funnel_windowed",
-    "agg_mann_whitney_u",
-    "agg_welch_ttest",
-    "agg_percentile_exact_twophase",
-    "agg_psi_drift",
-    "agg_ols_two_feature",
-    "pipeline_experiment_readout",
-    "agg_ab_srm_check",
-    "agg_kmv_distinct",
-    "agg_kmv_overlap",
-    "join_cardinality_estimate",
-    "agg_bootstrap_ci",
-    "hierarchy_rollup_transitive",
-    "hierarchy_path_depth",
-    "hierarchy_recursive_cte_native",
-    "geo_radius_join_bucketed",
-    "geo_point_in_polygon",
-    "geo_grid_density",
-    "pipeline_training_corpus_neardup",
-    "text_semdedup",
-    "win_ewma",
+    # r8 window — recomputed mechanically this session from
+    # CORRECTNESS_r01..r07 vs the 363-key registry:
+    #   * 27 never-verified keys (registration order): the 14 late-r7
+    #     Tier-A conversions (holt/pagerank/ivf/pq/mmr/hll/sinks) + the
+    #     new text_contamination_check + 12 rows-only keys incl. the
+    #     flagship pipeline_curation_full.
+    #   * 6 stale-row keys whose results/plans changed in r7 (subq_* trio
+    #     changed ANSWERS via the truncate-vs-round fix; customer_rfm,
+    #     agg_equidepth_histogram, orders_abc_class re-routed plans) +
+    #     revenue_pareto (re-routed onto global_order_rank THIS round).
+    #   * 16 oldest-evidence (r1) re-verify fills, registration order.
+    "ts_forecast_holt",
+    "graph_pagerank",
+    "text_bpe_tokenize",
+    "dedup_exact_substring_spans",
+    "text_quality_classifier",
+    "text_contamination_check",
+    "multimodal_features",
+    "vec_ann_ivf",
+    "multimodal_cdc_chunks",
+    "vec_pq_adc_topk",
+    "vec_ann_recall_eval",
+    "dedup_embedding_lsh",
+    "dedup_winnowing",
+    "dedup_minhash_incremental",
+    "vec_mmr_diversify",
+    "multimodal_frame_sample",
+    "pipeline_curation_full",
+    "vec_ann_ivf_persisted",
+    "multimodal_ahash_dedup",
+    "agg_hll_sketch_merge",
+    "sink_compact_small_files",
+    "sink_bucketed_join",
+    "sink_zorder_layout",
+    "sink_schema_evolution",
+    "sink_dpp_partitioned_join",
+    "sink_manifest_atomic_publish",
+    "sink_snapshot_time_travel",
+    "subq_scalar",
+    "subq_correlated",
+    "subq_dormant_high_balance",
+    "customer_rfm",
+    "agg_equidepth_histogram",
+    "orders_abc_class",
+    "revenue_pareto",
+    "filter_like_regex",
+    "etl_field_cleanup",
+    "etl_type_cast",
+    "etl_enrich_partition_cols",
+    "etl_latest_per_key",
+    "etl_snapshot_diff",
+    "etl_profile",
+    "etl_quality_checks",
+    "agg_groupby_pricing",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_conditional",
+    "agg_stats",
+    "agg_percentile",
 ]
 
 
