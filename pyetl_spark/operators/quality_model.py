@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 #: feature expressions every caller shares (order matters — weights align)
 FEATURES = ("log_len", "mean_word_len", "digit_ratio", "caps_ratio")
 
+#: hard ceiling on rows any training collect may materialize driver-side.
+#: A CONSTANT count, not a corpus fraction: a fraction (e.g. hash-mod 4)
+#: scales with the corpus and becomes a multi-TB collect at 100 TB — the
+#: same bug class as the uncapped BPE vocab collect fixed in r7
+#: (operators/bpe.py top_word_freqs). Tests pin this cap.
+TRAIN_SAMPLE_CAP = 4096
+
+
+def sample_for_training(
+    labeled: DataFrame, key_col: str = "doc_id", cap: int = TRAIN_SAMPLE_CAP
+) -> DataFrame:
+    """Deterministic constant-count training sample: order by a salted
+    hash of the key (uniform, content-independent) and take the first
+    ``cap`` rows. Plans as TakeOrderedAndProject — each task keeps a
+    cap-sized heap, the driver merges K·tasks rows — so driver memory is
+    O(cap) no matter the corpus size. The hash order makes the sample a
+    uniform draw yet bit-stable across runs and partitionings."""
+    return labeled.orderBy(F.xxhash64(key_col), key_col).limit(cap)
+
 
 def feature_cols(text: Column) -> list[Column]:
     """The shared featurizer: cheap, pure JVM string expressions."""
@@ -79,12 +98,21 @@ def fit_quality_model(
     labeled_sample: DataFrame,
     label_col: str = "label",
     iters: int = 300,
+    cap: int = TRAIN_SAMPLE_CAP,
 ) -> tuple[np.ndarray, float]:
     """Collect the (bounded) labeled sample and train. The sample is the
-    ONLY driver-sized object; cap it upstream (e.g. sample_hash_per_group
-    or hash-mod sampling) — at 100 TB you train on thousands of labeled
-    rows, not the corpus."""
-    rows = labeled_sample.select(*FEATURES, label_col).collect()
+    ONLY driver-sized object, and the bound is ENFORCED here, not
+    advisory: the collect is limited to ``cap + 1`` rows and raises if
+    the caller handed in more than ``cap`` — at 100 TB you train on
+    thousands of labeled rows, not the corpus. Use
+    ``sample_for_training`` to produce a compliant sample."""
+    rows = labeled_sample.select(*FEATURES, label_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"training sample exceeds cap ({len(rows)} > {cap} rows); "
+            "bound it with sample_for_training() — never collect a "
+            "corpus fraction to the driver"
+        )
     X = np.array([[r[f] for f in FEATURES] for r in rows], dtype=np.float64)
     y = np.array([float(r[label_col]) for r in rows])
     return train_logreg(X, y, iters=iters)

@@ -1190,6 +1190,7 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyetl_spark.operators.quality_model import (
         featurize,
         fit_quality_model,
+        sample_for_training,
         score_expr,
     )
 
@@ -1243,7 +1244,10 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     stages.append(("near_dedup", keepers.count()))
 
-    # 4. learned quality gate (train on a hash sample of the survivors)
+    # 4. learned quality gate — train on a CONSTANT-count hash-ordered
+    # sample of the survivors (TakeOrderedAndProject, O(cap) driver
+    # memory at any corpus size; the enforcement lives in
+    # fit_quality_model, which refuses over-cap inputs)
     feats = featurize(keepers)
     labeled = feats.withColumn(
         "label",
@@ -1251,7 +1255,7 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         ),
     )
-    sample = labeled.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    sample = sample_for_training(labeled)
     wts, b = fit_quality_model(sample)
     accepted = feats.filter(score_expr(wts, b) > 0.5)
     stages.append(("quality_gate", accepted.count()))

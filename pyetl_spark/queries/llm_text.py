@@ -2536,17 +2536,20 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_quality_classifier")  # Tier B — learned scorer, rows-only
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-offline / score-at-scale quality filter
-    (operators/quality_model.py): a deterministic hash-sampled labeled
-    subset (labels from the rule-based text_quality_score heuristic —
-    standing in for human labels) trains a NumPy logistic regression
-    driver-side; the learned weights fold back into ONE sigmoid(w·x+b)
-    column expression, so the corpus-wide scoring pass is pure
-    whole-stage-codegen arithmetic — no Python, no shuffle. Output:
-    doc_id, quality_prob, accept flag. Model determinism and
-    rule-agreement are pinned in tests/test_quality_model.py."""
+    (operators/quality_model.py): a deterministic CONSTANT-COUNT labeled
+    sample (hash-ordered limit → TakeOrderedAndProject, O(cap) driver
+    memory at any corpus size; labels from the rule-based
+    text_quality_score heuristic — standing in for human labels) trains
+    a NumPy logistic regression driver-side; the learned weights fold
+    back into ONE sigmoid(w·x+b) column expression, so the corpus-wide
+    scoring pass is pure whole-stage-codegen arithmetic — no Python, no
+    shuffle. Output: doc_id, quality_prob, accept flag. Model
+    determinism, rule-agreement, and the training-collect cap are pinned
+    in tests/test_quality_model.py."""
     from pyetl_spark.operators.quality_model import (
         featurize,
         fit_quality_model,
+        sample_for_training,
         score_expr,
     )
 
@@ -2560,7 +2563,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("digit_ratio") < 0.2)
         ).cast("double"),
     )
-    sample = labeled.filter(F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0)
+    sample = sample_for_training(labeled)
     w, b = fit_quality_model(sample)
     return feats.select(
         "doc_id",

@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from pyetl_spark.operators.quality_model import (
     FEATURES,
+    TRAIN_SAMPLE_CAP,
     featurize,
     fit_quality_model,
+    sample_for_training,
     score_expr,
     train_logreg,
 )
@@ -56,10 +58,54 @@ def test_scoring_is_pure_jvm_expression(spark):
     assert "Exchange" not in plan
 
 
+def test_training_collect_is_constant_count_capped(spark):
+    """The training sample must be a CONSTANT-count TakeOrdered, never a
+    corpus fraction: a fraction-of-corpus collect is a ~25 TB driver
+    materialization at 100 TB (the BPE-vocab bug class fixed in r7)."""
+    import contextlib
+    import io
+
+    assert TRAIN_SAMPLE_CAP == 4096  # pin: changing the cap is a review event
+
+    d = featurize(load_tables(spark, SF_ORACLE).documents)
+    labeled = d.withColumn("label", (F.col("n_chars") > 120).cast("double"))
+    samp = sample_for_training(labeled)
+    # plan: global hash-ordered limit → TakeOrderedAndProject (per-task
+    # heap of cap rows; driver merge is O(cap)), no full-sort Exchange
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        samp.explain("simple")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert samp.count() <= TRAIN_SAMPLE_CAP
+    # determinism: hash order is content-stable across partitionings
+    ids1 = [r["doc_id"] for r in samp.select("doc_id").collect()]
+    ids2 = [
+        r["doc_id"]
+        for r in sample_for_training(labeled.repartition(7))
+        .select("doc_id")
+        .collect()
+    ]
+    assert ids1 == ids2
+
+
+def test_fit_refuses_over_cap_sample(spark):
+    """fit_quality_model hard-fails on an unbounded input instead of
+    silently collecting it — the enforcement lives in the operator, not
+    in caller discipline."""
+    import pytest
+
+    d = featurize(load_tables(spark, SF_ORACLE).documents)
+    labeled = d.withColumn("label", (F.col("n_chars") > 120).cast("double"))
+    with pytest.raises(ValueError, match="exceeds cap"):
+        fit_quality_model(labeled, cap=5)
+
+
 def test_classifier_query_agrees_with_rule(spark):
     """End-to-end: the declared query's accept flag must agree with the
     generating rule on >=90% of documents (the rule is linearly
-    learnable from the features; training saw only a 25% hash sample)."""
+    learnable from the features; training saw only a capped,
+    hash-ordered constant-count sample)."""
     from pyetl_spark import registry
 
     registry.load_all()
