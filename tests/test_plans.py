@@ -411,7 +411,6 @@ _GLOBAL_WINDOW_OK = {
     "win_ntile_pct",           # SURVEY §2.5 declared form (global ntile);
                                # scale twin win_pct_rank_twophase is
                                # implemented + driver-verified
-    "revenue_pareto",          # decile curve: cum window over 10 rows
     "revenue_yoy",             # year spine: ≤ tens of rows
     "alloc_largest_remainder",  # nation-bounded remainder ranking
     "sample_neyman_allocation",  # stratum-bounded (<=|mktsegment|=5 rows)
