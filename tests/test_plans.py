@@ -463,6 +463,22 @@ def test_plan_lint_no_accidental_global_window(spark, key):
     assert not _has_global_window(plan), f"{key}: Window over SinglePartition"
 
 
+def test_contamination_check_broadcasts_eval_no_train_distinct(spark):
+    """text_contamination_check's scale contract (r7 verdict #4): the
+    tiny eval grams broadcast against the RAW train-gram stream — the
+    plan must show a BroadcastHashJoin on the gram hash and must NOT
+    shuffle the corpus-wide gram table (no Exchange hashpartitioning on
+    a bare gram key, which is the signature of the old
+    train-side .distinct() before the join)."""
+    plan = plan_of(spark, "text_contamination_check", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert not re.search(r"hashpartitioning\(gram#\d+L?, \d+\)", ln), (
+                f"corpus-wide gram exchange: {ln}"
+            )
+
+
 def test_profile_is_single_scan(spark):
     """The profiler's claim: stats for ALL columns in ONE table scan
     (the oracle's UNION reads six times; the engine must not)."""
