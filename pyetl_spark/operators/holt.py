@@ -42,14 +42,22 @@ def holt_fit_forecast(
     return l, b, [l + h * b for h in range(1, horizon + 1)]
 
 
+#: Holt smoothing parameters — single source shared with the DuckDB
+#: oracle generator (queries/timeseries._holt_oracle) so a call-site
+#: parameter change cannot desynchronize engine and oracle.
+ALPHA = 0.5
+BETA = 0.3
+HORIZON = 3
+
+
 def holt_forecast(
     series: DataFrame,
     key_col: str = "user_id",
     order_col: str = "day",
     value_col: str = "x",
-    alpha: float = 0.5,
-    beta: float = 0.3,
-    horizon: int = 3,
+    alpha: float = ALPHA,
+    beta: float = BETA,
+    horizon: int = HORIZON,
 ) -> DataFrame:
     """Per-key Holt fit + h-step-ahead forecasts.
 

@@ -365,13 +365,20 @@ def ivf_topk(
     )
 
 
+#: fixed-point quantization for the exact Lloyd means — the SINGLE
+#: definition both the engine (here) and the DuckDB oracle generator
+#: (queries/llm_scale._kmeans_ctes) read, so engine and oracle cannot
+#: silently desynchronize on the descale factor.
+KMEANS_SCALE = 10**4
+
+
 def kmeans_fit_exact(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "e",
     k: int = 8,
     iters: int = 2,
-    scale: int = 10**4,
+    scale: int = KMEANS_SCALE,
 ) -> DataFrame:
     """Oracle-replayable Lloyd k-means → DataFrame(cell int, centroid
     array<double>) — the r7 cross-engine-exact variant of ``kmeans_fit``

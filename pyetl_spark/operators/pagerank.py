@@ -83,14 +83,24 @@ def pagerank(
     return ranks
 
 
+#: PageRank parameters — the SINGLE definition both the engine (below)
+#: and the DuckDB oracle generator (queries/llm_text._pagerank_oracle)
+#: read, so changing damping/iterations/resolution in one place cannot
+#: silently desynchronize engine and oracle.
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+PR_ITERS = 10
+PR_SCALE = 10**12
+
+
 def pagerank_exact(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
-    damping_num: int = 85,
-    damping_den: int = 100,
-    iters: int = 10,
-    scale: int = 10**12,
+    damping_num: int = DAMPING_NUM,
+    damping_den: int = DAMPING_DEN,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
 ) -> DataFrame:
     """Oracle-replayable PageRank: ranks held as INTEGER fixed-point at
     ``scale`` (1e-12 resolution) so every per-iteration sum is exact and

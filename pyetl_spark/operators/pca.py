@@ -28,6 +28,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: exact-path parameters — single source shared with the DuckDB oracle
+#: generator (queries/llm_vec._pca_oracle) so a call-site change cannot
+#: desynchronize engine and oracle.
+PCA_SCALE = 1e4
+PCA_ITERS = 60
+
 
 def _ship_module_by_value() -> None:
     """Ship this module inside task closures (see multimodal.py) so the
@@ -149,6 +155,13 @@ def _moments_quantized(vec_col: str, dim: int, scale: float):
             if pdf.empty:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if x.shape[1] != dim:
+                # a smaller dim would IndexError in the driver fold; a
+                # larger one would silently zero-pad the covariance —
+                # fail loudly instead of skewing the component
+                raise ValueError(
+                    f"vector length {x.shape[1]} != declared dim {dim}"
+                )
             q = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(
                 np.int64
             )
@@ -167,8 +180,8 @@ def top_component_exact(
     df: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
-    scale: float = 1e4,
-    iters: int = 60,
+    scale: float = PCA_SCALE,
+    iters: int = PCA_ITERS,
 ) -> tuple[list[float], list[float]]:
     """Cross-engine-EXACT top principal component: (component, mean).
 

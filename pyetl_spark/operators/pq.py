@@ -208,6 +208,12 @@ def adc_topk(
     )
 
 
+#: fixed-point quantization for the exact Lloyd means — single source
+#: shared with the DuckDB oracle generator (queries/llm_scale._pq_oracle)
+#: so a parameter change cannot desynchronize engine and oracle.
+PQ_SCALE = 10**4
+
+
 def pq_fit_exact(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -216,7 +222,7 @@ def pq_fit_exact(
     k: int = 16,
     dim: int = 64,
     iters: int = 2,
-    scale: int = 10**4,
+    scale: int = PQ_SCALE,
 ) -> DataFrame:
     """Oracle-replayable ``pq_fit`` (r7, same recipe as
     ivf.kmeans_fit_exact): phash60-seeded buckets per subspace

@@ -336,13 +336,23 @@ def _normsq_sql(a: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int | str = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_ctes(
+    k: int | str = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int | None = None,
+) -> str:
     """CTE chain replaying operators/ivf.kmeans_fit_exact in DuckDB:
     phash60-spread seeds, then ``iters`` textually-unrolled Lloyd steps
     (assignment = first-min index over ascending (dist, cell) — identical
     to the engine's array_min-of-structs tie-break because cells ascend
     with list position; means = exact integer fixed-point sums descaled
-    with the same float expression). Produces c{iters}(cents, cells)."""
+    with the same float expression). Produces c{iters}(cents, cells).
+    ``scale`` defaults to the ENGINE's KMEANS_SCALE constant so the
+    descale factor has one definition feeding both sides."""
+    from pyetl_spark.operators.ivf import KMEANS_SCALE
+
+    scale = KMEANS_SCALE if scale is None else scale
 
     def assign(s: str) -> str:
         dists = (
@@ -383,11 +393,11 @@ def _kmeans_ctes(k: int | str = 8, iters: int = 2, dim: int = 64) -> str:
     ),
     m{i} AS (
       SELECT cell, pos,
-             (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10000.0
-               AS m
+             (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / {float(scale)} AS m
       FROM (
         SELECT cell, unnest(generate_series(1,{dim})) AS pos,
-               unnest(list_transform(e, x -> {FXP('x', 10**4)})) AS q
+               unnest(list_transform(e, x -> {FXP('x', scale)})) AS q
         FROM a{i}
       ) GROUP BY cell, pos
     ),
@@ -503,12 +513,22 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(
-    m: int = 8, k: int = 16, dim: int = 64, iters: int = 2, topk: int = 5
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    topk: int = 5,
+    scale: int | None = None,
 ) -> str:
     """DuckDB replay of vec_pq_adc_topk: per-subspace phash60-seeded
     codebooks, ``iters`` unrolled Lloyd rounds with integer-quantized
     means, min-(dist, cell) assignment, and the ADC sum folded in fixed
-    sub order — mirrors operators/pq.pq_fit_exact + adc_topk."""
+    sub order — mirrors operators/pq.pq_fit_exact + adc_topk. ``scale``
+    defaults to the ENGINE's PQ_SCALE constant (one definition, both
+    sides)."""
+    from pyetl_spark.operators.pq import PQ_SCALE
+
+    scale = PQ_SCALE if scale is None else scale
     d_sub = dim // m
     seed_h = PHASH60_SEEDED("sub", "id")
 
@@ -555,12 +575,12 @@ def _pq_oracle(
             f"""cb{i} AS MATERIALIZED (
       SELECT sub, cell, list(mval ORDER BY pos) AS centroid FROM (
         SELECT sub, code AS cell, pos,
-               (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10000.0
-                 AS mval
+               (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                 / {float(scale)} AS mval
         FROM (
           SELECT sub, code,
                  unnest(generate_series(1, {d_sub})) AS pos,
-                 unnest(list_transform(sv, x -> {FXP('x', 10**4)})) AS q
+                 unnest(list_transform(sv, x -> {FXP('x', scale)})) AS q
           FROM a{i}
         ) GROUP BY sub, code, pos
       ) GROUP BY sub, cell

@@ -631,12 +631,30 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 10, scale: int = 10**12) -> str:
+def _pagerank_oracle(
+    iters: int | None = None,
+    scale: int | None = None,
+    damping_num: int | None = None,
+    damping_den: int | None = None,
+) -> str:
     """DuckDB replay of graph_pagerank: the jaccard edge build, then
     ``iters`` textually-unrolled integer fixed-point PageRank rounds
     (operators/pagerank.pagerank_exact) — pure integer arithmetic, so
-    the replay is exact regardless of partitioning or join order."""
-    base_q = f"(SELECT (({scale} * 15) // 100) // n FROM st)"
+    the replay is exact regardless of partitioning or join order. All
+    parameters default to the ENGINE's constants (operators/pagerank:
+    PR_ITERS/PR_SCALE/DAMPING_*) — one definition feeds both sides."""
+    from pyetl_spark.operators.pagerank import (
+        DAMPING_DEN,
+        DAMPING_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    iters = PR_ITERS if iters is None else iters
+    scale = PR_SCALE if scale is None else scale
+    dnum = DAMPING_NUM if damping_num is None else damping_num
+    dden = DAMPING_DEN if damping_den is None else damping_den
+    base_q = f"(SELECT (({scale} * {dden - dnum}) // {dden}) // n FROM st)"
     parts = [
         f"""toks AS MATERIALIZED (
       SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
@@ -670,7 +688,7 @@ def _pagerank_oracle(iters: int = 10, scale: int = 10**12) -> str:
         parts.append(
             f"""r{i} AS MATERIALIZED (
       SELECT nd.node,
-             {base_q} + (85 * coalesce(s.inq, 0)) // 100 AS rq
+             {base_q} + ({dnum} * coalesce(s.inq, 0)) // {dden} AS rq
       FROM nodes nd LEFT JOIN (
         SELECT e.v AS node, sum(r.rq // d.deg) AS inq
         FROM edges e JOIN r{i - 1} r ON r.node = e.u
@@ -706,7 +724,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two forms agree to float tolerance on known graphs. Same
     id-bounded pair build as dedup_components; at 100 TB the edges come
     from MinHashLSH and every per-iteration shuffle keys on node id."""
-    from pyetl_spark.operators.pagerank import pagerank_exact
+    from pyetl_spark.operators.pagerank import PR_ITERS, pagerank_exact
 
     d = load_tables(spark, sf_dir).documents
     toks = d.filter(F.col("doc_id") < 600).select(
@@ -727,7 +745,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
     )
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    ranks = pagerank_exact(edges, iters=10)
+    ranks = pagerank_exact(edges, iters=PR_ITERS)
     return ranks.select(
         F.col("node").alias("doc_id"), rnd(F.col("rank"), 6).alias("rank")
     ).orderBy(F.col("rank").desc(), "doc_id")

@@ -287,14 +287,27 @@ def dedup_embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_oracle(dim: int = 64, scale: str = "10000.0", iters: int = 60) -> str:
+def _pca_oracle(
+    dim: int = 64,
+    scale: float | None = None,
+    iters: int | None = None,
+) -> str:
     """DuckDB replay of ``top_component_exact`` + projection (see
     operators/pca.py for why every step is bit-reproducible): integer
     moments over fixed-point-quantized coordinates, covariance as a fixed
     float expression, a recursive-CTE power iteration whose folds
     (list_reduce over a 0.0-prepended ascending list) mirror the Python
     loops exactly, first-largest-|coordinate| sign canonicalization, and
-    the same centered-dot projection."""
+    the same centered-dot projection. scale/iters default to the
+    ENGINE's constants (operators/pca.PCA_SCALE/PCA_ITERS) — one
+    definition, both sides. The power step carries the engine's
+    zero-norm guard (degenerate all-constant corpus: keep v, as the
+    Python loop's early break does) so the two sides agree there too."""
+    from pyetl_spark.operators.pca import PCA_ITERS, PCA_SCALE
+
+    scale = PCA_SCALE if scale is None else scale
+    iters = PCA_ITERS if iters is None else iters
+    scale = f"{float(scale)!r}"
     d2 = dim * dim
 
     def dot(row: str, v: str) -> str:
@@ -363,7 +376,9 @@ def _pca_oracle(dim: int = 64, scale: str = "10000.0", iters: int = 60) -> str:
       FROM covm
       UNION ALL
       SELECT it + 1,
-             list_transform({w_expr}, x -> x / {norm(w_expr)}),
+             CASE WHEN {norm(w_expr)} = 0.0 THEN v
+                  ELSE list_transform({w_expr}, x -> x / {norm(w_expr)})
+             END,
              cov, mean
       FROM power WHERE it < {iters}
     ),

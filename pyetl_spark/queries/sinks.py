@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyetl_spark.parity import FXP, fxp
@@ -378,9 +378,11 @@ def sink_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Cross-engine row fingerprint used by the manifest sinks: first 12 md5
 #: hex chars of the '|'-joined stringified row, mod a prime, summed mod
-#: the prime — both engines compute identical string casts (probed:
-#: double/timestamp→string match on every fixture value) and identical
-#: md5, so the content fingerprint is oracle-replayable.
+#: the prime. DOUBLE columns enter the string as their exact integer
+#: fixed-point (cents) — never as the raw double string, whose rendering
+#: diverges between engines outside fixture ranges (Spark switches to
+#: scientific notation at |x| >= 1e7; DuckDB never does). Ints, strings,
+#: dates render identically on both engines.
 _FP_PRIME = 1000000007
 
 
@@ -388,6 +390,24 @@ def _fp_sql(cols: str) -> str:
     return (
         f"CAST(('0x' || substring(md5({cols}), 1, 12)) AS BIGINT) "
         f"% {_FP_PRIME}"
+    )
+
+
+def _fp_row_hash(back: DataFrame) -> Column:
+    """Spark twin of ``_fp_sql`` over ALL columns of ``back``,
+    dtype-aware: doubles are fingerprinted as FXP(col, 100) longs (the
+    2dp money grid every fixture double lives on), everything else as
+    its plain string cast."""
+    parts = [
+        fxp(F.col(c), 100).cast("string")
+        if t == "double"
+        else F.col(c).cast("string")
+        for c, t in back.dtypes
+    ]
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 12), 16, 10)
+        .cast("bigint")
+        % F.lit(_FP_PRIME)
     )
 
 
@@ -400,7 +420,7 @@ def _fp_sql(cols: str) -> str:
            true AS consistent
     FROM (
       SELECT {_fp_sql("CAST(s_suppkey AS VARCHAR) || '|' || s_name"
-                      " || '|' || CAST(s_acctbal AS VARCHAR)")} AS h
+                      f" || '|' || CAST({FXP('s_acctbal', 100)} AS VARCHAR)")} AS h
       FROM supplier WHERE s_acctbal > 0
     )
     """,
@@ -446,14 +466,7 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in glob.glob(os.path.join(vdir, "part-*"))
         )
         back = spark.read.parquet(vdir)
-        row_h = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in back.columns])),
-                    1, 12,
-                ), 16, 10,
-            ).cast("bigint") % F.lit(P)
-        )
+        row_h = _fp_row_hash(back)
         stats = back.agg(
             F.count("*").alias("n"), (F.sum(row_h) % F.lit(P)).alias("fp")
         ).collect()[0]
@@ -513,7 +526,7 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT year(o_orderdate) AS y,
              {_fp_sql("CAST(o_orderkey AS VARCHAR) || '|' ||"
                       " CAST(o_custkey AS VARCHAR) || '|' ||"
-                      " CAST(o_totalprice AS VARCHAR) || '|' ||"
+                      f" CAST({FXP('o_totalprice', 100)} AS VARCHAR) || '|' ||"
                       " CAST(o_orderdate AS VARCHAR)")} AS h
       FROM orders
     ),
@@ -567,23 +580,7 @@ def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in glob.glob(os.path.join(vdir, "part-*"))
         )
         back = spark.read.parquet(vdir)
-        row_h = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[F.col(c).cast("string") for c in back.columns],
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % F.lit(P)
-        )
+        row_h = _fp_row_hash(back)
         stats = back.agg(
             F.count("*").alias("n"), (F.sum(row_h) % F.lit(P)).alias("fp")
         ).collect()[0]

@@ -592,17 +592,28 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _holt_oracle(alpha: str = "0.5", beta: str = "0.3") -> str:
+def _holt_oracle(
+    alpha: float | None = None,
+    beta: float | None = None,
+    horizon: int | None = None,
+) -> str:
     """DuckDB replay of the Holt recursion (operators/holt.py): anchor
     state l=x_1, b=x_2−x_1; each step the literal same fixed-order
     expression the Python loop computes (products before adds; IEEE
     addition of the two product terms is order-insensitive bitwise).
     ``l_new`` is duplicated textually where b needs it — pure expression,
-    identical bits. Depth = max days per user (≤ events/user, 99 here)."""
-    a = f"CAST({alpha} AS DOUBLE)"
-    oma = f"(CAST(1.0 AS DOUBLE) - CAST({alpha} AS DOUBLE))"
-    bb = f"CAST({beta} AS DOUBLE)"
-    omb = f"(CAST(1.0 AS DOUBLE) - CAST({beta} AS DOUBLE))"
+    identical bits. Depth = max days per user (≤ events/user, 99 here).
+    alpha/beta/horizon default to the ENGINE's constants
+    (operators/holt.ALPHA/BETA/HORIZON) — one definition, both sides."""
+    from pyetl_spark.operators.holt import ALPHA, BETA, HORIZON
+
+    alpha = ALPHA if alpha is None else alpha
+    beta = BETA if beta is None else beta
+    horizon = HORIZON if horizon is None else horizon
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    oma = f"(CAST(1.0 AS DOUBLE) - CAST({alpha!r} AS DOUBLE))"
+    bb = f"CAST({beta!r} AS DOUBLE)"
+    omb = f"(CAST(1.0 AS DOUBLE) - CAST({beta!r} AS DOUBLE))"
     l_new = f"{a} * r.x + {oma} * (w.l + w.b)"
     return f"""
     WITH RECURSIVE daily AS MATERIALIZED (
@@ -632,7 +643,7 @@ def _holt_oracle(alpha: str = "0.5", beta: str = "0.3") -> str:
            level + CAST(h AS DOUBLE) * trend AS forecast
     FROM (
       SELECT user_id, l AS level, b AS trend,
-             unnest(generate_series(1, 3)) AS h
+             unnest(generate_series(1, {horizon})) AS h
       FROM walk WHERE rn = n
     )
     ORDER BY user_id, h
@@ -654,13 +665,13 @@ def ts_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     step is a fixed-order IEEE expression, so the DuckDB recursive CTE
     in ``_holt_oracle`` replays it bit-identically — full value-hash
     parity on raw doubles, no rounding, no tolerance."""
-    from pyetl_spark.operators.holt import holt_forecast
+    from pyetl_spark.operators.holt import HORIZON, holt_forecast
 
     ev = load_tables(spark, sf_dir).events
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg((F.sum(fxp(F.col("value"), 100)) / F.lit(100.0)).alias("x"))
-    return holt_forecast(daily, horizon=3).orderBy("user_id", "h")
+    return holt_forecast(daily, horizon=HORIZON).orderBy("user_id", "h")
 
 
 _U52 = 4503599627370496.0  # 2^52 — md5's first 13 hex chars as uniform
