@@ -420,7 +420,14 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the literal same expression — the constants 1.0−0.3 and 0.3
     are bit-identical doubles on both engines (probed), so the hash
     matches without tolerance. pytest additionally pins the closed form,
-    ordering, and determinism. One shuffle on user_id."""
+    ordering, and determinism. One shuffle on user_id.
+
+    Scale: per-key history fits a task for user keys at any SF; a
+    mega-key (one sensor, 10⁹ rows) rides ``ewma_chunked`` (same
+    module) — sequential time-slices with exact state carry,
+    BIT-IDENTICAL output, task memory bounded by one slice
+    (tests/test_ewma.py pins the equality) — so this key has no
+    group-must-fit-in-task-memory caveat left."""
     from pyetl_spark.operators.ewma import ewma
 
     e = load_tables(spark, sf_dir).events

@@ -60,3 +60,57 @@ def test_smoothing_bounds(spark):
     out = ewma(_df(spark, rows), "k", "ts", "v", alpha=0.2, tiebreak="eid")
     for r in out.collect():
         assert 5.0 <= r["ewma"] <= 50.0
+
+
+def test_chunked_bit_identical_to_whole_group(spark):
+    """ewma_chunked's scale contract: sequential time-slices with exact
+    state carry reproduce the whole-group recurrence BIT-for-bit (no
+    ulp drift — the per-row IEEE op order is unchanged), for any slice
+    count, including keys that first appear mid-timeline."""
+    from pyetl_spark.operators.ewma import ewma_chunked
+
+    rows = [
+        (k, t, t, float(((k * 37 + t * 13) % 91) - 45) / 7.0)
+        for k in (1, 2, 3)
+        for t in range(60)
+    ]
+    # key 4 first appears at t=35 — must anchor y0 = x0 in a LATER slice
+    rows += [(4, t, t, float(t)) for t in range(35, 60)]
+    df = _df(spark, rows)
+    base = {
+        (r["k"], r["ts"]): r["ewma"]
+        for r in ewma(df, "k", "ts", "v", tiebreak="eid").collect()
+    }
+    for n_slices in (1, 3, 7):
+        got = {
+            (r["k"], r["ts"]): r["ewma"]
+            for r in ewma_chunked(
+                df, "k", "ts", "v", tiebreak="eid", n_slices=n_slices
+            ).collect()
+        }
+        assert got == base, f"n_slices={n_slices}: not bit-identical"
+
+
+def test_chunked_on_events_fixture(spark):
+    """Fixture smoke: chunked vs whole-group on real event timestamps
+    (timestamp-typed ts, duplicate-day tiebreaks) — bit-identical."""
+    from pyetl_spark.operators.ewma import ewma_chunked
+    from pyetl_spark.tables import load_tables
+    from tests.conftest import SF_ORACLE
+
+    ev = load_tables(spark, SF_ORACLE).events.select(
+        "user_id", "ts", "event_id", "value"
+    )
+    base = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma(
+            ev, "user_id", "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_chunked(
+            ev, "user_id", "ts", "value", tiebreak="event_id", n_slices=3
+        ).collect()
+    }
+    assert got == base
