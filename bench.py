@@ -107,6 +107,12 @@ HEADLINE = [
     "dedup_simhash",
     "text_count_min_freq",
     "vec_ann_lsh",
+    # r8: the exact-fold heavyweights (r7 verdict item 7) — PageRank is
+    # the single most expensive key in the repo (iteration-bound; ~flat
+    # in SF) and IVF is the flagship ANN build+search; both were
+    # previously untracked round-over-round
+    "graph_pagerank",
+    "vec_ann_ivf",
 ]
 
 
@@ -135,6 +141,9 @@ SF1_QUERIES = [
     # dup-heavy fixture makes this the worst-case shape; the assignment
     # form via dedup_components is the 100 TB output, see SCALE.md)
     "dedup_simhash",
+    # r8 (VERDICT r7 item 7): sf1 ratios for the exact-fold heavyweights
+    "graph_pagerank",
+    "vec_ann_ivf",
 ]
 
 
