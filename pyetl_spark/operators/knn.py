@@ -197,9 +197,30 @@ def embedding_dedup_assign(
     near-dup cluster; singletons keep themselves. Cost: one signature
     pass (JVM folds), one band shuffle, ≤ ~2·bands edges per vector to
     verify, O(log diameter) component rounds.
+
+    EXACT duplicates are pre-collapsed before LSH (one groupBy on the
+    vector value; each identical-embedding group rides one
+    representative = its min id). Two reasons: (a) dup-heavy corpora
+    shrink the banding input B itself — the residual-skew advice in
+    minhash_dedup_assign's docstring, applied; (b) it makes exact-copy
+    recovery DETERMINISTIC — without it, even identical vectors connect
+    only if a verified edge family path survives inside their shared
+    buckets, which fails when interlopers (random band collisions)
+    stand between them in every band (observed at sf0.01: star and
+    chain edges both land on non-near members and die at the cosine
+    verify). Near-but-not-identical recall remains probabilistic, as
+    LSH inherently is. At 100 TB, group by xxhash64 of the raw vector
+    bytes instead of the array value to cut shuffle width.
     """
     from pyetl_spark.operators.components import connected_components
     from pyetl_spark.operators.minhash import _candidate_edges
+
+    exact = vectors.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    member_rep = vectors.join(exact, vec_col).select(
+        F.col(id_col).alias("_member"), "_rep"
+    )
+    reps = exact.select(F.col("_rep").alias(id_col), vec_col)
+    vectors = reps
 
     rows = n_bits // bands
     mask = (1 << rows) - 1
@@ -233,17 +254,22 @@ def embedding_dedup_assign(
         .select("id_a", "id_b")
     )
     comp = connected_components(verified, src="id_a", dst="id_b")
-    return (
-        vectors.select(F.col(id_col).alias(id_col))
+    # rep → cluster keeper (component = min rep id = min id overall,
+    # because each rep is already the min of its exact group), then fan
+    # the keeper back out to every member of each exact group
+    rep_keeper = (
+        reps.select(F.col(id_col).alias("_rep"))
         .join(
             comp.select(
-                F.col("node").alias(id_col),
-                F.col("component").alias("keeper_id"),
+                F.col("node").alias("_rep"),
+                F.col("component").alias("_keeper"),
             ),
-            id_col,
+            "_rep",
             "left",
         )
-        .select(
-            id_col, F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id")
-        )
+        .select("_rep", F.coalesce("_keeper", F.col("_rep")).alias("_keeper"))
+    )
+    return member_rep.join(rep_keeper, "_rep").select(
+        F.col("_member").alias(id_col),
+        F.col("_keeper").alias("keeper_id"),
     )

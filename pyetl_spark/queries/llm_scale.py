@@ -804,7 +804,22 @@ def vec_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
-@query("dedup_embedding_lsh")  # Tier B — approximate, rows-only
+@query(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH o AS (SELECT vec_id FROM embeddings WHERE vec_id < 500),
+    aug AS (
+      SELECT vec_id FROM o
+      UNION ALL SELECT vec_id + 100000 FROM o WHERE vec_id % 20 = 0
+      UNION ALL SELECT vec_id + 200000 FROM o WHERE vec_id % 40 = 0
+    )
+    SELECT vec_id,
+           CASE WHEN vec_id >= 200000 THEN vec_id - 200000
+                WHEN vec_id >= 100000 THEN vec_id - 100000
+                ELSE vec_id END AS keeper_id
+    FROM aug ORDER BY vec_id
+    """,
+)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup CLUSTER assignment at scale (north star:
     embedding near-dup as a first-class corpus op): SRP banding proposes
@@ -819,18 +834,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band with p ≈ 1-(1-0.857⁸)⁴ ≈ 75 %+ (and usually connect through
     multiple routes), while random 64-d pairs land in the same band
     only ~1.5 % of the time, keeping the verify join corpus-linear.
-    The synthetic fixture has no ≥ 0.9 pairs, so here every vector
-    keeps itself; the quality evidence is the planted-cluster recovery
-    test in tests/test_approx_operators.py (20 clusters × 8 members
-    among 100 spread singletons — all recovered, nothing over-merged)."""
+
+    Tier A (r8 conversion, the r7 verdict's residual-ledger ask): the
+    raw fixture has no cos ≥ 0.9 pairs (pinned per-SF in
+    tests/test_approx_operators.py::test_embedding_fixture_has_no_near_pairs,
+    so all-keep-self would be vacuous evidence). Instead the corpus is
+    the id-bounded fixture slice PLUS planted EXACT copies at shifted
+    ids (vec_id % 20 → +100000; % 40 → +200000). Exact copies are
+    DETERMINISTICALLY recovered because ``embedding_dedup_assign``
+    pre-collapses identical vectors before LSH (one groupBy; see its
+    docstring for why in-bucket edge families alone can miss even
+    identical pairs when random band collisions stand between them),
+    and the no-near-pairs pin guarantees LSH adds no further merges —
+    so the exact expected output is pure id arithmetic, which the
+    oracle states. A broken pre-collapse, verify regression, component
+    mislabel, or a spurious LSH merge each produce a hash mismatch.
+    Quality on NEAR (non-identical) pairs stays pinned by the
+    planted-cluster recovery test in tests/test_approx_operators.py
+    (20 clusters × 8 members among 100 spread singletons — all
+    recovered, nothing over-merged)."""
     from pyetl_spark.operators.knn import embedding_dedup_assign
 
-    e = load_tables(spark, sf_dir).embeddings.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    e = (
+        load_tables(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100000)
+        )
+    ).unionByName(
+        e.filter(F.col("vec_id") % 40 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(200000)
+        )
     )
     return embedding_dedup_assign(
-        e, id_col="vec_id", vec_col="e", threshold=0.9,
+        aug, id_col="vec_id", vec_col="e", threshold=0.9,
         n_bits=32, bands=4, dim=64,
     ).orderBy("vec_id")
 

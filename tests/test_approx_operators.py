@@ -774,3 +774,64 @@ def test_weighted_sample_biases_toward_weight(spark):
     # expected inclusion ratio is well above 4x for 9x weights at this
     # sampling fraction; require a conservative 3x to avoid flakiness
     assert heavy > 3.0 * light, (heavy, light)
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_embedding_fixture_has_no_near_pairs(spark, sf_dir):
+    """The property dedup_embedding_lsh's oracle rests on: the raw
+    fixture slice (vec_id < 500) contains NO distinct pair at
+    cosine >= 0.9 at any SF the sweeps run, so the only verified edges
+    are the planted exact copies and the oracle's id arithmetic is the
+    exact ground truth."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    from pyetl_spark.operators.knn import _dot, _norm_sq
+
+    e = (
+        load_tables(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"))
+    sim = (
+        _dot(F.col("ea"), F.col("eb"))
+        / F.sqrt(_norm_sq(F.col("ea")))
+        / F.sqrt(_norm_sq(F.col("eb")))
+    )
+    mx = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .agg(F.max(sim).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert mx is not None and mx < 0.9, mx
+
+
+def test_embedding_lsh_planted_copies_recovered(spark):
+    """End-to-end on the declared query: every planted exact copy maps
+    to its original (keeper = min id of the identical-embedding group)
+    and every un-copied original keeps itself."""
+    from pyetl_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = {
+        r["vec_id"]: r["keeper_id"]
+        for r in QUERIES["dedup_embedding_lsh"](spark, SF_ORACLE).collect()
+    }
+    assert out, "empty result"
+    for vid, keeper in out.items():
+        if vid >= 200000:
+            assert keeper == vid - 200000, (vid, keeper)
+        elif vid >= 100000:
+            assert keeper == vid - 100000, (vid, keeper)
+        else:
+            assert keeper == vid, (vid, keeper)
