@@ -58,19 +58,36 @@ FEATURE_DIM = 32
 def _decode_image_stub(payload: bytes, allow_fake: bool) -> np.ndarray:
     """STUB decode (no imaging libs in this container).
 
-    With ``allow_fake``: a deterministic pseudo-image seeded from the
-    payload's sha256 — stable across runs/machines, so downstream tests
-    can assert exact values. Without: NotImplementedError, marking the
-    integration point for a real decoder (PIL.Image.open etc.).
+    With ``allow_fake``: a deterministic pseudo-image derived from a
+    sha256 HEX-STRING chain over the payload (r8; previously numpy PCG64
+    — equally fake, but RNG output is not reproducible outside numpy,
+    which kept every decode-dependent key rows-only). The chain runs
+    entirely in lowercase-hex string space, which DuckDB's
+    sha256(VARCHAR) replays verbatim:
+
+        seed   = sha256(payload.hex())
+        stream = sha256(seed + "|0") + sha256(seed + "|1")   # 64 bytes
+        pixel[k] = byte_k(stream) / 255.0                    # 8x8 image
+
+    Still avalanche (any payload bit flips the whole image), still
+    stable across runs/machines, and now ORACLE-REPLAYABLE — DuckDB:
+    sha256(lower(hex(payload))) etc., probed byte-identical. Without
+    ``allow_fake``: NotImplementedError, marking the integration point
+    for a real decoder (PIL.Image.open etc.).
     """
     if not allow_fake:
         raise NotImplementedError(
             "image decode requires an imaging library not present in this "
             "environment; pass allow_fake=True for the deterministic stub"
         )
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.random((8, 8), dtype=np.float64)
+    seed = hashlib.sha256(payload.hex().encode()).hexdigest()
+    stream = bytes.fromhex(
+        hashlib.sha256(f"{seed}|0".encode()).hexdigest()
+        + hashlib.sha256(f"{seed}|1".encode()).hexdigest()
+    )
+    return np.array([b / 255.0 for b in stream], dtype=np.float64).reshape(
+        8, 8
+    )
 
 
 def _decode_image(payload: bytes, allow_fake: bool) -> np.ndarray:
@@ -137,13 +154,19 @@ def extract_features(
             for payload in pdf[payload_col]:
                 img = _decode_image(bytes(payload), allow_fake)
                 flat = img.flatten()
-                # fake "embedding": strided means down to FEATURE_DIM
-                feats.append(
-                    [
-                        float(flat[i::FEATURE_DIM].mean())
-                        for i in range(FEATURE_DIM)
-                    ]
-                )
+                # fake "embedding": strided means down to FEATURE_DIM.
+                # Explicit ascending fold, NOT ndarray.mean() — numpy's
+                # pairwise summation order is an internal detail no SQL
+                # oracle can replay; this loop is the same fixed IEEE op
+                # sequence as a list_reduce fold (cf. pca/ewma).
+                row = []
+                for i in range(FEATURE_DIM):
+                    vals = flat[i::FEATURE_DIM]
+                    acc = 0.0
+                    for v in vals:
+                        acc = acc + float(v)
+                    row.append(acc / len(vals))
+                feats.append(row)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "features": feats}
             )
@@ -159,8 +182,16 @@ def resize_images(
     out_h: int = 4,
     allow_fake: bool = True,
 ) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-emit as binary (float64 LE
-    bytes) + updated metadata. Same mapInPandas streaming contract."""
+    """Decode → nearest-neighbor resize → re-emit as binary (one
+    QUANTIZED uint8 byte per pixel, round-half-away from the [0,1]
+    float) + updated metadata. Same mapInPandas streaming contract.
+
+    The uint8 emission (r8; previously raw float64 LE) is the portable
+    contract: float byte serialization is an engine-internal encoding
+    no other system can recompute, while round(p*255) is a fixed
+    arithmetic step — exact for the stub's own byte-derived pixels
+    (b/255.0*255.0 rounds back to b for every b, probed) — which lets
+    downstream frame hashes be oracle-replayed."""
     _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -171,7 +202,11 @@ def resize_images(
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                 small = img[np.ix_(ys, xs)]
-                out_payloads.append(small.tobytes())
+                out_payloads.append(
+                    np.floor(np.abs(small) * 255.0 + 0.5)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
                 m = dict(meta)
                 m["width"], m["height"] = out_w, out_h
                 metas.append(m)
@@ -193,7 +228,9 @@ def sample_frames(
 ) -> DataFrame:
     """Video-style frame sampling: explode each blob into (frame_idx,
     frame_payload) rows for every nth frame — the decode stub fakes frames
-    as row-slices of the pseudo-image."""
+    as row-slices of the pseudo-image. Frames are emitted as QUANTIZED
+    uint8 bytes (same portable contract and rounding as resize_images),
+    so frame content hashes are oracle-replayable."""
     _ship_module_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,7 +241,11 @@ def sample_frames(
                 for i in range(0, img.shape[0], every_nth):
                     ids.append(media_id)
                     idxs.append(i)
-                    frames.append(img[i].tobytes())
+                    frames.append(
+                        np.floor(np.abs(img[i]) * 255.0 + 0.5)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )

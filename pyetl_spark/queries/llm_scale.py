@@ -279,12 +279,59 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
-@query("multimodal_features")  # Tier B — stubbed decode, rows-only
+def _media_stream_sql(src: str = "documents", where: str = "") -> str:
+    """CTE prefix replaying operators/multimodal._decode_image_stub's
+    sha256 hex chain in DuckDB: media_id + the 128-hex-char pixel byte
+    stream (64 bytes = the 8x8 fake image) per document."""
+    return f"""
+    mseed AS (
+      SELECT doc_id AS media_id,
+             sha256(lower(hex(encode(text)))) AS seed
+      FROM {src} {where}
+    ),
+    mstream AS (
+      SELECT media_id,
+             sha256(seed || '|0') || sha256(seed || '|1') AS stream
+      FROM mseed
+    )"""
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH {_media_stream_sql()},
+    px AS (
+      SELECT media_id,
+             list_transform(generate_series(0, 63), k ->
+               CAST(('0x' || substring(stream, 2*k + 1, 2)) AS INT) / 255.0)
+               AS p
+      FROM mstream
+    )
+    SELECT media_id,
+           array_to_string(
+             list_transform(generate_series(0, 31), i ->
+               CAST(CAST(sign((p[i+1] + p[i+33]) / 2.0)
+                    * floor(abs((p[i+1] + p[i+33]) / 2.0) * 1000000.0 + 0.5)
+                    AS BIGINT) AS VARCHAR)),
+             '|') AS features_fp6
+    FROM px ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (north star: multimodal columns):
     binary payload + typed metadata → feature vectors via Arrow-batched
     mapInPandas; decode is a deterministic stub in this container
-    (operators/multimodal.py documents the real-decoder swap point)."""
+    (operators/multimodal.py documents the real-decoder swap point).
+
+    Tier A (r8 conversion): the stub's sha256 hex chain is replayed by
+    the oracle (``_media_stream_sql``), pixels are single exact
+    divisions byte/255.0, and the strided means are explicit two-term
+    ascending folds on both sides (0.0 + p_i + p_{{i+32}}, then /2 —
+    the operator loops explicitly instead of ndarray.mean(), whose
+    pairwise summation no SQL can replay). The fp6 quantization is the
+    shared sign·floor(|x|·1e6+0.5) expression. Any drift in the decode
+    chain, the Arrow batch plumbing, or the fold order breaks the
+    hash."""
     from pyetl_spark.operators.multimodal import (
         attach_fake_media,
         extract_features,
@@ -1205,14 +1252,53 @@ def vec_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank_exact(pool, k=10, lam=0.7).orderBy("probe_id", "mmr_rank")
 
 
-@query("multimodal_frame_sample")  # Tier B — stubbed decode, rows-only
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH {_media_stream_sql(where="WHERE doc_id < 200")},
+    rz AS (
+      -- resize 8x8 -> 4x4 by linspace index sampling: rows/cols
+      -- [0,2,4,7], quantized back to the SAME source bytes
+      -- (b/255*255 rounds to b exactly); payload hex = those 16
+      -- byte-slices of the stream, concatenated in row-major order
+      SELECT media_id,
+             list_reduce(
+               list_prepend('', list_transform(
+                 [0,2,4,7,16,18,20,23,32,34,36,39,56,58,60,63],
+                 k -> substring(stream, 2*k + 1, 2))),
+               (a, b) -> a || b) AS rhex
+      FROM mstream
+    ),
+    rs AS (SELECT media_id, sha256(rhex) AS seed FROM rz),
+    rstream AS (
+      SELECT media_id,
+             sha256(seed || '|0') || sha256(seed || '|1') AS stream
+      FROM rs
+    )
+    SELECT media_id, CAST(f.i AS INT) AS frame_idx,
+           substring(sha256(substring(stream, 16*f.i + 1, 16)), 1, 16)
+             AS frame_hash
+    FROM rstream, (SELECT unnest([0, 2, 4, 6]) AS i) f
+    ORDER BY media_id, frame_idx
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling pipeline: binary blobs → resize →
     every-2nd-frame explode → per-frame content hash (the join key for
     frame-level dedup). Decode is the honest deterministic stub
     (operators/multimodal.py); the Spark plumbing — binary columns,
     mapInPandas streaming batches, frame-row explosion, no blob ever in
-    a shuffle — is the production shape."""
+    a shuffle — is the production shape.
+
+    Tier A (r8 conversion): the whole fake-on-fake composition is
+    replayed by the oracle — the resize emits quantized uint8 bytes
+    (byte-exact round trip), sample_frames decodes the RESIZED payload
+    through the stub again (a second sha256 chain seeded by the resized
+    payload's hex), and the frame hash is sha256 over the frame's
+    lowercase hex (a VARCHAR both engines hash identically; hashing raw
+    binary would be Spark-only). Every link — encode, chain, resize
+    index math, re-chain, slice, hash — must agree for the value hash
+    to match."""
     from pyetl_spark.operators.multimodal import (
         attach_fake_media,
         resize_images,
@@ -1225,7 +1311,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id",
         "frame_idx",
-        F.sha2(F.col("frame"), 256).substr(1, 16).alias("frame_hash"),
+        F.sha2(F.lower(F.hex(F.col("frame"))), 256)
+        .substr(1, 16)
+        .alias("frame_hash"),
     ).orderBy("media_id", "frame_idx")
 
 
@@ -1469,7 +1557,23 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_ahash_dedup")  # Tier B: stub decode, rows-only
+@query(
+    "multimodal_ahash_dedup",
+    oracle="""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+    re AS (SELECT doc_id + 1000000 AS doc_id, text
+           FROM documents WHERE doc_id < 200),
+    aug AS (SELECT * FROM base UNION ALL SELECT * FROM re),
+    grp AS (
+      SELECT doc_id AS media_id,
+             min(doc_id) OVER (PARTITION BY text) AS keeper
+      FROM aug
+    )
+    SELECT media_id, keeper,
+           count(*) OVER (PARTITION BY keeper) AS cluster_size
+    FROM grp ORDER BY media_id
+    """,
+)
 def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup dedup for media payloads: average-hash
     fingerprints (operators/multimodal.media_ahash) → banded hamming
@@ -1479,9 +1583,19 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster assignment, never the pair list). With a real decoder this
     collapses re-encoded/resized variants of the same image; with this
     environment's stub decode (sha256-seeded → avalanche) only
-    byte-identical payloads cluster, which the dup-heavy fixture
-    provides. Output: one row per media id with its cluster keeper and
-    cluster size."""
+    byte-identical payloads cluster, which the fixture's exact text
+    dups plus the planted re-ingests provide. Output: one row per media
+    id with its cluster keeper and cluster size.
+
+    Tier A (r8 conversion): the oracle needs NO ahash values — identical
+    payloads get identical fingerprints under any deterministic decode,
+    and the stub's avalanche guarantees non-identical payloads never
+    land within hamming ≤ 3 (pinned per-SF in
+    tests/test_multimodal.py::test_ahash_pairs_only_between_identical_texts),
+    so the exact expected clusters are the identical-TEXT groups of the
+    augmented corpus: keeper = min media_id, size = group count — which
+    the oracle states directly. A banding bug, components mislabel, or
+    an avalanche break each produce a hash mismatch."""
     from pyetl_spark.operators.components import connected_components
     from pyetl_spark.operators.multimodal import attach_fake_media, media_ahash
     from pyetl_spark.operators.simhash import hamming_band_pairs

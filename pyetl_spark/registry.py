@@ -101,8 +101,11 @@ PRIORITY: list[str] = [
     # CORRECTNESS_r01..r07 vs the 363-key registry:
     #   * 27 never-verified keys (registration order): the 14 late-r7
     #     Tier-A conversions (holt/pagerank/ivf/pq/mmr/hll/sinks) + the
-    #     new text_contamination_check + 12 rows-only keys incl. the
-    #     flagship pipeline_curation_full.
+    #     new text_contamination_check + 12 then-rows-only keys incl.
+    #     the flagship pipeline_curation_full (4 of the 12 —
+    #     dedup_embedding_lsh, multimodal_features,
+    #     multimodal_frame_sample, multimodal_ahash_dedup — were
+    #     converted to Tier-A later in r8, so they land hash-checked).
     #   * 6 stale-row keys whose results/plans changed in r7 (subq_* trio
     #     changed ANSWERS via the truncate-vs-round fix; customer_rfm,
     #     agg_equidepth_histogram, orders_abc_class re-routed plans) +

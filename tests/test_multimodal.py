@@ -56,8 +56,9 @@ def test_resize_updates_meta_and_payload(spark, media):
     out = resize_images(media, out_w=4, out_h=4)
     rows = out.collect()
     assert all(r["meta"]["width"] == 4 for r in rows)
-    # 4x4 float64 = 128 bytes
-    assert all(len(bytes(r["payload"])) == 128 for r in rows)
+    # 4x4 quantized uint8 = 16 bytes (r8 portable contract — float64
+    # byte serialization was engine-internal and oracle-opaque)
+    assert all(len(bytes(r["payload"])) == 16 for r in rows)
 
 
 def test_frame_sampling_explodes_rows(spark, media):
@@ -222,3 +223,52 @@ def test_ahash_dedup_clusters_reingested_assets(spark):
         orig = by_id[r["media_id"] - 1_000_000]
         assert r["keeper"] == orig["keeper"] == orig["media_id"]
         assert r["cluster_size"] >= 2
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_ahash_pairs_only_between_identical_texts(spark, sf_dir):
+    """The property multimodal_ahash_dedup's oracle rests on: under the
+    avalanche stub decode, the hamming<=3 banded pair join finds pairs
+    ONLY between byte-identical payloads (= identical texts here), so
+    the exact expected clusters are the identical-text groups."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    from pyetl_spark.operators.multimodal import attach_fake_media, media_ahash
+    from pyetl_spark.operators.simhash import hamming_band_pairs
+
+    d = load_tables(spark, sf_dir).documents
+    base = d.filter(F.col("doc_id") < 2000)
+    re_ing = d.filter(F.col("doc_id") < 200).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    aug = base.unionByName(re_ing)
+    media = attach_fake_media(aug)
+    pairs = hamming_band_pairs(
+        media_ahash(media), "media_id", "ahash", max_hamming=3
+    )
+    texts = aug.select(
+        F.col("doc_id").alias("media_id"), F.md5("text").alias("tkey")
+    )
+    labeled = (
+        pairs.join(
+            texts.select(
+                F.col("media_id").alias("id_a"), F.col("tkey").alias("ta")
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("media_id").alias("id_b"), F.col("tkey").alias("tb")
+            ),
+            "id_b",
+        )
+    )
+    cross = labeled.filter(F.col("ta") != F.col("tb")).count()
+    same = labeled.filter(F.col("ta") == F.col("tb")).count()
+    assert cross == 0, f"{cross} cross-text hamming<=3 pairs"
+    assert same > 0  # the planted re-ingests must actually pair
