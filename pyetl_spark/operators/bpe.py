@@ -55,6 +55,10 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: same way. 2^16 ≈ the common vocab-size order.
 TRAIN_VOCAB_CAP = 65536
 
+#: merge count for the declared text_bpe_tokenize key — single source
+#: shared with its DuckDB oracle generator (queries/llm_text._bpe_oracle)
+N_MERGES = 24
+
 
 def top_word_freqs(
     wf: DataFrame, cap: int = TRAIN_VOCAB_CAP

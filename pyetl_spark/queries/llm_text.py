@@ -2397,7 +2397,96 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_tokenize")  # Tier B — learned tokenizer, rows-only
+def _bpe_oracle(n_merges: int | None = None, cap: int | None = None) -> str:
+    """DuckDB replay of the FULL BPE pipeline (operators/bpe.py):
+    word-frequency table → frequency-capped training vocab → ``n_merges``
+    textually-unrolled greedy merge rounds (weighted adjacent-pair
+    counts over the capped vocab, argmax with (count desc, pair asc)
+    tie-break — UTF-8 byte order equals Python's code-point order — and
+    a fold-based merge application) → encoding of EVERY word.
+
+    The merge application is a left fold with a list accumulator
+    (list_reduce over singleton-lifted symbols — the r7 "DuckDB
+    list_reduce broken for list accumulators" finding turns out to be
+    the reduce's homogeneous-type requirement, circumvented by lifting
+    each symbol to [s]): merge when the accumulator's last token equals
+    pair[0] and the next symbol equals pair[1]. This is EQUIVALENT to
+    the engine's greedy left-to-right scan (_merge_word): a merged
+    token a||b is strictly longer than a, so it can never re-match
+    pair[0] and cascade — the fold's "last" always equals the scan's
+    last emitted token. Early-stop parity: when no pair reaches count 2
+    the round's pair is the sentinel '' (matches no symbol — symbols
+    are never empty), a no-op exactly like the engine's break, and the
+    condition then repeats for every later round. Parameters default to
+    the engine's bpe.N_MERGES / TRAIN_VOCAB_CAP constants."""
+    from pyetl_spark.operators.bpe import N_MERGES, TRAIN_VOCAB_CAP
+
+    n_merges = N_MERGES if n_merges is None else n_merges
+    cap = TRAIN_VOCAB_CAP if cap is None else cap
+
+    def fold(src: str, pair: str) -> str:
+        return f"""
+      SELECT word, freq,
+             list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, s -> [s])),
+               (acc, sl) -> CASE
+                 WHEN len(acc) > 0 AND acc[-1] = b.pa AND sl[1] = b.pb
+                 THEN list_append(acc[1:len(acc)-1], b.pa || b.pb)
+                 ELSE list_append(acc, sl[1]) END) AS syms
+      FROM {src}, {pair} b"""
+
+    parts = [
+        f"""wf AS MATERIALIZED (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    cap AS MATERIALIZED (
+      SELECT word FROM wf ORDER BY freq DESC, word LIMIT {cap}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT word, freq, string_split(word, '') AS syms FROM wf
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+      SELECT s1, s2, sum(freq) AS c FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(syms)-1),
+                                     j -> syms[j])) AS s1,
+               unnest(list_transform(generate_series(1, len(syms)-1),
+                                     j -> syms[j+1])) AS s2
+        FROM e{i - 1} JOIN cap USING (word)
+      ) GROUP BY s1, s2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT coalesce((SELECT s1 FROM p{i}
+                       WHERE c = (SELECT max(c) FROM p{i})
+                         AND (SELECT max(c) FROM p{i}) >= 2
+                       ORDER BY s1, s2 LIMIT 1), '') AS pa,
+             coalesce((SELECT s2 FROM p{i}
+                       WHERE c = (SELECT max(c) FROM p{i})
+                         AND (SELECT max(c) FROM p{i}) >= 2
+                       ORDER BY s1, s2 LIMIT 1), '') AS pb
+    ),
+    e{i} AS MATERIALIZED ({fold(f'e{i - 1}', f'b{i}')}
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT word, freq,
+           array_to_string(syms, ' ') AS segmentation,
+           CAST(len(syms) AS INT) AS n_subwords
+    FROM e{n_merges}
+    ORDER BY freq DESC, word
+    """
+    )
+
+
+@query("text_bpe_tokenize", oracle=_bpe_oracle())
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword tokenizer trained on the corpus and applied back to
     its vocabulary (operators/bpe.py): the word-frequency table is the
@@ -2407,8 +2496,15 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail is unbounded; industrial trainer shape — HF/SentencePiece train
     on frequency-capped word counts too); encoding is a no-shuffle Arrow
     pandas UDF. Merge-sequence exactness vs an independent reference
-    implementation and the collect cap are pinned in tests/test_bpe.py."""
+    implementation and the collect cap are pinned in tests/test_bpe.py.
+
+    Tier A (r8 conversion): the training loop AND the encoding pass are
+    integer/string-exact, so ``_bpe_oracle`` replays the whole pipeline
+    as 24 unrolled merge rounds in DuckDB — the r7 residual note
+    ("DuckDB list_reduce broken for list accumulators") fell to the
+    singleton-lift trick documented there."""
     from pyetl_spark.operators.bpe import (
+        N_MERGES,
         bpe_apply,
         bpe_train,
         top_word_freqs,
@@ -2418,7 +2514,7 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     wf = word_freqs(d)
     rows = top_word_freqs(wf)
-    merges = bpe_train(rows, n_merges=24)
+    merges = bpe_train(rows, n_merges=N_MERGES)
     return (
         bpe_apply(wf, merges)
         .select(

@@ -102,10 +102,11 @@ PRIORITY: list[str] = [
     #   * 27 never-verified keys (registration order): the 14 late-r7
     #     Tier-A conversions (holt/pagerank/ivf/pq/mmr/hll/sinks) + the
     #     new text_contamination_check + 12 then-rows-only keys incl.
-    #     the flagship pipeline_curation_full (4 of the 12 —
+    #     the flagship pipeline_curation_full (5 of the 12 —
     #     dedup_embedding_lsh, multimodal_features,
-    #     multimodal_frame_sample, multimodal_ahash_dedup — were
-    #     converted to Tier-A later in r8, so they land hash-checked).
+    #     multimodal_frame_sample, multimodal_ahash_dedup,
+    #     text_bpe_tokenize — were converted to Tier-A later in r8,
+    #     so they land hash-checked).
     #   * 6 stale-row keys whose results/plans changed in r7 (subq_* trio
     #     changed ANSWERS via the truncate-vs-round fix; customer_rfm,
     #     agg_equidepth_histogram, orders_abc_class re-routed plans) +
