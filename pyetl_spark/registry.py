@@ -93,6 +93,13 @@ ORACLE: dict[str, str] = {}
 #:       CAST(avg); their r4/r5 driver rows predate the fix, own-sweep
 #:       evidence in canon_sweep_r7_changed_*.jsonl), plus any new keys
 #:       and any reds from the prior round.
+#:   r9 draft: with the r8 window landed, never-verified should be ZERO;
+#:       steady-state rotation = (any r8 reds) + keys whose oracle/code
+#:       changed in r8 but sit OUTSIDE the r8 window — exactly ONE:
+#:       vec_pca_project (its oracle text gained the zero-norm CASE
+#:       guard after its r7 driver row; results unchanged, own-sweeps
+#:       green) — + oldest-evidence re-verifies (the r2-evidence block
+#:       next: win_rank_dense … fn_json, registration order).
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
