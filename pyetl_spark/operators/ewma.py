@@ -133,10 +133,17 @@ def ewma_chunked(
         return ewma(df, key, ts_col, value_col, alpha, tiebreak, out_col)
     span = max(int(hi) - int(lo) + 1, 1)
     width = -(-span // n_slices)  # ceil: last slice absorbs the remainder
+    # null-ts rows go to the LAST slice: the base path's mergesort puts
+    # NaT after every real timestamp (within them, the tiebreak orders),
+    # so processing them after all non-null rows of their key preserves
+    # bit-identity; dropping them (a null _slice matches no filter)
+    # would silently lose rows the base path smooths
     sliced = df.select(*cols).withColumn(
         "_slice",
-        ((F.col(ts_col).cast("long") - F.lit(int(lo))) / F.lit(width))
-        .cast("int"),
+        F.when(F.col(ts_col).isNull(), F.lit(n_slices - 1)).otherwise(
+            ((F.col(ts_col).cast("long") - F.lit(int(lo))) / F.lit(width))
+            .cast("int")
+        ),
     )
 
     def fit_seeded(pdf: pd.DataFrame) -> pd.DataFrame:

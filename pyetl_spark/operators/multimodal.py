@@ -202,8 +202,12 @@ def resize_images(
                 ys = np.linspace(0, img.shape[0] - 1, out_h).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_w).astype(int)
                 small = img[np.ix_(ys, xs)]
+                # clip BEFORE the uint8 cast: a real decoder (the
+                # documented swap point) may emit values outside [0,1];
+                # astype(np.uint8) would wrap them mod 256 into
+                # plausible-looking garbage instead of saturating
                 out_payloads.append(
-                    np.floor(np.abs(small) * 255.0 + 0.5)
+                    np.clip(np.floor(small * 255.0 + 0.5), 0, 255)
                     .astype(np.uint8)
                     .tobytes()
                 )
@@ -241,8 +245,9 @@ def sample_frames(
                 for i in range(0, img.shape[0], every_nth):
                     ids.append(media_id)
                     idxs.append(i)
+                    # same saturating quantization as resize_images
                     frames.append(
-                        np.floor(np.abs(img[i]) * 255.0 + 0.5)
+                        np.clip(np.floor(img[i] * 255.0 + 0.5), 0, 255)
                         .astype(np.uint8)
                         .tobytes()
                     )

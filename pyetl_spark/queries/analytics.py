@@ -541,23 +541,28 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_pareto",
     oracle=f"""
     WITH cust AS (
-      SELECT o_custkey, {MSUM('o_totalprice', 100)} AS revenue
+      SELECT o_custkey,
+             CAST(sum({FXP('o_totalprice', 100)}) AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
-      SELECT o_custkey, revenue,
-             ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+      SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
       FROM cust
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile
     )
-    SELECT decile,
-           count(*) AS n_customers,
-           {R('sum(revenue)', 2)} AS decile_revenue,
-           {R('''sum(sum(revenue)) OVER (
-                 ORDER BY decile
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              / sum(sum(revenue)) OVER ()''', 6)} AS cum_share
-    FROM ranked
-    GROUP BY decile
+    SELECT decile, n_customers,
+           {R('CAST(cents AS DOUBLE) / 100.0', 2)} AS decile_revenue,
+           {R('''CAST(sum(cents) OVER (
+                   ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)
+              / CAST(sum(cents) OVER () AS DOUBLE)''', 6)} AS cum_share
+    FROM agg
     """,
 )
 def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,11 +581,19 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets — operators/global_rank.py) and the ANSI bucket is a pure
     function of (rank, n) via ``ntile_from_rank`` — same re-route
     ``customer_rfm`` got in r7, bit-identical to the oracle's ntile.
-    Descending order rides a negated fixed-point helper column (exact).
-    The cumulative share over the 10 decile rows rides
-    ``global_order_cumsum`` (exact long prefix sums) against a
-    one-scalar grand total, so the key carries NO single-partition
-    window at all and needs no lint allowlist entry."""
+    Descending order rides a negated helper column. ALL money stays in
+    exact integer CENTS end-to-end on both sides (longs through the
+    per-customer aggregate, the decile sums, ``global_order_cumsum``'s
+    prefix sums — whose cast('long') contract a 2dp DOUBLE would have
+    silently truncated against — and the grand total); the only float
+    ops are the final /100 display descale and the share division of
+    two exact integers, so the hash is stable at any scale, not
+    boundary-lucky. The cumulative share over the 10 decile rows rides
+    ``global_order_cumsum`` against a one-scalar grand total, so the
+    key carries NO single-partition window at all and needs no lint
+    allowlist entry. The per-customer aggregate and the 10-row decile
+    table are each pinned once (localCheckpoint) so the count, the
+    rank pass, the total, and the cumsum don't re-scan orders."""
     from pyetl_spark.operators.global_rank import (
         global_order_cumsum,
         global_order_rank,
@@ -589,33 +602,35 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir).orders
     cust = o.groupBy("o_custkey").agg(
-        msum(F.col("o_totalprice"), 100).alias("revenue")
-    )
+        F.sum(fxp(F.col("o_totalprice"), 100)).alias("cents")
+    ).localCheckpoint(eager=True)
     n = cust.count()
     ranked = global_order_rank(
-        cust.withColumn("_neg_rev", -F.col("revenue")),
-        ["_neg_rev", "o_custkey"],
+        cust.withColumn("_neg_c", -F.col("cents")),
+        ["_neg_c", "o_custkey"],
         out_col="_rank",
-    ).drop("_neg_rev")
+    ).drop("_neg_c")
     ranked = ranked.withColumn(
         "decile", ntile_from_rank(F.col("_rank"), n, 10)
     ).drop("_rank")
     per_decile = ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
-        F.sum("revenue").alias("decile_revenue_raw"),
-    )
-    # grand total: one driver long (k-bounded scalar, same class as the
-    # rank offsets); exact because the fixed-point sums are longs
-    total = per_decile.agg(F.sum("decile_revenue_raw")).collect()[0][0]
+        F.sum("cents").alias("cents"),
+    ).localCheckpoint(eager=True)
+    # grand total: one driver int (k-bounded scalar, same class as the
+    # rank offsets); exact — a sum of longs
+    total = per_decile.agg(F.sum("cents")).collect()[0][0]
     cum = global_order_cumsum(
-        per_decile, ["decile"], ["decile_revenue_raw"], prefix="_cum_"
+        per_decile, ["decile"], ["cents"], prefix="_cum_"
     )
     return cum.select(
         "decile",
         "n_customers",
-        rnd(F.col("decile_revenue_raw"), 2).alias("decile_revenue"),
+        rnd(F.col("cents").cast("double") / F.lit(100.0), 2).alias(
+            "decile_revenue"
+        ),
         rnd(
-            F.col("_cum_decile_revenue_raw") / F.lit(total), 6
+            F.col("_cum_cents").cast("double") / F.lit(float(total)), 6
         ).alias("cum_share"),
     ).orderBy("decile")
 

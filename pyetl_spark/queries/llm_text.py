@@ -3870,7 +3870,8 @@ def text_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(toks[i:i+7], ' ')))) AS gram
       FROM toks
     ),
-    eval_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % 101 = 0),
+    eval_g AS (SELECT doc_id, gram FROM grams
+               WHERE doc_id % 101 = 0 AND doc_id < 101000),
     train_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 != 0),
     hits AS (
       SELECT e.doc_id, count(*) AS n_hit
@@ -3896,10 +3897,17 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs before trusting its benchmarks (the n-gram overlap method of
     GPT-3 appendix C / Dodge et al. 2021, public): an eval document is
     contaminated when a meaningful fraction of its 8-gram windows also
-    appear anywhere in the training corpus. Here the held-out slice is
-    doc_id % 101 == 0 (the deterministic ~1% eval sample); output is
-    per-eval-doc distinct-8-gram count, hit count, overlap fraction, and
-    the >= 10% contamination flag.
+    appear anywhere in the training corpus. The held-out rule is
+    doc_id % 101 == 0 (those docs are NEVER train), and the CHECKED
+    eval set is the first ≤1000 of them (doc_id < 101·1000) — a
+    CONSTANT-size benchmark, the way real decontamination runs against
+    fixed eval suites, and the property that makes the broadcast below
+    sound (a fraction-of-corpus eval side would be the same
+    unbounded-materialization bug class the quality-classifier collect
+    fix removed). At every fixture SF the bound is not binding (all
+    doc_ids < 101000), so fixture results are unchanged. Output is
+    per-eval-doc distinct-8-gram count, hit count, overlap fraction,
+    and the >= 10% contamination flag.
 
     Scale shape: gram extraction is linear in tokens (same span fan-out
     as dedup_exact_substring_spans); the join keys on the 8-byte
@@ -3907,7 +3915,8 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     output — the oracle joins on the literal gram text, identical
     collision structure, same argument as dedup_exact_substring_spans).
     Join order matters at 100 TB (r7 verdict "What's wrong" #4): the
-    tiny eval grams are BROADCAST against the RAW train-gram stream —
+    constant-bounded eval grams are BROADCAST against the RAW
+    train-gram stream —
     no corpus-wide DISTINCT exchange ever happens; duplicate train
     occurrences are absorbed by countDistinct(gram) per eval doc (eval
     grams are already per-doc distinct via array_distinct), whose
@@ -3931,7 +3940,9 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    eval_g = grams.filter(F.col("doc_id") % 101 == 0)
+    eval_g = grams.filter(
+        (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 101 * 1000)
+    )
     train_raw = grams.filter(F.col("doc_id") % 101 != 0).select("gram")
     hits = (
         train_raw.join(F.broadcast(eval_g), "gram")

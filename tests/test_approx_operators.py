@@ -778,7 +778,15 @@ def test_weighted_sample_biases_toward_weight(spark):
 
 @pytest.mark.parametrize(
     "sf_dir",
-    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        # sf1 too: the canon sweeps gate these keys there, and a fixture
+        # regen that breaks the property would otherwise first surface
+        # as an unexplained sweep red instead of this pin
+        "/root/repo/testdata_sf1",
+    ],
 )
 def test_embedding_fixture_has_no_near_pairs(spark, sf_dir):
     """The property dedup_embedding_lsh's oracle rests on: the raw

@@ -114,3 +114,29 @@ def test_chunked_on_events_fixture(spark):
         ).collect()
     }
     assert got == base
+
+
+def test_chunked_keeps_null_ts_rows(spark):
+    """Rows with NULL timestamps must not vanish: the base path sorts
+    them last (pandas NaT) and smooths them; chunked routes them to the
+    last slice — outputs stay bit-identical and row-complete."""
+    from pyetl_spark.operators.ewma import ewma_chunked
+
+    rows = [(1, t, t, float(t * 3 % 7)) for t in range(10)]
+    df = _df(spark, rows).unionByName(
+        spark.createDataFrame(
+            [(1, None, 100, 5.0), (1, None, 101, 2.0)],
+            "k bigint, ts bigint, eid bigint, v double",
+        )
+    )
+    base = {
+        (r["k"], r["eid"]): r["ewma"]
+        for r in ewma(df, "k", "ts", "v", tiebreak="eid").collect()
+    }
+    got = {
+        (r["k"], r["eid"]): r["ewma"]
+        for r in ewma_chunked(
+            df, "k", "ts", "v", tiebreak="eid", n_slices=3
+        ).collect()
+    }
+    assert len(got) == 12 and got == base

@@ -227,7 +227,15 @@ def test_ahash_dedup_clusters_reingested_assets(spark):
 
 @pytest.mark.parametrize(
     "sf_dir",
-    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        # sf1 too: the canon sweeps gate these keys there, and a fixture
+        # regen that breaks the property would otherwise first surface
+        # as an unexplained sweep red instead of this pin
+        "/root/repo/testdata_sf1",
+    ],
 )
 def test_ahash_pairs_only_between_identical_texts(spark, sf_dir):
     """The property multimodal_ahash_dedup's oracle rests on: under the
