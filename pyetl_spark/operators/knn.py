@@ -54,6 +54,19 @@ def _dot_lit(vec: Column, plane: list[float]) -> Column:
     )
 
 
+def _dot_sql(vec_sql: str, plane: list[float]) -> str:
+    """SQL-text twin of ``_dot_lit`` — same aggregate(zip_with(...)) left
+    fold, so the resulting doubles are bit-identical; built as ONE string
+    so the whole plane bank costs one parser call instead of ~dim Py4J
+    round-trips per plane (the r8 bench regression in vec_ann_lsh was
+    exactly this: plan CONSTRUCTION, not execution, grew past exec time)."""
+    arr = ",".join("1.0D" if p > 0 else "-1.0D" for p in plane)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), (x, p) -> x * p), "
+        "0.0D, (a, x) -> a + x)"
+    )
+
+
 def _norm_sq(col: Column) -> Column:
     return F.aggregate(
         F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
@@ -67,9 +80,25 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def srp_signature(
-    vec: Column, n_bits: int = 16, dim: int = 64, seed: int = 42
+    vec: Column | str, n_bits: int = 16, dim: int = 64, seed: int = 42
 ) -> Column:
-    """Column: bigint sign-random-projection signature of an embedding."""
+    """Column: bigint sign-random-projection signature of an embedding.
+
+    When ``vec`` is a column NAME (string), the signature compiles to a
+    single ``F.expr`` string — one parser round-trip for the whole
+    n_bits × dim plane bank. The Column path builds the same expression
+    via the DataFrame API (kept for composed-column callers); both forms
+    left-fold each plane dot product in element order, so the signatures
+    are bit-identical.
+    """
+    if isinstance(vec, str):
+        terms = " | ".join(
+            f"(CASE WHEN {_dot_sql(vec, plane)} > 0 "
+            f"THEN CAST(SHIFTLEFT(CAST(1 AS BIGINT), {j}) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for j, plane in enumerate(_planes(n_bits, dim, seed))
+        )
+        return F.expr(terms)
     bits = [
         F.when(_dot_lit(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), j))
         .otherwise(0)
@@ -130,7 +159,7 @@ def cosine_topk_lsh(
     mask = (1 << rows) - 1
 
     def banded(df: DataFrame, idc: str, vecc: str, bi: str, bv: str):
-        sig = srp_signature(F.col(vecc), n_bits, dim, seed)
+        sig = srp_signature(vecc, n_bits, dim, seed)
         return df.withColumn("_sig", sig).select(
             idc,
             vecc,
@@ -224,7 +253,7 @@ def embedding_dedup_assign(
 
     rows = n_bits // bands
     mask = (1 << rows) - 1
-    sig = srp_signature(F.col(vec_col), n_bits, dim, seed)
+    sig = srp_signature(vec_col, n_bits, dim, seed)
     banded = vectors.withColumn("_sig", sig).select(
         F.col(id_col).alias("_id"),
         F.posexplode(
