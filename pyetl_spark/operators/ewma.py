@@ -138,11 +138,19 @@ def ewma_chunked(
     # so processing them after all non-null rows of their key preserves
     # bit-identity; dropping them (a null _slice matches no filter)
     # would silently lose rows the base path smooths
+    # exact integer DIV, clamped to the top slice: double division here
+    # can round (ts-lo)/width UP to exactly n_slices for spans near 2^53
+    # (nanosecond-scale longs), creating a _slice no loop iteration
+    # filters — the same silent-loss class the null-ts comment covers
     sliced = df.select(*cols).withColumn(
         "_slice",
         F.when(F.col(ts_col).isNull(), F.lit(n_slices - 1)).otherwise(
-            ((F.col(ts_col).cast("long") - F.lit(int(lo))) / F.lit(width))
-            .cast("int")
+            F.least(
+                F.lit(n_slices - 1),
+                F.expr(
+                    f"(CAST({ts_col} AS LONG) - {int(lo)}L) DIV {width}L"
+                ),
+            ).cast("int")
         ),
     )
 

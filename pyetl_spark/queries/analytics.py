@@ -618,8 +618,11 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
     ).localCheckpoint(eager=True)
     # grand total: one driver int (k-bounded scalar, same class as the
-    # rank offsets); exact — a sum of longs
-    total = per_decile.agg(F.sum("cents")).collect()[0][0]
+    # rank offsets); exact — a sum of longs. `or 0` guards the empty
+    # input: sum() over zero rows is NULL and float(None) would raise
+    # where the old window form returned an empty frame; with total=0
+    # the frame below is empty anyway, so cum_share's /0 never executes
+    total = per_decile.agg(F.sum("cents")).collect()[0][0] or 0
     cum = global_order_cumsum(
         per_decile, ["decile"], ["cents"], prefix="_cum_"
     )

@@ -3863,16 +3863,23 @@ def text_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 8
     ),
-    grams AS MATERIALIZED (
+    eval_toks AS (
+      SELECT doc_id, toks[1:2048] AS toks FROM toks
+      WHERE doc_id % 101 = 0 AND doc_id < 101000
+    ),
+    eval_g AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
                generate_series(1, len(toks) - 7),
                i -> array_to_string(toks[i:i+7], ' ')))) AS gram
-      FROM toks
+      FROM eval_toks
     ),
-    eval_g AS (SELECT doc_id, gram FROM grams
-               WHERE doc_id % 101 = 0 AND doc_id < 101000),
-    train_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 != 0),
+    train_g AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 7),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      FROM toks WHERE doc_id % 101 != 0
+    ),
     hits AS (
       SELECT e.doc_id, count(*) AS n_hit
       FROM eval_g e JOIN train_g t USING (gram)
@@ -3921,29 +3928,45 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences are absorbed by countDistinct(gram) per eval doc (eval
     grams are already per-doc distinct via array_distinct), whose
     aggregate exchange carries only the hit rows. The whole check is
-    one map-side scan over the corpus grams plus a tiny shuffle."""
+    one map-side scan over the corpus grams plus a tiny shuffle.
+
+    The broadcast bound is grams, not just docs (r8 advisory): eval
+    docs are truncated to their first EVAL_TOKEN_CAP tokens before
+    gram extraction, so the broadcast side is ≤ 1000 docs ×
+    ≤ (cap-7) grams × 8-byte hashes ≈ 16 MB no matter how long
+    individual documents get. The oracle mirrors the cap
+    (toks[1:2048]); at every fixture SF docs are ≤ 100 tokens, so the
+    cap is not binding and results are unchanged."""
     k = 8
+    EVAL_TOKEN_CAP = 2048
     d = load_tables(spark, sf_dir).documents
     toks = d.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     ).filter(F.size("toks") >= k)
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice("toks", i, k))
-                    ),
+
+    def gramize(tdf: DataFrame) -> DataFrame:
+        return tdf.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("toks", i, k))
+                        ),
+                    )
                 )
-            )
-        ).alias("gram"),
+            ).alias("gram"),
+        )
+
+    eval_g = gramize(
+        toks.filter(
+            (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 101 * 1000)
+        ).select("doc_id", F.slice("toks", 1, EVAL_TOKEN_CAP).alias("toks"))
     )
-    eval_g = grams.filter(
-        (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 101 * 1000)
-    )
-    train_raw = grams.filter(F.col("doc_id") % 101 != 0).select("gram")
+    train_raw = gramize(
+        toks.filter(F.col("doc_id") % 101 != 0)
+    ).select("gram")
     hits = (
         train_raw.join(F.broadcast(eval_g), "gram")
         .groupBy("doc_id")

@@ -393,15 +393,32 @@ def _fp_sql(cols: str) -> str:
     )
 
 
+def _fp_double(c: str) -> Column:
+    """FXP(col, 100) as string, with a runtime guard that the 2dp money
+    grid assumption actually holds: a non-money double (ratio, score)
+    would silently quantize distinct rows to one fingerprint and
+    diverge from any oracle that doesn't apply FXP — fail loudly
+    instead of fingerprinting garbage (r8 advisory). Null passes
+    through as null (concat_ws drops it, as before)."""
+    scaled = F.col(c) * 100
+    return (
+        F.when(
+            F.abs(scaled - F.round(scaled, 0)) > 1e-6,
+            F.raise_error(
+                F.lit(f"_fp_row_hash: column {c} is off the 2dp money grid")
+            ).cast("string"),
+        )
+        .otherwise(fxp(F.col(c), 100).cast("string"))
+    )
+
+
 def _fp_row_hash(back: DataFrame) -> Column:
     """Spark twin of ``_fp_sql`` over ALL columns of ``back``,
     dtype-aware: doubles are fingerprinted as FXP(col, 100) longs (the
-    2dp money grid every fixture double lives on), everything else as
-    its plain string cast."""
+    2dp money grid every fixture double lives on — enforced at runtime
+    by ``_fp_double``), everything else as its plain string cast."""
     parts = [
-        fxp(F.col(c), 100).cast("string")
-        if t == "double"
-        else F.col(c).cast("string")
+        _fp_double(c) if t == "double" else F.col(c).cast("string")
         for c, t in back.dtypes
     ]
     return (

@@ -555,6 +555,27 @@ def test_manifest_publish_crash_leaves_readers_on_old_version(spark, tmp_path):
     assert n == manifest["n_rows"]
 
 
+def test_fp_row_hash_rejects_non_money_doubles(spark):
+    """_fp_row_hash assumes every double sits on the 2dp money grid; a
+    ratio/score column silently collapsing distinct rows to one
+    fingerprint is the failure the r8 advisory flagged — the guard must
+    raise instead. Money-grid doubles (and nulls) still fingerprint."""
+    import pytest
+
+    from pyetl_spark.queries.sinks import _fp_row_hash
+
+    ok = spark.createDataFrame(
+        [(1, 12.34), (2, None), (3, -0.5)], "id int, amount double"
+    )
+    assert ok.select(_fp_row_hash(ok).alias("h")).count() == 3
+
+    bad = spark.createDataFrame(
+        [(1, 0.123456)], "id int, score double"
+    )
+    with pytest.raises(Exception, match="2dp money grid"):
+        bad.select(_fp_row_hash(bad).alias("h")).collect()
+
+
 def test_time_travel_as_of_reads_are_snapshot_consistent(spark):
     """Every retained version re-reads to exactly its manifest's row
     count; the version chain is append-monotone (rows_added ≥ 0, v1 has
