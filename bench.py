@@ -147,6 +147,64 @@ SF1_QUERIES = [
 ]
 
 
+def _latest_prior_bench() -> tuple[int, dict[str, float]] | None:
+    """Per-query medians from the newest driver-recorded BENCH_r{N}.json
+    — the comparison base for the regression auto-triage."""
+    import glob
+    import re
+
+    best: tuple[int, dict[str, float]] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")):
+        m = re.search(r"BENCH_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is not None and n <= best[0]:
+            continue
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            queries = parsed.get("queries") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        if queries:
+            best = (n, {k: float(v) for k, v in queries.items()})
+    return best
+
+
+def _isolated_rerun(key: str) -> float | None:
+    """Re-run one query in a fresh process (SPARK_GRAFT_ONLY) and return
+    its isolated median, or None if the subprocess fails."""
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        detail = tf.name
+    env = dict(os.environ)
+    env["SPARK_GRAFT_ONLY"] = key
+    env["SPARK_GRAFT_BENCH_DETAIL"] = detail
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if r.returncode != 0:
+            return None
+        with open(detail) as fh:
+            return json.load(fh)["queries"].get(key)
+    except Exception:
+        return None
+    finally:
+        try:
+            os.unlink(detail)
+        except OSError:
+            pass
+
+
 def _sf1_dir() -> str | None:
     """testdata_sf1 lives in the repo (testdata/ is read-only) and is
     generated on demand — 84 MB of derived parquet has no business in
@@ -211,6 +269,32 @@ def main() -> None:
         # (the r2→r3 "uniform slowdown" scare was exactly this noise)
         spreads[key] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
 
+    # regression auto-triage (VERDICT r8 item 4): any shared query whose
+    # median moved >1.3x AND >0.3s vs the last driver-recorded round
+    # re-runs once in a fresh isolated process — suite-interference
+    # regressions (GC/JVM state) re-run at historical levels there,
+    # real per-query regressions don't. r8's vec_ann_lsh slipped
+    # through a manual triage that covered three other queries.
+    isolated: dict[str, dict[str, float | None]] = {}
+    prior = None if only else _latest_prior_bench()
+    if prior is not None:
+        prior_n, prior_q = prior
+        flagged = [
+            k
+            for k, v in timings.items()
+            if k in prior_q
+            and prior_q[k] > 0
+            and v > 1.3 * prior_q[k]
+            and v - prior_q[k] > 0.3
+        ]
+        for k in flagged[:6]:  # bound triage cost to ~6 subprocess runs
+            isolated[k] = {
+                "prior_round": prior_n,
+                "prior": prior_q[k],
+                "suite": timings[k],
+                "isolated": _isolated_rerun(k),
+            }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "suite_seconds",
@@ -224,6 +308,8 @@ def main() -> None:
             "first_query_secs": round(first_query_secs, 3),
         },
     }
+    if isolated:
+        out["isolated_reruns"] = isolated
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -270,6 +356,10 @@ def main() -> None:
     }
     if "sf1" in out:
         compact["sf1_ratio_vs_sf01"] = out["sf1"]["ratio_vs_sf01"]
+    if isolated:
+        compact["isolated_reruns"] = {
+            k: v["isolated"] for k, v in isolated.items()
+        }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # stay inside the driver's tail window
         compact.pop("queries", None)
