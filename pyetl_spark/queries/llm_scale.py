@@ -925,7 +925,26 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@query("dedup_winnowing")  # Tier B — approximate, rows-only
+@query(
+    "dedup_winnowing",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id < 500
+    ),
+    aug AS (
+      SELECT doc_id, n FROM o
+      UNION ALL SELECT doc_id + 100000, n FROM o WHERE doc_id % 20 = 0
+      UNION ALL SELECT doc_id + 200000, n FROM o WHERE doc_id % 40 = 0
+    )
+    SELECT doc_id,
+           CASE WHEN n < 6 THEN doc_id
+                WHEN doc_id >= 200000 THEN doc_id - 200000
+                WHEN doc_id >= 100000 THEN doc_id - 100000
+                ELSE doc_id END AS keeper_id
+    FROM aug ORDER BY doc_id
+    """,
+)
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap near-dup clusters via winnowing fingerprints
     (north star: span-level dedup — quotes, boilerplate, edited copies
@@ -933,38 +952,117 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smaller doc's fingerprints are shared. Reuses the salted edge
     machinery (fingerprint value = bucket key) + containment verify +
     connected components; corpus-linear, skew-bounded on hot
-    boilerplate fingerprints. Quality gates: planted-overlap tests in
-    tests/test_approx_operators.py; `text_winnowing_fingerprint` is the
-    Tier-A oracle-matched fingerprint layer underneath."""
+    boilerplate fingerprints.
+
+    Tier A (r9 conversion — the dedup_embedding_lsh planted-fixture
+    technique, adapted): the raw documents fixture is deliberately
+    dup-heavy (30k+ natural J≥0.8 pairs in doc_id<500 alone), so
+    unlike the embeddings table there is NO naturally merge-free slice
+    whose expected output is statable without replaying xxhash64.
+    Instead each base doc's tokens are NAMESPACED with its own id
+    (tok → "id:tok"), which makes fingerprint sets pairwise DISJOINT
+    across distinct docs by construction, then exact copies are
+    planted at shifted ids (% 20 → +100000, % 40 → +200000) carrying
+    their SOURCE's namespace. A fingerprint bucket therefore contains
+    exactly one source and its copies — no interlopers — so the
+    star/hub edges connect them directly, every verified edge has
+    containment 1.0, and the component keeper is pure id arithmetic,
+    which the oracle states (with the < k+w-1 = 6-token short-doc
+    self-keep guard mirrored, though no fixture doc is that short).
+    A broken fingerprint pass, edge family, containment verify, or
+    component labeling each produce a hash mismatch. Cluster recovery
+    on NATURAL (non-namespaced) text stays pinned by the
+    planted-overlap tests in tests/test_approx_operators.py, and
+    `text_winnowing_fingerprint` is the Tier-A oracle-matched
+    fingerprint layer on the raw corpus. The 100 TB surface is
+    `winnowing_dedup_assign` itself, unchanged."""
     from pyetl_spark.operators.text import winnowing_dedup_assign
 
-    d = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    ns = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), t
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    aug = ns.unionByName(
+        ns.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+    ).unionByName(
+        ns.filter(F.col("doc_id") % 40 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(200000)
+        )
+    )
     return winnowing_dedup_assign(
-        d, id_col="doc_id", text_col="text", threshold=0.5
+        aug, id_col="doc_id", text_col="text", threshold=0.5
     ).orderBy("doc_id")
 
 
-@query("dedup_minhash_incremental")  # Tier B — approximate, rows-only
+@query(
+    "dedup_minhash_incremental",
+    oracle="""
+    WITH o AS (SELECT doc_id FROM documents WHERE doc_id < 500)
+    SELECT doc_id, doc_id AS keeper_id FROM o WHERE doc_id >= 400
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, doc_id AS keeper_id
+    FROM o WHERE doc_id < 400 AND doc_id % 20 = 0
+    ORDER BY doc_id
+    """,
+)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingest (north star: a 100 TB corpus is not
     re-deduped per day — the daily batch joins a prebuilt LSH index):
-    the fixture's first 80 % of docs play the deduplicated corpus (batch
-    `minhash_dedup_assign` + `minhash_index`), the last 20 % arrive as
-    the new batch and get keepers via `minhash_assign_incremental` —
-    cost O(|new|·bands) signatures + bucket joins, no corpus re-band.
-    Agreement with one-shot batch dedup is pinned in
-    tests/test_approx_operators.py::test_minhash_incremental_matches_batch."""
+    a deduplicated corpus slice is banded once (`minhash_dedup_assign`
+    + `minhash_index`), then a new batch gets keepers via
+    `minhash_assign_incremental` — cost O(|new|·bands) signatures +
+    bucket joins, no corpus re-band.
+
+    Tier A (r9 conversion, same construction as dedup_winnowing):
+    corpus = docs < 400 with id-NAMESPACED token sets (pairwise
+    J = 0 by construction, so the batch step keeps every doc — no
+    xxhash64-dependent merge set to replay); new batch = docs
+    400–499 (own namespaces → no index match → new keepers) plus
+    planted exact copies of corpus docs (% 20 → +100000) carrying
+    their source's namespace. A planted copy has the source's exact
+    token set, hence identical signature and all 8 band buckets in
+    common with it, and J = 1.0 at verify — and ONLY the source can
+    verify (everything else is J = 0) — so its keeper is its source
+    id and the whole expected output is id arithmetic, which the
+    oracle states. A signature/banding drift, index build bug, bucket
+    join miss, verify break, or min-keeper tie regression each
+    produce a hash mismatch. Agreement of the incremental path with
+    one-shot batch dedup on NATURAL tokens stays pinned by
+    tests/test_approx_operators.py::test_minhash_incremental_matches_batch;
+    the dup-heavy natural-corpus exercise lives in
+    `dedup_minhash_lsh` (rows-only by its documented xxhash64
+    rationale) and the bench sentinel."""
     from pyetl_spark.operators.minhash import (
         minhash_assign_incremental,
         minhash_dedup_assign,
         minhash_index,
     )
 
-    toks = _doc_tokens(spark, sf_dir)
-    n_max = toks.agg(F.max("doc_id")).first()[0] or 0
-    cut = int(n_max * 0.8)
-    corpus, new = toks.filter(F.col("doc_id") < cut), toks.filter(
-        F.col("doc_id") >= cut
+    base = load_tables(spark, sf_dir).documents.filter(
+        F.col("doc_id") < 500
+    ).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.concat(F.col("doc_id").cast("string"), F.lit(":"), t),
+        ).alias("tokens"),
+    )
+    corpus = base.filter(F.col("doc_id") < 400)
+    new = base.filter(F.col("doc_id") >= 400).unionByName(
+        corpus.filter(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
     )
     assign = minhash_dedup_assign(corpus, threshold=0.8)
     kept = corpus.join(

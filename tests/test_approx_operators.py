@@ -824,6 +824,78 @@ def test_embedding_fixture_has_no_near_pairs(spark, sf_dir):
     assert mx is not None and mx < 0.9, mx
 
 
+def test_namespaced_tokens_are_pairwise_disjoint(spark):
+    """The property the r9 dedup_winnowing / dedup_minhash_incremental
+    oracles rest on: id-namespaced tokens ("id:tok") never collide
+    across distinct docs, so cross-doc Jaccard/containment is exactly 0
+    and the only possible merges are the planted exact copies."""
+    d = load_tables(spark, SF_ORACLE).documents.filter(
+        F.col("doc_id") < 500
+    )
+    ns = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array_distinct(F.split("text", " ")),
+                lambda t: F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), t
+                ),
+            )
+        ).alias("tok"),
+    )
+    worst = (
+        ns.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .agg(F.max("n_docs"))
+        .collect()[0][0]
+    )
+    assert worst == 1, worst
+
+
+def test_winnowing_planted_copies_recovered(spark):
+    """End-to-end on the declared dedup_winnowing query: every planted
+    exact copy maps to its source, every base doc keeps itself."""
+    from pyetl_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = {
+        r["doc_id"]: r["keeper_id"]
+        for r in QUERIES["dedup_winnowing"](spark, SF_ORACLE).collect()
+    }
+    assert out, "empty result"
+    for did, keeper in out.items():
+        if did >= 200000:
+            assert keeper == did - 200000, (did, keeper)
+        elif did >= 100000:
+            assert keeper == did - 100000, (did, keeper)
+        else:
+            assert keeper == did, (did, keeper)
+
+
+def test_minhash_incremental_planted_copies_assigned(spark):
+    """End-to-end on the declared dedup_minhash_incremental query: new
+    natural docs (400-499) get new keepers, planted copies of corpus
+    docs get their source's keeper through the prebuilt index."""
+    from pyetl_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = {
+        r["doc_id"]: r["keeper_id"]
+        for r in QUERIES["dedup_minhash_incremental"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert out, "empty result"
+    n_planted = 0
+    for did, keeper in out.items():
+        if did >= 100000:
+            assert keeper == did - 100000, (did, keeper)
+            n_planted += 1
+        else:
+            assert 400 <= did < 500 and keeper == did, (did, keeper)
+    assert n_planted == 20, n_planted  # 0,20,...,380
+
+
 def test_embedding_lsh_planted_copies_recovered(spark):
     """End-to-end on the declared query: every planted exact copy maps
     to its original (keeper = min id of the identical-embedding group)
