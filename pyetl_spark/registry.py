@@ -70,9 +70,9 @@ ORACLE: dict[str, str] = {}
 #:       rows-only. Gating: r7 consolidated canon sweeps
 #:       (canon_sweep_r7_changed_* + canon_sweep_r7_window_*) +
 #:       determinism + empty-result lint; see EVIDENCE_r7.md.
-#:   r8 (this): the list below executes the draft that follows — all 27
+#:   r8 (done, 50 green — 42 hash + 8 rows-only-by-design): all 27
 #:       never-verified keys + the 6 stale-row keys + revenue_pareto
-#:       (re-routed this round) + 16 oldest-evidence (r1) fills.
+#:       (re-routed that round) + 16 oldest-evidence (r1) fills.
 #:   r8+ draft (written in r7): the 14 keys converted rows-only → Tier-A late in r7 AFTER the
 #:       window was pinned (ts_forecast_holt, dedup_exact_substring_spans,
 #:       sink_bucketed_join, sink_schema_evolution,
@@ -93,82 +93,81 @@ ORACLE: dict[str, str] = {}
 #:       CAST(avg); their r4/r5 driver rows predate the fix, own-sweep
 #:       evidence in canon_sweep_r7_changed_*.jsonl), plus any new keys
 #:       and any reds from the prior round.
-#:   r9 draft: with the r8 window landed, never-verified should be ZERO;
-#:       steady-state rotation = (any r8 reds) + keys whose oracle/code
-#:       changed in r8 but sit OUTSIDE the r8 window — exactly ONE:
-#:       vec_pca_project (its oracle text gained the zero-norm CASE
-#:       guard after its r7 driver row; results unchanged, own-sweeps
-#:       green) — + oldest-evidence re-verifies (the r2-evidence block
-#:       next: win_rank_dense … fn_json, registration order).
+#:   r9 (this): with the r8 window landed, never-verified is ZERO
+#:       (recomputed this session from CORRECTNESS_r01..r08 vs the
+#:       363-key registry) and there were no r8 reds; the window is
+#:       pure steady-state rotation — see the list below.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r8 window — recomputed mechanically this session from
-    # CORRECTNESS_r01..r07 vs the 363-key registry:
-    #   * 27 never-verified keys (registration order): the 14 late-r7
-    #     Tier-A conversions (holt/pagerank/ivf/pq/mmr/hll/sinks) + the
-    #     new text_contamination_check + 12 then-rows-only keys incl.
-    #     the flagship pipeline_curation_full (5 of the 12 —
-    #     dedup_embedding_lsh, multimodal_features,
-    #     multimodal_frame_sample, multimodal_ahash_dedup,
-    #     text_bpe_tokenize — were converted to Tier-A later in r8,
-    #     so they land hash-checked).
-    #   * 6 stale-row keys whose results/plans changed in r7 (subq_* trio
-    #     changed ANSWERS via the truncate-vs-round fix; customer_rfm,
-    #     agg_equidepth_histogram, orders_abc_class re-routed plans) +
-    #     revenue_pareto (re-routed onto global_order_rank THIS round).
-    #   * 16 oldest-evidence (r1) re-verify fills, registration order.
-    "ts_forecast_holt",
-    "graph_pagerank",
-    "text_bpe_tokenize",
-    "dedup_exact_substring_spans",
-    "text_quality_classifier",
-    "text_contamination_check",
-    "multimodal_features",
-    "vec_ann_ivf",
-    "multimodal_cdc_chunks",
-    "vec_pq_adc_topk",
-    "vec_ann_recall_eval",
+    # r9 window:
+    #   * 9 changed/stale keys first — every key whose code or oracle
+    #     changed AFTER its latest driver row:
+    #     vec_pca_project (oracle gained the zero-norm CASE guard after
+    #     its r7 row — the r8 verdict's one forced re-verify);
+    #     vec_ann_lsh + dedup_embedding_lsh (r9 srp_signature F.expr
+    #     compile — bit-identical by construction, re-verify anyway);
+    #     dedup_winnowing + dedup_minhash_incremental (r9 rows-only →
+    #     Tier-A conversions via namespaced planted fixtures);
+    #     text_contamination_check (r9 eval-side gram cap, oracle
+    #     mirrored); revenue_pareto (r9 empty-total guard);
+    #     sink_manifest_atomic_publish + sink_snapshot_time_travel
+    #     (r9 money-grid guard inside _fp_row_hash).
+    #   * 23 oldest-evidence (r1) re-verifies, registration order —
+    #     the agg_minmax_by…join_big_order_customers block.
+    #   * 18 next-oldest (r2) fills, registration order
+    #     (etl_scd2_intervals … fn_regex).
+    "vec_pca_project",
+    "vec_ann_lsh",
     "dedup_embedding_lsh",
     "dedup_winnowing",
     "dedup_minhash_incremental",
-    "vec_mmr_diversify",
-    "multimodal_frame_sample",
-    "pipeline_curation_full",
-    "vec_ann_ivf_persisted",
-    "multimodal_ahash_dedup",
-    "agg_hll_sketch_merge",
-    "sink_compact_small_files",
-    "sink_bucketed_join",
-    "sink_zorder_layout",
-    "sink_schema_evolution",
-    "sink_dpp_partitioned_join",
+    "text_contamination_check",
+    "revenue_pareto",
     "sink_manifest_atomic_publish",
     "sink_snapshot_time_travel",
-    "subq_scalar",
-    "subq_correlated",
-    "subq_dormant_high_balance",
-    "customer_rfm",
-    "agg_equidepth_histogram",
-    "orders_abc_class",
-    "revenue_pareto",
-    "filter_like_regex",
-    "etl_field_cleanup",
-    "etl_type_cast",
-    "etl_enrich_partition_cols",
-    "etl_latest_per_key",
-    "etl_snapshot_diff",
-    "etl_profile",
-    "etl_quality_checks",
-    "agg_groupby_pricing",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_conditional",
-    "agg_stats",
-    "agg_percentile",
+    "agg_minmax_by",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_distinct_rows",
+    "agg_promo_revenue_share",
+    "agg_corr_exact",
+    "join_inner_equi",
+    "join_multi_3way",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_cross",
+    "join_theta_range",
+    "join_broadcast_hint",
+    "join_asof",
+    "join_lateral",
+    "join_range_bucketed",
+    "join_salted",
+    "join_trade_matrix",
+    "join_region_local_revenue",
+    "join_big_order_customers",
+    "etl_scd2_intervals",
+    "etl_incremental_agg",
+    "join_point_in_time",
+    "win_rank_dense",
+    "win_ntile_pct",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_first_last",
+    "sort_multi_key",
+    "topk_limit",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_intersect_all",
+    "fn_string",
+    "fn_regex",
 ]
 
 
