@@ -59,7 +59,10 @@ HEADLINE = [
     # winnowing dedup family's regression sentinel
     "pipeline_training_corpus_neardup",
     "text_global_shuffle",
-    "dedup_winnowing",
+    # r9: the winnowing sentinel now points at the natural-corpus twin —
+    # the hash-checked dedup_winnowing became an id-bounded planted form
+    # whose cost no longer scales with SF
+    "dedup_winnowing_corpus",
     # r3 additions: the new heavy families' regression sentinels — the
     # OHLC partial/final aggregate, the cascading multi-grain rollup,
     # the MERGE full-outer join, and clustered semantic dedup

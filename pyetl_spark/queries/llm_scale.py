@@ -1005,6 +1005,31 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("dedup_winnowing_corpus")  # Tier B — xxhash64 grams, rows-only
+def dedup_winnowing_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`winnowing_dedup_assign` over the NATURAL full corpus — the
+    100 TB surface and the bench scaling sentinel for the winnowing
+    family (it grows with SF; the hash-checked `dedup_winnowing`
+    planted form is id-bounded and deliberately does not).
+
+    Rows-only by the same documented rationale as `dedup_minhash_lsh`:
+    the gram hashes are xxhash64 (JVM-codegen'd, ~4× cheaper than the
+    md5 hex round-trip on the hottest expression — see
+    winnowing_dedup_assign), and DuckDB has no xxhash64, so the merge
+    set is not replayable as SQL. The full edge/verify/CC machinery IS
+    hash-verified through `dedup_winnowing`'s planted oracle; the
+    fingerprint layer is hash-verified through
+    `text_winnowing_fingerprint` (md5 variant); cluster recovery on
+    natural text is pinned by the planted-overlap tests in
+    tests/test_approx_operators.py."""
+    from pyetl_spark.operators.text import winnowing_dedup_assign
+
+    d = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    return winnowing_dedup_assign(
+        d, id_col="doc_id", text_col="text", threshold=0.5
+    ).orderBy("doc_id")
+
+
 @query(
     "dedup_minhash_incremental",
     oracle="""

@@ -114,10 +114,12 @@ PRIORITY: list[str] = [
     #     mirrored); revenue_pareto (r9 empty-total guard);
     #     sink_manifest_atomic_publish + sink_snapshot_time_travel
     #     (r9 money-grid guard inside _fp_row_hash).
+    #   * 1 never-verified rows-only key (dedup_winnowing_corpus, new
+    #     this round — see its inline comment below).
     #   * 23 oldest-evidence (r1) re-verifies, registration order —
     #     the agg_minmax_by…join_big_order_customers block.
-    #   * 18 next-oldest (r2) fills, registration order
-    #     (etl_scd2_intervals … fn_regex).
+    #   * 17 next-oldest (r2) fills, registration order
+    #     (etl_scd2_intervals … fn_string).
     "vec_pca_project",
     "vec_ann_lsh",
     "dedup_embedding_lsh",
@@ -127,6 +129,10 @@ PRIORITY: list[str] = [
     "revenue_pareto",
     "sink_manifest_atomic_publish",
     "sink_snapshot_time_travel",
+    # 1 NEW never-verified rows-only key (a rows-only row is its
+    # marginal evidence unit): the natural-corpus winnowing twin added
+    # when dedup_winnowing became the id-bounded planted form
+    "dedup_winnowing_corpus",
     "agg_minmax_by",
     "agg_rollup",
     "agg_cube",
@@ -167,7 +173,6 @@ PRIORITY: list[str] = [
     "set_intersect",
     "set_intersect_all",
     "fn_string",
-    "fn_regex",
 ]
 
 
