@@ -334,8 +334,16 @@ def chunk_payloads(
                     idxs.append(idx)
                     offs.append(start)
                     sizes.append(end - start)
+                    # sha256 over the LOWERCASE HEX of the chunk bytes
+                    # (bijective encoding, same content-addressing), not
+                    # the raw bytes: DuckDB's sha256 is VARCHAR-only, so
+                    # this is what makes the chunking replayable as an
+                    # oracle — the same contract trick as the sha256
+                    # hex-chain decode stub.
                     hashes.append(
-                        hashlib.sha256(data[start:end]).hexdigest()[:16]
+                        hashlib.sha256(
+                            data[start:end].hex().encode()
+                        ).hexdigest()[:16]
                     )
                     start = end
             yield pd.DataFrame(

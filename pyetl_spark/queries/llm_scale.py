@@ -541,14 +541,108 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_cdc_chunks")  # Tier B: binary plumbing, rows-only
+def _cdc_oracle(avg_bits: int = 6, min_size: int = 16, max_size: int = 256) -> str:
+    """DuckDB replay of the per-byte Gear CDC loop (operators/multimodal.
+    cdc_boundaries + chunk_payloads): a recursive CTE advances every
+    payload one byte per iteration, carrying (h, last_cut) exactly as
+    the Python loop does — h' = ((h<<1) mod 2^64) XOR gear[b] via
+    UBIGINT arithmetic, cut when size ≥ max or (size ≥ min and the top
+    avg_bits of h' are zero), h reset on cut. The 256 gear constants
+    are generated from the SAME sha256 derivation the engine uses.
+    Depth = max payload bytes (≤ ~560 — the query is id-bounded to 200
+    docs, so oracle cost is constant in SF). Chunk hashes are sha256
+    over the lowercase hex of the chunk bytes (the engine's contract —
+    DuckDB's sha256 is VARCHAR-only, the same trick as the decode
+    stub's hex chain)."""
+    import hashlib as _hl
+
+    tmask = ((1 << avg_bits) - 1) << (64 - avg_bits)
+    gear = ", ".join(
+        f"({b}, CAST('{int.from_bytes(_hl.sha256(bytes([b])).digest()[:8], 'big')}' AS UBIGINT))"
+        for b in range(256)
+    )
+    return f"""
+    WITH RECURSIVE
+    m AS MATERIALIZED (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    gear(gb, gv) AS (VALUES {gear}),
+    r AS (
+      SELECT media_id, 0 AS pos, CAST(0 AS UBIGINT) AS h, 0 AS last_cut,
+             FALSE AS is_cut
+      FROM m
+      UNION ALL
+      SELECT media_id, pos + 1,
+             CASE WHEN cut THEN CAST(0 AS UBIGINT) ELSE h2 END,
+             CASE WHEN cut THEN pos + 1 ELSE last_cut END,
+             cut
+      FROM (
+        SELECT r.media_id, r.pos, r.last_cut, h2,
+               (r.pos + 1 - r.last_cut >= {max_size}
+                OR (r.pos + 1 - r.last_cut >= {min_size}
+                    AND (h2 & CAST('{tmask}' AS UBIGINT))
+                          = CAST(0 AS UBIGINT))) AS cut
+        FROM (
+          SELECT r.*,
+                 xor((r.h % CAST('9223372036854775808' AS UBIGINT))
+                       * CAST(2 AS UBIGINT), g.gv) AS h2
+          FROM r
+          JOIN m USING (media_id)
+          JOIN gear g
+            ON g.gb = CAST(('0x' || substr(m.hx, 2 * r.pos + 1, 2)) AS INT)
+          WHERE r.pos < m.n
+        ) r
+      ) r
+    ),
+    cuts AS (
+      SELECT media_id, pos AS cut FROM r WHERE is_cut
+      UNION ALL
+      SELECT media_id, n AS cut
+      FROM (SELECT media_id,
+                   max(last_cut) FILTER (WHERE pos = n) AS lc,
+                   any_value(n) AS n
+            FROM r JOIN m USING (media_id) GROUP BY media_id)
+      WHERE lc < n
+    ),
+    chunks AS (
+      SELECT media_id,
+             row_number() OVER (PARTITION BY media_id ORDER BY cut) - 1
+               AS chunk_idx,
+             coalesce(lag(cut) OVER (PARTITION BY media_id ORDER BY cut),
+                      0) AS offset,
+             cut
+      FROM cuts
+    )
+    SELECT c.media_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(c.offset AS BIGINT) AS offset,
+           CAST(c.cut - c.offset AS BIGINT) AS n_bytes,
+           substr(sha256(lower(substr(m.hx, 2 * c.offset + 1,
+                                      2 * (c.cut - c.offset)))), 1, 16)
+             AS chunk_hash
+    FROM chunks c JOIN m USING (media_id)
+    ORDER BY media_id, chunk_idx
+    """
+
+
+@query("multimodal_cdc_chunks", oracle=_cdc_oracle())
 def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking of binary media payloads (Gear rolling
     hash, FastCDC-style): each blob → (chunk_idx, offset, n_bytes,
     chunk_hash) rows; dedup then joins on chunk_hash so shared byte runs
     across different blobs collapse even when whole-file hashes differ.
     Boundary shift-resistance and exact tiling are engine-tested in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py.
+
+    Tier A (r9 conversion — closes the last "no SQL twin" residual):
+    the per-byte Gear loop IS replayable after all, as a recursive CTE
+    stepping one byte per iteration (see ``_cdc_oracle``; the win_ewma
+    recurrence-replay technique applied at byte granularity). The one
+    contract change that enabled it: chunk hashes are sha256 over the
+    LOWERCASE HEX of the chunk bytes — a bijective re-encoding with
+    identical dedup semantics — because DuckDB's sha256 is
+    VARCHAR-only and arbitrary bytes aren't valid VARCHAR."""
     from pyetl_spark.operators.multimodal import (
         attach_fake_media,
         chunk_payloads,

@@ -102,7 +102,7 @@ ORACLE: dict[str, str] = {}
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
     # r9 window:
-    #   * 9 changed/stale keys first — every key whose code or oracle
+    #   * 10 changed/stale keys first — every key whose code or oracle
     #     changed AFTER its latest driver row:
     #     vec_pca_project (oracle gained the zero-norm CASE guard after
     #     its r7 row — the r8 verdict's one forced re-verify);
@@ -110,6 +110,8 @@ PRIORITY: list[str] = [
     #     compile — bit-identical by construction, re-verify anyway);
     #     dedup_winnowing + dedup_minhash_incremental (r9 rows-only →
     #     Tier-A conversions via namespaced planted fixtures);
+    #     multimodal_cdc_chunks (r9 rows-only → Tier-A via a
+    #     recursive-CTE Gear replay + hex-contract chunk hash);
     #     text_contamination_check (r9 eval-side gram cap, oracle
     #     mirrored); revenue_pareto (r9 empty-total guard);
     #     sink_manifest_atomic_publish + sink_snapshot_time_travel
@@ -118,13 +120,14 @@ PRIORITY: list[str] = [
     #     this round — see its inline comment below).
     #   * 23 oldest-evidence (r1) re-verifies, registration order —
     #     the agg_minmax_by…join_big_order_customers block.
-    #   * 17 next-oldest (r2) fills, registration order
-    #     (etl_scd2_intervals … fn_string).
+    #   * 16 next-oldest (r2) fills, registration order
+    #     (etl_scd2_intervals … set_intersect_all).
     "vec_pca_project",
     "vec_ann_lsh",
     "dedup_embedding_lsh",
     "dedup_winnowing",
     "dedup_minhash_incremental",
+    "multimodal_cdc_chunks",
     "text_contamination_check",
     "revenue_pareto",
     "sink_manifest_atomic_publish",
@@ -172,7 +175,6 @@ PRIORITY: list[str] = [
     "set_union_distinct",
     "set_intersect",
     "set_intersect_all",
-    "fn_string",
 ]
 
 
