@@ -148,7 +148,9 @@ def ewma_chunked(
             F.least(
                 F.lit(n_slices - 1),
                 F.expr(
-                    f"(CAST({ts_col} AS LONG) - {int(lo)}L) DIV {width}L"
+                    "(CAST(`{0}` AS LONG) - {1}L) DIV {2}L".format(
+                        ts_col.replace("`", "``"), int(lo), width
+                    )
                 ),
             ).cast("int")
         ),

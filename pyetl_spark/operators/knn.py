@@ -59,10 +59,15 @@ def _dot_sql(vec_sql: str, plane: list[float]) -> str:
     fold, so the resulting doubles are bit-identical; built as ONE string
     so the whole plane bank costs one parser call instead of ~dim Py4J
     round-trips per plane (the r8 bench regression in vec_ann_lsh was
-    exactly this: plan CONSTRUCTION, not execution, grew past exec time)."""
+    exactly this: plan CONSTRUCTION, not execution, grew past exec time).
+
+    ``vec_sql`` is a column NAME and is backtick-quoted, so names that
+    aren't plain identifiers (spaces, dashes, reserved words — all legal
+    under F.col) parse the same way the old Column path bound them."""
     arr = ",".join("1.0D" if p > 0 else "-1.0D" for p in plane)
+    quoted = "`" + vec_sql.replace("`", "``") + "`"
     return (
-        f"aggregate(zip_with({vec_sql}, array({arr}), (x, p) -> x * p), "
+        f"aggregate(zip_with({quoted}, array({arr}), (x, p) -> x * p), "
         "0.0D, (a, x) -> a + x)"
     )
 

@@ -401,9 +401,18 @@ def _fp_double(c: str) -> Column:
     instead of fingerprinting garbage (r8 advisory). Null passes
     through as null (concat_ws drops it, as before)."""
     scaled = F.col(c) * 100
+    # tolerance must be scale-RELATIVE: a legitimate on-grid value like
+    # 134228608.14 has |x*100 - round(x*100)| ≈ 1.9e-6 (ulp of the
+    # scaled double), so a bare 1e-6 would spuriously reject exactly
+    # the large-magnitude rows the guard exists for. 1e-12·|scaled|
+    # ≈ 4500 ulp — far above representation error, and still 11 orders
+    # below a genuine 0.001-dollar grid violation until ~$2.5e9/cell
+    # (past 2^53/100 ≈ $9e13 the 2dp grid itself stops being
+    # representable, which no tolerance can fix).
+    tol = F.greatest(F.lit(1e-6), F.abs(scaled) * F.lit(1e-12))
     return (
         F.when(
-            F.abs(scaled - F.round(scaled, 0)) > 1e-6,
+            F.abs(scaled - F.round(scaled, 0)) > tol,
             F.raise_error(
                 F.lit(f"_fp_row_hash: column {c} is off the 2dp money grid")
             ).cast("string"),

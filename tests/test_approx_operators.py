@@ -824,6 +824,40 @@ def test_embedding_fixture_has_no_near_pairs(spark, sf_dir):
     assert mx is not None and mx < 0.9, mx
 
 
+def test_srp_signature_string_path_matches_column_path(spark):
+    """The r9 F.expr compile of srp_signature (one parser call instead
+    of ~n_bits×dim Py4J lit calls) must be bit-identical to the Column
+    path it replaced, and must survive non-identifier column names the
+    way F.col did (backtick quoting)."""
+    from pyetl_spark.operators.knn import srp_signature
+
+    df = spark.createDataFrame(
+        [
+            (i, [((i * 7 + j) % 5) - 2.0 for j in range(16)])
+            for i in range(50)
+        ],
+        "id int, v array<double>",
+    )
+    fast = [
+        r["s"]
+        for r in df.select(srp_signature("v", 8, 16).alias("s"))
+        .orderBy("id")
+        .collect()
+    ]
+    slow = [
+        r["s"]
+        for r in df.select(srp_signature(F.col("v"), 8, 16).alias("s"))
+        .orderBy("id")
+        .collect()
+    ]
+    assert fast == slow
+    weird = df.withColumnRenamed("v", "my vec")
+    quoted = weird.select(
+        srp_signature("my vec", 8, 16).alias("s")
+    ).orderBy("id")
+    assert [r["s"] for r in quoted.collect()] == fast
+
+
 def test_namespaced_tokens_are_pairwise_disjoint(spark):
     """The property the r9 dedup_winnowing / dedup_minhash_incremental
     oracles rest on: id-namespaced tokens ("id:tok") never collide

@@ -564,10 +564,16 @@ def test_fp_row_hash_rejects_non_money_doubles(spark):
 
     from pyetl_spark.queries.sinks import _fp_row_hash
 
+    # collect(), not count(): count() lets Catalyst prune the unused
+    # fingerprint projection and the guard never evaluates (vacuous)
     ok = spark.createDataFrame(
-        [(1, 12.34), (2, None), (3, -0.5)], "id int, amount double"
+        # 134228608.14 pins the scale-relative tolerance: its scaled
+        # ulp error (~1.9e-6) exceeds a naive absolute 1e-6 cutoff
+        [(1, 12.34), (2, None), (3, -0.5), (4, 134228608.14)],
+        "id int, amount double",
     )
-    assert ok.select(_fp_row_hash(ok).alias("h")).count() == 3
+    rows = ok.select(_fp_row_hash(ok).alias("h")).collect()
+    assert len(rows) == 4 and all(r["h"] is not None for r in rows)
 
     bad = spark.createDataFrame(
         [(1, 0.123456)], "id int, score double"
