@@ -97,6 +97,13 @@ ORACLE: dict[str, str] = {}
 #:       (recomputed this session from CORRECTNESS_r01..r08 vs the
 #:       363-key registry) and there were no r8 reds; the window is
 #:       pure steady-state rotation — see the list below.
+#:   r10 draft: (any r9 reds) + the three rows-only keys whose CODE
+#:       changed in r9 OUTSIDE the r9 window (dedup_minhash_lsh and the
+#:       two pipeline_* keys — the minhash exact-set pre-collapse can
+#:       shift their cluster assignments; own-sweeps green,
+#:       determinism_sweep_r9_minhash.jsonl) + the remaining r2-evidence
+#:       block (fn_string, fn_regex, fn_date … sink_multi, registration
+#:       order) + r3-evidence head fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
