@@ -347,7 +347,13 @@ def main() -> None:
     # subprocesses so the isolated medians aren't biased by a
     # co-resident multi-GB parent heap
     spark.stop()
-    for k in flagged[:6]:  # bound triage cost to ~6 subprocess runs
+    # cost bounds: ≤6 subprocess runs AND ≤240s wall — a globally slow
+    # machine flags MANY keys (every median inflates >1.3x) and the
+    # triage must never put the driver's whole bench recording at risk
+    triage_t0 = time.perf_counter()
+    for k in flagged[:6]:
+        if time.perf_counter() - triage_t0 > 240:
+            break
         isolated[k] = {
             "prior_round": prior_n,
             "prior": prior_q[k],
@@ -356,9 +362,10 @@ def main() -> None:
         }
     if isolated:
         out["isolated_reruns"] = isolated
-    if len(flagged) > 6:
+    skipped = [k for k in flagged if k not in isolated]
+    if skipped:
         # never silently drop a mover — the untriaged tail is recorded
-        out["isolated_reruns_skipped"] = flagged[6:]
+        out["isolated_reruns_skipped"] = skipped
 
     # Two outputs (VERDICT r4 item 8): the driver preserves only a ~2 KB
     # stdout TAIL, and r4's full JSON line outgrew it (head truncated →
