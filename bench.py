@@ -116,6 +116,12 @@ HEADLINE = [
     # previously untracked round-over-round
     "graph_pagerank",
     "vec_ann_ivf",
+    # r9: the Arrow/mapInPandas heavyweight — the Python-worker data
+    # path had no heavy sentinel (udf_arrow_scalar is sub-second), so a
+    # regression in Arrow batch transfer or the mapInPandas machinery
+    # was invisible round-over-round; sha256-chain decode + feature
+    # fold over 5k binary payloads is the family's costliest member
+    "multimodal_features",
 ]
 
 
