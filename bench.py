@@ -156,13 +156,17 @@ SF1_QUERIES = [
 ]
 
 
-def _latest_prior_bench() -> tuple[int, dict[str, float]] | None:
-    """Per-query medians from the newest driver-recorded BENCH_r{N}.json
-    — the comparison base for the regression auto-triage."""
+def _latest_prior_bench() -> tuple[int, dict[str, float], float] | None:
+    """(round, per-query medians, recorded sf) from the newest
+    driver-recorded BENCH_r{N}.json — the comparison base for the
+    regression auto-triage. The sf ride-along lets the caller skip
+    triage when the current run uses a non-default SPARK_GRAFT_SF_DIR:
+    comparing sf1 medians against sf0.1 priors would flag nearly every
+    query and burn the whole triage budget on meaningless reruns."""
     import glob
     import re
 
-    best: tuple[int, dict[str, float]] | None = None
+    best: tuple[int, dict[str, float], float] | None = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")):
         m = re.search(r"BENCH_r0*(\d+)\.json$", path)
@@ -178,13 +182,19 @@ def _latest_prior_bench() -> tuple[int, dict[str, float]] | None:
         except (OSError, json.JSONDecodeError):
             continue
         if queries:
-            best = (n, {k: float(v) for k, v in queries.items()})
+            best = (
+                n,
+                {k: float(v) for k, v in queries.items()},
+                float(parsed.get("sf", -1)),
+            )
     return best
 
 
-def _isolated_rerun(key: str) -> float | None:
+def _isolated_rerun(key: str, timeout: float = 600.0) -> float | None:
     """Re-run one query in a fresh process (SPARK_GRAFT_ONLY) and return
-    its isolated median, or None if the subprocess fails."""
+    its isolated median, or None if the subprocess fails. ``timeout`` is
+    capped by the caller to the REMAINING triage budget — a hung child
+    must not push total triage wall past the documented bound."""
     import subprocess
     import tempfile
 
@@ -199,7 +209,7 @@ def _isolated_rerun(key: str) -> float | None:
             env=env,
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=timeout,
         )
         if r.returncode != 0:
             return None
@@ -290,8 +300,13 @@ def main() -> None:
     isolated: dict[str, dict[str, float | None]] = {}
     flagged: list[str] = []
     prior = None if only else _latest_prior_bench()
+    if prior is not None and prior[2] != sf:
+        # prior round ran at a different sf — a median-vs-median diff is
+        # meaningless, so no triage at all (the detail file still carries
+        # this run's own timings/spreads)
+        prior = None
     if prior is not None:
-        prior_n, prior_q = prior
+        prior_n, prior_q, _prior_sf = prior
         flagged = sorted(
             (
                 k
@@ -358,13 +373,16 @@ def main() -> None:
     # triage must never put the driver's whole bench recording at risk
     triage_t0 = time.perf_counter()
     for k in flagged[:6]:
-        if time.perf_counter() - triage_t0 > 240:
+        remaining = 240 - (time.perf_counter() - triage_t0)
+        if remaining <= 0:
             break
         isolated[k] = {
             "prior_round": prior_n,
             "prior": prior_q[k],
             "suite": timings[k],
-            "isolated": _isolated_rerun(k),
+            # each child's timeout is the REMAINING budget, so one hung
+            # child cannot stretch triage wall to 240s + its own 600s
+            "isolated": _isolated_rerun(k, timeout=max(1.0, remaining)),
         }
     if isolated:
         out["isolated_reruns"] = isolated

@@ -24,7 +24,7 @@ downstream).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -40,10 +40,17 @@ def connected_components(
     orientations are derived internally). Isolated nodes don't appear —
     callers union them back with component = own id if needed.
     """
-    both = edges.select(
+    # Checkpoint ONE orientation, then derive the other from the
+    # checkpointed blocks: a union of two selects over an unpinned
+    # `edges` executes the caller's whole upstream chain (banding +
+    # verify in the dedup pipelines) once PER BRANCH inside the first
+    # job — the r10 profile showed the verify chain running twice here.
+    one = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
-    ).unionAll(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
-    both = both.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    both = one.unionAll(
+        one.select(F.col("m").alias("n"), F.col("n").alias("m"))
+    )
 
     # least(min neighbor, self) seeds one neighbor-step for free
     labels = (
@@ -61,6 +68,8 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # carry the round-START label through both steps so convergence
+        # is a filter over the checkpointed frame, not an extra join+job
         stepped = (
             labels.join(nbr, "n", "left")
             .select(
@@ -68,6 +77,7 @@ def connected_components(
                 F.least(
                     "lbl", F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
+                F.col("lbl").alias("old_lbl"),
             )
         )
         # 2. jump step: follow the label one hop (label(label(n)))
@@ -78,19 +88,23 @@ def connected_components(
                 F.col("s.lbl"),
                 F.coalesce(F.col("p.lbl"), F.col("s.lbl")),
             ).alias("lbl"),
+            F.col("s.old_lbl").alias("old_lbl"),
         )
-        new_labels = jumped.localCheckpoint(eager=True)
         # converged ⟺ NO label moved across the WHOLE round — compare to
         # the round-START labels (comparing only across the jump step
         # misses rounds where the neighbor step alone made progress and
-        # stops early with half-merged components)
-        old = labels.select("n", F.col("lbl").alias("old_lbl"))
-        changed = (
-            new_labels.join(old, "n")
-            .filter(F.col("lbl") != F.col("old_lbl"))
-            .count()
-        )
-        labels = new_labels
+        # stops early with half-merged components). The change count
+        # rides the checkpoint job itself as an observed metric — one
+        # action per round, not checkpoint + count.
+        obs = Observation()
+        new_labels = jumped.observe(
+            obs,
+            F.sum(
+                (F.col("lbl") != F.col("old_lbl")).cast("long")
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"] or 0
+        labels = new_labels.select("n", "lbl")
         if changed == 0:
             return labels.select(
                 F.col("n").alias("node"), F.col("lbl").alias("component")

@@ -288,12 +288,15 @@ def minhash_dedup_assign(
     same negligible-collision class as the band hashes — and each
     group rides its min-id representative through banding; keepers fan
     back out afterward. Shrinks the banding input 5,000 → 3,935 reps
-    (~21 %) on the sf0.1 fixture — which no edge construction can do —
-    though at that modest dup rate the collapse machinery costs
-    slightly more than it saves (A/B measured 5.09 → 5.64 s isolated);
-    the trade is taken anyway because (a) exact-dup recovery becomes
-    GUARANTEED rather than probabilistic, and (b) web-scale corpora run
-    30–60 % exact-dup, where B-shrinkage dominates.
+    (~21 %) on the sf0.1 fixture — which no edge construction can do.
+    r9's first cut paid +0.55 s at that dup rate (groupBy + self-join +
+    fat checkpoint); the r10 fusion collapses that to ONE groupBy whose
+    ``min_by`` carries the rep's token array out of the aggregation, so
+    the rep frame needs no join to rebuild and the pinned frame is
+    |groups| rows. Null/empty-token docs are keyed on their own id
+    (struct tag) — xxhash64 degenerates to the bare seed for both, and
+    an id key restores the pre-collapse self-keep behavior — and are
+    excluded from banding (they can never pass the Jaccard verify).
 
     Approximation note vs all-pairs verify: a member whose star edge to
     one bucket hub fails verification can still join the cluster through
@@ -303,31 +306,58 @@ def minhash_dedup_assign(
     """
     from pyetl_spark.operators.components import connected_components
 
+    # Null-safe collapse key: xxhash64 returns the bare seed for BOTH
+    # null input and empty arrays, so keying on it alone would merge
+    # every null-token and empty-token doc into one "exact duplicate"
+    # group. Degenerate docs (null/empty token set) instead key on their
+    # own id (struct tag 1) so each self-keeps, exactly as they did
+    # before the r9 pre-collapse existed.
+    degenerate = F.col(tokens_col).isNull() | (F.size(F.col(tokens_col)) == 0)
     keyed = docs.select(
         F.col(id_col).alias("_mid"),
         F.col(tokens_col).alias("_mtok"),
-        F.xxhash64(F.sort_array(F.col(tokens_col))).alias("_ck"),
+        F.struct(
+            F.when(degenerate, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+            F.when(degenerate, F.col(id_col).cast("long"))
+            .otherwise(F.xxhash64(F.sort_array(F.col(tokens_col))))
+            .alias("h"),
+        ).alias("_ck"),
     )
-    exact = keyed.groupBy("_ck").agg(F.min("_mid").alias("_rep"))
-    member_rep = keyed.join(exact, "_ck").select("_mid", "_rep")
-    # PIN reps: it fans out to the banding pass, BOTH verify sides, and
-    # the keeper fan-back (4 consumers) — unpinned, the collapse
-    # groupBy+join re-executes per consumer (the winnowing fpsets
-    # lesson; lsh_candidate_pairs' measured no-pin exception has only
-    # 2 consumers)
-    reps = (
-        keyed.join(
-            exact.withColumnRenamed("_rep", "_mid"), ["_ck", "_mid"]
-        )
-        .select(
-            F.col("_mid").alias(id_col), F.col("_mtok").alias(tokens_col)
+    # Fused collapse (r10): ONE groupBy yields both the group's keeper
+    # (min id) and the rep's token array (min_by — all members of a _ck
+    # group share one sorted token multiset, so any member's array is
+    # the rep's). This replaces the r9 keyed⋈exact self-join that
+    # re-derived rep rows, dropping a shuffle and shrinking the pinned
+    # frame to exactly |groups| rows. min_by is partial-agg friendly —
+    # a 10^6-copy boilerplate group never collects, unlike collect_list.
+    # PIN the collapse output: it fans out to member_rep, the banding
+    # pass, BOTH verify sides, and the keeper fan-back (5 consumers) —
+    # unpinned, the collapse groupBy re-executes per consumer (the
+    # winnowing fpsets lesson; lsh_candidate_pairs' measured no-pin
+    # exception has only 2 consumers)
+    exact = (
+        keyed.groupBy("_ck")
+        .agg(
+            F.min("_mid").alias("_rep"),
+            F.min_by("_mtok", "_mid").alias("_rtok"),
         )
         .localCheckpoint(eager=True)
     )
+    member_rep = keyed.select("_mid", "_ck").join(
+        exact.select("_ck", "_rep"), "_ck"
+    ).select("_mid", "_rep")
+    reps = exact.select(
+        F.col("_rep").alias(id_col), F.col("_rtok").alias(tokens_col)
+    )
 
-    banded = _banded(reps, id_col, tokens_col, num_hashes, bands, seed)
+    # Degenerate reps can never verify (Jaccard over null/empty is
+    # null), so keep them out of banding entirely — no wasted signature
+    # work and no artificial all-degenerates band bucket.
+    bandable = reps.filter(F.size(F.col(tokens_col)) > 0)
+
+    banded = _banded(bandable, id_col, tokens_col, num_hashes, bands, seed)
     star = _candidate_edges(banded)
-    tok = reps.select(
+    tok = bandable.select(
         F.col(id_col).alias("_tid"), F.col(tokens_col).alias("_t")
     )
     a = tok.select(F.col("_tid").alias("id_a"), F.col("_t").alias("_ta"))

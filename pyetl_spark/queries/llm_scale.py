@@ -1032,7 +1032,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id + 200000, n FROM o WHERE doc_id % 40 = 0
     )
     SELECT doc_id,
-           CASE WHEN n < 6 THEN doc_id
+           CASE WHEN n IS NULL OR n < 6 THEN doc_id
                 WHEN doc_id >= 200000 THEN doc_id - 200000
                 WHEN doc_id >= 100000 THEN doc_id - 100000
                 ELSE doc_id END AS keeper_id

@@ -348,6 +348,37 @@ def test_minhash_assign_adversarial_skew(spark):
     assign.unpersist()
 
 
+def test_minhash_assign_degenerate_tokens_self_keep(spark):
+    """Null-token and empty-token docs each keep THEMSELVES (r10 ADVICE
+    fix): xxhash64 returns the bare seed for both null input and empty
+    arrays, so a collapse keyed on it alone would merge every degenerate
+    doc into one fake 'exact duplicate' group under the global-min id.
+    The null-safe struct key (operators/minhash.py) routes them to
+    per-doc groups instead — the pre-collapse behavior — while real
+    duplicates still collapse and near-dups still cluster."""
+    from pyetl_spark.operators.minhash import minhash_dedup_assign
+
+    base = [f"w{j}" for j in range(40)]
+    rows = [
+        (0, base),                 # \ exact dups -> keeper 0
+        (1, list(reversed(base))),  # / (same token SET, any order)
+        (2, base + ["x2"]),        # near-dup of 0 (J ~ 0.98) -> keeper 0
+        (3, None),                 # null tokens  -> self-keep
+        (4, None),                 # null tokens  -> self-keep (NOT 3)
+        (5, []),                   # empty tokens -> self-keep
+        (6, []),                   # empty tokens -> self-keep (NOT 5)
+        (7, [f"d7_{j}" for j in range(30)]),  # distinct -> self-keep
+    ]
+    assign = {
+        r.doc_id: r.keeper_id
+        for r in minhash_dedup_assign(
+            spark.createDataFrame(rows, "doc_id long, tokens array<string>"),
+            threshold=0.8,
+        ).collect()
+    }
+    assert assign == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7}
+
+
 def test_embedding_dedup_assign_recovers_clusters(spark):
     """SRP-banded embedding dedup must recover planted near-dup clusters:
     20 clusters of 8 members (center + small noise, pairwise cos > 0.98)
