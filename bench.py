@@ -57,7 +57,14 @@ HEADLINE = [
     # r3: the full corpus pipeline + two-phase global rank, so the sf1
     # ratios below have same-suite sf0.1 denominators, and the new
     # winnowing dedup family's regression sentinel
-    "pipeline_training_corpus_neardup",
+    # r10: the corpus-pipeline sentinel now points at the full curation
+    # funnel — pipeline_training_corpus_neardup became an id-bounded
+    # planted Tier-A form (cost no longer scales with SF), the same move
+    # dedup_winnowing made in r9; pipeline_curation_full runs the same
+    # exact-dedup → MinHash → quality-gate chain over the NATURAL full
+    # corpus (plus URL dedup and the learned gate), so the family's
+    # scale regression stays visible round-over-round
+    "pipeline_curation_full",
     "text_global_shuffle",
     # r9: the winnowing sentinel now points at the natural-corpus twin —
     # the hash-checked dedup_winnowing became an id-bounded planted form
@@ -134,7 +141,10 @@ SF1_QUERIES = [
     "agg_groupby_pricing",
     "join_multi_3way",
     "dedup_minhash_lsh",
-    "pipeline_training_corpus_neardup",
+    # r10: the corpus-pipeline 10× row follows the bench sentinel swap
+    # (see HEADLINE) — the planted Tier-A pipeline_training_corpus_neardup
+    # is id-bounded and deliberately does not scale with SF
+    "pipeline_curation_full",
     "text_global_shuffle",
     # r3: the bloom prefilter's build+query cost must stay ~linear in the
     # dim/fact sizes — its whole pitch is cheapness relative to the join

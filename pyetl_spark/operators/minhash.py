@@ -278,25 +278,28 @@ def minhash_dedup_assign(
     4. connected components (operators/components.py, pointer jumping,
        O(log diameter) rounds) to close transitive chains.
 
-    Exact-set pre-collapse (r9, the same determinism + skew move
-    ``embedding_dedup_assign`` made in r8): docs with IDENTICAL token
-    sets are J = 1.0 by definition, yet star/chain edge subsetting
-    cannot GUARANTEE they connect — interlopers sharing one band
-    bucket can stand between them in every band and die at the verify.
-    So identical sets are grouped first — on ``xxhash64(sort_array
-    (tokens))``, an 8-byte shuffle key instead of the token array,
-    same negligible-collision class as the band hashes — and each
-    group rides its min-id representative through banding; keepers fan
-    back out afterward. Shrinks the banding input 5,000 → 3,935 reps
-    (~21 %) on the sf0.1 fixture — which no edge construction can do.
-    r9's first cut paid +0.55 s at that dup rate (groupBy + self-join +
-    fat checkpoint); the r10 fusion collapses that to ONE groupBy whose
-    ``min_by`` carries the rep's token array out of the aggregation, so
-    the rep frame needs no join to rebuild and the pinned frame is
-    |groups| rows. Null/empty-token docs are keyed on their own id
-    (struct tag) — xxhash64 degenerates to the bare seed for both, and
-    an id key restores the pre-collapse self-keep behavior — and are
-    excluded from banding (they can never pass the Jaccard verify).
+    Exact-set band (r10; replaces the r9 pre-collapse): docs with
+    IDENTICAL token sets are J = 1.0 by definition, yet minhash-band
+    edge subsetting alone cannot GUARANTEE they connect — interlopers
+    sharing one band bucket can stand between them in every band and
+    die at the verify. The guarantee comes from ONE EXTRA BAND whose
+    bucket key is ``xxhash64(sort_array(tokens))`` (an 8-byte key,
+    same negligible-collision class as the minhash band hashes):
+    identical sets always share that bucket, so the salted star/chain
+    edge family connects them transitively and every such edge passes
+    the exact-Jaccard verify at 1.0. Cost is +1/bands more banded rows
+    and ≤ ~2 more edges/doc — strictly linear in EVERY dup regime —
+    versus the r9/r10-draft pre-collapse (groupBy + localCheckpoint of
+    the whole corpus' token arrays + two fan-back joins), which A/B'd
+    wall-NEUTRAL at the fixture's 21 % dup rate and pinned
+    corpus-sized state to local disk at scale. Giant identical-set
+    buckets (10^6-copy boilerplate) are exactly what the salted
+    sub-hub machinery in ``_candidate_edges`` bounds.
+
+    Null/empty-token docs are excluded from banding (they can never
+    pass the Jaccard verify — and xxhash64 degenerates to the bare
+    seed for both, which would otherwise fuse them into one fake
+    bucket); they fall through the final left join and self-keep.
 
     Approximation note vs all-pairs verify: a member whose star edge to
     one bucket hub fails verification can still join the cluster through
@@ -306,57 +309,20 @@ def minhash_dedup_assign(
     """
     from pyetl_spark.operators.components import connected_components
 
-    # Null-safe collapse key: xxhash64 returns the bare seed for BOTH
-    # null input and empty arrays, so keying on it alone would merge
-    # every null-token and empty-token doc into one "exact duplicate"
-    # group. Degenerate docs (null/empty token set) instead key on their
-    # own id (struct tag 1) so each self-keeps, exactly as they did
-    # before the r9 pre-collapse existed.
-    degenerate = F.col(tokens_col).isNull() | (F.size(F.col(tokens_col)) == 0)
-    keyed = docs.select(
-        F.col(id_col).alias("_mid"),
-        F.col(tokens_col).alias("_mtok"),
-        F.struct(
-            F.when(degenerate, F.lit(1)).otherwise(F.lit(0)).alias("d"),
-            F.when(degenerate, F.col(id_col).cast("long"))
-            .otherwise(F.xxhash64(F.sort_array(F.col(tokens_col))))
-            .alias("h"),
-        ).alias("_ck"),
+    ids = docs.select(F.col(id_col).alias("_mid"))
+    bandable = docs.filter(F.size(F.col(tokens_col)) > 0).select(
+        F.col(id_col).alias(id_col), F.col(tokens_col).alias(tokens_col)
     )
-    # Fused collapse (r10): ONE groupBy yields both the group's keeper
-    # (min id) and the rep's token array (min_by — all members of a _ck
-    # group share one sorted token multiset, so any member's array is
-    # the rep's). This replaces the r9 keyed⋈exact self-join that
-    # re-derived rep rows, dropping a shuffle and shrinking the pinned
-    # frame to exactly |groups| rows. min_by is partial-agg friendly —
-    # a 10^6-copy boilerplate group never collects, unlike collect_list.
-    # PIN the collapse output: it fans out to member_rep, the banding
-    # pass, BOTH verify sides, and the keeper fan-back (5 consumers) —
-    # unpinned, the collapse groupBy re-executes per consumer (the
-    # winnowing fpsets lesson; lsh_candidate_pairs' measured no-pin
-    # exception has only 2 consumers)
-    exact = (
-        keyed.groupBy("_ck")
-        .agg(
-            F.min("_mid").alias("_rep"),
-            F.min_by("_mtok", "_mid").alias("_rtok"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    member_rep = keyed.select("_mid", "_ck").join(
-        exact.select("_ck", "_rep"), "_ck"
-    ).select("_mid", "_rep")
-    reps = exact.select(
-        F.col("_rep").alias(id_col), F.col("_rtok").alias(tokens_col)
-    )
-
-    # Degenerate reps can never verify (Jaccard over null/empty is
-    # null), so keep them out of banding entirely — no wasted signature
-    # work and no artificial all-degenerates band bucket.
-    bandable = reps.filter(F.size(F.col(tokens_col)) > 0)
 
     banded = _banded(bandable, id_col, tokens_col, num_hashes, bands, seed)
-    star = _candidate_edges(banded)
+    # the exact-set band: band_idx = bands keeps its buckets disjoint
+    # from every minhash band's (the bucket key is the PAIR)
+    exact_band = bandable.select(
+        F.col(id_col).alias("_id"),
+        F.lit(bands).alias("band_idx"),
+        F.xxhash64(F.sort_array(F.col(tokens_col))).alias("band_hash"),
+    )
+    star = _candidate_edges(banded.unionByName(exact_band))
     tok = bandable.select(
         F.col(id_col).alias("_tid"), F.col(tokens_col).alias("_t")
     )
@@ -371,24 +337,23 @@ def minhash_dedup_assign(
         .select("id_a", "id_b")
     )
     comp = connected_components(verified, src="id_a", dst="id_b")
-    # rep → cluster keeper (component = min rep id = min member id,
-    # since each rep is already its exact group's min), fanned back to
-    # every member of each exact group
-    rep_keeper = (
-        reps.select(F.col(id_col).alias("_rep"))
-        .join(
+    # doc → cluster keeper (component = min id of the verified cluster);
+    # singletons — including the degenerate null/empty-token docs that
+    # never entered banding — fall through the left join and keep
+    # themselves
+    return (
+        ids.join(
             comp.select(
-                F.col("node").alias("_rep"),
+                F.col("node").alias("_mid"),
                 F.col("component").alias("_keeper"),
             ),
-            "_rep",
+            "_mid",
             "left",
         )
-        .select("_rep", F.coalesce("_keeper", F.col("_rep")).alias("_keeper"))
-    )
-    return member_rep.join(rep_keeper, "_rep").select(
-        F.col("_mid").alias("doc_id"),
-        F.col("_keeper").alias("keeper_id"),
+        .select(
+            F.col("_mid").alias("doc_id"),
+            F.coalesce("_keeper", F.col("_mid")).alias("keeper_id"),
+        )
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyetl_spark.operators import text as TX
 from pyetl_spark.operators.knn import cosine_topk_lsh
 from pyetl_spark.parity import FXP, PHASH60, PHASH60_SEEDED, R, rnd
 from pyetl_spark.operators.minhash import (
@@ -52,22 +53,105 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query("pipeline_training_corpus_neardup")  # Tier B — approximate path
+@query(
+    "pipeline_training_corpus_neardup",
+    oracle=f"""
+    WITH o AS (
+      SELECT doc_id, lang, source,
+             array_to_string(list_transform(string_split(text, ' '),
+               tk -> CAST(doc_id AS VARCHAR) || ':' || tk), ' ') AS text
+      FROM documents
+      WHERE doc_id < 500 AND lang IN ('en', 'de', 'fr')
+        AND text IS NOT NULL
+    ),
+    t AS (
+      SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+      FROM o
+    ),
+    q AS (
+      SELECT doc_id, lang, source,
+             {TX.quality_score_sql('text', 'toks')} AS q,
+             len(toks) AS n
+      FROM t
+    )
+    SELECT doc_id, lang, source, {R('q', 4)} AS quality,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM q WHERE q >= 0.5 ORDER BY doc_id
+    """,
+)
 def pipeline_training_corpus_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The 100 TB wiring of the flagship corpus pipeline: exact dedup,
-    THEN MinHash near-dup removal (drop the higher doc_id of every
-    verified pair), then the same quality gate as the Tier-A flagship.
+    """The flagship corpus pipeline chain — exact dedup, THEN MinHash
+    near-dup cluster drop, then the quality gate — hash-verified end to
+    end (r10 Tier-A conversion via the r9 namespaced-planting technique;
+    the natural full-corpus funnel stays benched through
+    `pipeline_curation_full`, the scale sentinel since r10).
 
-    This is the DEFAULT near-dup route at scale (SCALE.md "near-dup
-    routing"): the quadratic `dedup_near_jaccard` stays oracle-only.
-    Cost shape: one content-hash shuffle + the MinHash signature map +
-    one band-bucket shuffle — corpus-linear, no pair explosion."""
+    Construction (doc_id < 500, lang-filtered, tokens NAMESPACED with
+    their doc id so cross-doc Jaccard is 0 by construction):
+
+    * EXACT-text copies planted at % 20 → +100000 test the exact-dedup
+      stage — identical md5(text), so the window keeps the source (min
+      id) and the copy must die at stage 1.
+    * SAME-TOKEN-SET copies planted at % 40 → +200000 (text + " " +
+      its own first token — md5 differs, distinct-token set identical)
+      test the MinHash stage with a GUARANTEED merge: they survive
+      exact dedup, then minhash_dedup_assign's exact-set band
+      (xxhash64 over the identical sorted token array — always the
+      same bucket) connects them to their source and the edge
+      verifies at J = 1.0 — no banding probability involved — so they
+      must die as near-dup losers. No other merges are possible
+      (namespaces ⇒ J = 0, and every LSH edge is
+      exact-Jaccard-verified).
+    * Survivors = exactly the base slice, gated on the quality score
+      of the namespaced text — already oracle-replayable op-for-op
+      (TX.quality_score_sql, proven by `text_quality_score`).
+
+    A broken md5 window, exact-set band, verify/CC stage, loser
+    anti-join, or gate each produce a hash mismatch. Natural-corpus
+    near-dup behavior stays pinned by `dedup_minhash_lsh` (rows-only by
+    its documented xxhash64 rationale), the planted-cluster recovery
+    tests in tests/test_approx_operators.py, and the
+    `pipeline_curation_full` bench sentinel.
+
+    This chain is the DEFAULT near-dup route at scale (SCALE.md
+    "near-dup routing"): the quadratic `dedup_near_jaccard` stays
+    oracle-only. Cost shape: one content-hash shuffle + the MinHash
+    signature map + one band-bucket shuffle — corpus-linear, no pair
+    explosion."""
     d = load_tables(spark, sf_dir).documents
-    base = d.filter(F.col("lang").isin("en", "de", "fr")).select(
-        "doc_id", "lang", "source", "text",
-        F.split("text", " ").alias("t"),
+    ns = d.filter(
+        (F.col("doc_id") < 500) & F.col("lang").isin("en", "de", "fr")
+    ).select(
+        "doc_id", "lang", "source",
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda tk: F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), tk
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    exact_copies = ns.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    near_copies = (
+        ns.filter(F.col("doc_id") % 40 == 0)
+        .withColumn(
+            "text",
+            F.concat(
+                "text", F.lit(" "), F.element_at(F.split("text", " "), 1)
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    )
+    base = (
+        ns.unionByName(exact_copies)
+        .unionByName(near_copies)
+        .withColumn("t", F.split("text", " "))
     )
     from pyspark.sql import Window
 
@@ -90,8 +174,6 @@ def pipeline_training_corpus_neardup(
     losers = assign.filter(F.col("doc_id") != F.col("keeper_id")).select(
         "doc_id"
     )
-    from pyetl_spark.operators import text as TX
-
     kept = exact.join(losers, "doc_id", "left_anti").withColumn(
         "q", TX.quality_score(F.col("text"), F.col("t"))
     )

@@ -93,95 +93,90 @@ ORACLE: dict[str, str] = {}
 #:       CAST(avg); their r4/r5 driver rows predate the fix, own-sweep
 #:       evidence in canon_sweep_r7_changed_*.jsonl), plus any new keys
 #:       and any reds from the prior round.
-#:   r9 (this): with the r8 window landed, never-verified is ZERO
+#:   r9 (done, 49 hash + 1 rows-only green): with the r8 window landed,
+#:       never-verified is ZERO
 #:       (recomputed this session from CORRECTNESS_r01..r08 vs the
 #:       363-key registry) and there were no r8 reds; the window is
 #:       pure steady-state rotation — see the list below.
-#:   r10 draft: (any r9 reds) + the three rows-only keys whose CODE
-#:       changed in r9 OUTSIDE the r9 window (dedup_minhash_lsh and the
-#:       two pipeline_* keys — the minhash exact-set pre-collapse can
-#:       shift their cluster assignments; own-sweeps green,
-#:       determinism_sweep_r9_minhash.jsonl) + the remaining r2-evidence
-#:       block (fn_string, fn_regex, fn_date … sink_multi, registration
-#:       order) + r3-evidence head fills to 50.
+#:   r10 (this): zero r9 reds, so the window is the draft below made
+#:       concrete: the four changed keys first —
+#:       pipeline_training_corpus_neardup (rows-only → Tier-A this
+#:       round via the r9 namespaced-planting technique, gated at
+#:       sf0.001/0.01/0.1 + determinism), pipeline_curation_full
+#:       (rides the r9/r10 minhash pre-collapse + fused-collapse code,
+#:       and takes over the bench corpus-pipeline sentinel slot),
+#:       dedup_minhash_lsh (same code change; also the oldest r2
+#:       evidence), dedup_winnowing (its oracle gained the null-text
+#:       CASE guard after its r9 row — vacuous on the current fixture,
+#:       re-slotted anyway) — then the remaining 30 r2-evidence keys in
+#:       registration order (fn_string … sink_multi), then 16
+#:       r3-evidence head fills (join_returned_revenue_top …
+#:       win_streak). Lands the r9 verdict's #1: after this window no
+#:       key's latest evidence predates r3.
+#:   r11 draft: (any r10 reds) + keys r11 changes + the remaining 31
+#:       r3-evidence keys (events_session_conversion …
+#:       text_quality_score, registration order) + r4-evidence head
+#:       fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r9 window:
-    #   * 10 changed/stale keys first — every key whose code or oracle
-    #     changed AFTER its latest driver row:
-    #     vec_pca_project (oracle gained the zero-norm CASE guard after
-    #     its r7 row — the r8 verdict's one forced re-verify);
-    #     vec_ann_lsh + dedup_embedding_lsh (r9 srp_signature F.expr
-    #     compile — bit-identical by construction, re-verify anyway);
-    #     dedup_winnowing + dedup_minhash_incremental (r9 rows-only →
-    #     Tier-A conversions via namespaced planted fixtures);
-    #     multimodal_cdc_chunks (r9 rows-only → Tier-A via a
-    #     recursive-CTE Gear replay + hex-contract chunk hash);
-    #     text_contamination_check (r9 eval-side gram cap, oracle
-    #     mirrored); revenue_pareto (r9 empty-total guard);
-    #     sink_manifest_atomic_publish + sink_snapshot_time_travel
-    #     (r9 money-grid guard inside _fp_row_hash).
-    #   * 1 never-verified rows-only key (dedup_winnowing_corpus, new
-    #     this round — see its inline comment below).
-    #   * 23 oldest-evidence (r1) re-verifies, registration order —
-    #     the agg_minmax_by…join_big_order_customers block.
-    #   * 16 next-oldest (r2) fills, registration order
-    #     (etl_scd2_intervals … set_intersect_all).
-    "vec_pca_project",
-    "vec_ann_lsh",
-    "dedup_embedding_lsh",
+    # r10 window (see rotation history above): 4 changed keys, then the
+    # 30 remaining r2-evidence keys (registration order), then 16
+    # r3-evidence head fills — 50 total.
+    "pipeline_training_corpus_neardup",
+    "pipeline_curation_full",
+    "dedup_minhash_lsh",
     "dedup_winnowing",
-    "dedup_minhash_incremental",
-    "multimodal_cdc_chunks",
-    "text_contamination_check",
-    "revenue_pareto",
-    "sink_manifest_atomic_publish",
-    "sink_snapshot_time_travel",
-    # 1 NEW never-verified rows-only key (a rows-only row is its
-    # marginal evidence unit): the natural-corpus winnowing twin added
-    # when dedup_winnowing became the id-bounded planted form
-    "dedup_winnowing_corpus",
-    "agg_minmax_by",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_distinct_rows",
-    "agg_promo_revenue_share",
-    "agg_corr_exact",
-    "join_inner_equi",
-    "join_multi_3way",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_cross",
-    "join_theta_range",
-    "join_broadcast_hint",
-    "join_asof",
-    "join_lateral",
-    "join_range_bucketed",
-    "join_salted",
-    "join_trade_matrix",
-    "join_region_local_revenue",
-    "join_big_order_customers",
-    "etl_scd2_intervals",
-    "etl_incremental_agg",
-    "join_point_in_time",
-    "win_rank_dense",
-    "win_ntile_pct",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_first_last",
-    "sort_multi_key",
-    "topk_limit",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_intersect_all",
+    # r2-evidence block (oldest driver rows in the registry; none of
+    # these changed since r2 except dedup_minhash_lsh above)
+    "fn_string",
+    "fn_regex",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_array",
+    "fn_array_higher_order",
+    "fn_map",
+    "fn_json",
+    "stream_tumbling_1h",
+    "stream_sliding",
+    "stream_session",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "text_stats",
+    "text_top_terms",
+    "text_lang_filter_pipeline",
+    "vec_norm",
+    "vec_centroid",
+    "vec_cosine_topk",
+    "udf_scalar_python",
+    "udf_pandas_scalar",
+    "udaf_pandas_grouped",
+    "udtf_python",
+    "grouped_map_applyInPandas",
+    "map_partitions_arrow",
+    "sink_parquet_partitioned",
+    "sink_json_lines",
+    "sink_csv",
+    "sink_multi",
+    # r3-evidence head fills
+    "join_returned_revenue_top",
+    "join_part_supplier_diversity",
+    "join_top_supplier",
+    "etl_unpivot",
+    "agg_string_concat",
+    "source_range",
+    "fn_null_semantics",
+    "fn_struct",
+    "win_locf",
+    "agg_mode",
+    "fn_try_arithmetic",
+    "fn_interval",
+    "fn_array_outer",
+    "events_gapfill_spine",
+    "win_time_weighted_avg",
+    "win_streak",
 ]
 
 

@@ -351,11 +351,13 @@ def test_minhash_assign_adversarial_skew(spark):
 def test_minhash_assign_degenerate_tokens_self_keep(spark):
     """Null-token and empty-token docs each keep THEMSELVES (r10 ADVICE
     fix): xxhash64 returns the bare seed for both null input and empty
-    arrays, so a collapse keyed on it alone would merge every degenerate
-    doc into one fake 'exact duplicate' group under the global-min id.
-    The null-safe struct key (operators/minhash.py) routes them to
-    per-doc groups instead — the pre-collapse behavior — while real
-    duplicates still collapse and near-dups still cluster."""
+    arrays, so an exact-set key over it alone would fuse every
+    degenerate doc into one fake 'exact duplicate' bucket under the
+    global-min id. minhash_dedup_assign excludes them from banding
+    (including the exact-set band) outright — they can never pass the
+    Jaccard verify — so each falls through the final left join and
+    self-keeps, while real duplicates still merge via the exact-set
+    band and near-dups still cluster."""
     from pyetl_spark.operators.minhash import minhash_dedup_assign
 
     base = [f"w{j}" for j in range(40)]

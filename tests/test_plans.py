@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import contextlib
 import io
+import json
+import os
 import re
 
 import pytest
@@ -699,3 +701,66 @@ def test_plan_lint_no_accidental_python_eval(spark, key):
     plan = plan_of(spark, key, mode="simple")
     found = [m for m in _PY_MARKERS if m in plan]
     assert not found, f"{key}: unexpected Python eval {found}"
+
+
+# --- registry-wide plan-CONSTRUCTION cost lint (r10; SCALE.md r9 lesson) ----
+# Executor plans are not the only scale axis: a query whose DataFrame BUILD
+# issues thousands of Py4J round-trips (one per literal in a big expression
+# bank, or one per un-batched Column op) spends driver seconds per
+# submission — the r9 vec_ann_lsh pathology (~2,000 round-trips, 3–17 s
+# build, fixed by compiling the SRP bank to ONE F.expr string). This lint
+# makes that class mechanical instead of bench archaeology: every key's
+# builder runs at sf0.001 with py4j method calls counted, and fails above
+# max(1500, 2 x its committed r10 baseline) — 1500 covers the registry's
+# p90 (581) with ~2.5x headroom; the 2x term lets the 12 documented
+# heavy-build keys (iterative fits whose EAGER driver jobs — k-means, EM,
+# connected components, funnel counts — dominate the count, plus
+# dedup_simhash's 64-term bit-majority bank) regress no more than 2x
+# before failing. Baseline: build_cost_r10.jsonl (364 keys, measured
+# 2026-08-16; regenerate with the same loop if builds legitimately change).
+
+_BUILD_BASELINE: dict[str, int] = {}
+_BUILD_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "build_cost_r10.jsonl",
+)
+if os.path.exists(_BUILD_BASELINE_PATH):
+    with open(_BUILD_BASELINE_PATH) as _fh:
+        for _line in _fh:
+            _rec = json.loads(_line)
+            _BUILD_BASELINE[_rec["key"]] = int(_rec["py4j_calls"])
+
+
+@contextlib.contextmanager
+def _count_py4j_calls():
+    """Count py4j JavaMember invocations (driver->JVM round-trips) inside
+    the block. JavaMember.__call__ is the dominant round-trip path; field
+    reads and object GC traffic are ignored (noise-level)."""
+    import py4j.java_gateway as jg
+
+    counter = {"n": 0}
+    orig = jg.JavaMember.__call__
+
+    def patched(self, *a, **kw):
+        counter["n"] += 1
+        return orig(self, *a, **kw)
+
+    jg.JavaMember.__call__ = patched
+    try:
+        yield counter
+    finally:
+        jg.JavaMember.__call__ = orig
+
+
+@pytest.mark.parametrize("key", _ALL_KEYS)
+def test_plan_lint_build_py4j_calls_bounded(spark, key):
+    with _count_py4j_calls() as c:
+        registry.QUERIES[key](spark, SF_ORACLE)
+    budget = max(1500, 2 * _BUILD_BASELINE.get(key, 0))
+    assert c["n"] <= budget, (
+        f"{key}: plan BUILD took {c['n']} Py4J round-trips "
+        f"(budget {budget}; r10 baseline {_BUILD_BASELINE.get(key)}). "
+        "Driver-side plan construction is a scale axis (SCALE.md): batch "
+        "literal banks into one F.expr / compiled SQL string instead of "
+        "per-element Column ops."
+    )
