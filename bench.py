@@ -310,10 +310,13 @@ def main() -> None:
     isolated: dict[str, dict[str, float | None]] = {}
     flagged: list[str] = []
     prior = None if only else _latest_prior_bench()
-    if prior is not None and prior[2] != sf:
+    if prior is not None and (prior[2] != sf or sf < 0):
         # prior round ran at a different sf — a median-vs-median diff is
         # meaningless, so no triage at all (the detail file still carries
-        # this run's own timings/spreads)
+        # this run's own timings/spreads). sf < 0 is the unknown-SF
+        # sentinel (dir name without "sf"): two unknowns compare equal
+        # (-1 == -1) while the underlying data sizes may differ, so
+        # unknown on either side also skips triage.
         prior = None
     if prior is not None:
         prior_n, prior_q, _prior_sf = prior

@@ -317,10 +317,17 @@ def minhash_dedup_assign(
     banded = _banded(bandable, id_col, tokens_col, num_hashes, bands, seed)
     # the exact-set band: band_idx = bands keeps its buckets disjoint
     # from every minhash band's (the bucket key is the PAIR)
+    # key the band on the token SET (array_distinct), not the raw array:
+    # the operator's similarity is set-Jaccard (verify uses
+    # array_intersect/array_union), so same-set/different-multiplicity
+    # inputs — legal when a caller skips its own array_distinct — must
+    # land in one bucket for the J=1.0 guarantee to hold
     exact_band = bandable.select(
         F.col(id_col).alias("_id"),
         F.lit(bands).alias("band_idx"),
-        F.xxhash64(F.sort_array(F.col(tokens_col))).alias("band_hash"),
+        F.xxhash64(
+            F.sort_array(F.array_distinct(F.col(tokens_col)))
+        ).alias("band_hash"),
     )
     star = _candidate_edges(banded.unionByName(exact_band))
     tok = bandable.select(

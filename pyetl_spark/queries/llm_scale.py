@@ -29,6 +29,31 @@ from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
 
+def _ns_text(doc_id_col: str = "doc_id", text_col: str = "text"):
+    """Column: id-NAMESPACED text — every whitespace token prefixed with
+    the row's own doc id ("id:tok"), making cross-doc token overlap
+    exactly 0 by construction. The r9 planted-fixture primitive shared
+    by the dedup_winnowing and pipeline_training_corpus_neardup Tier-A
+    forms; ``_NS_TEXT_SQL`` is its DuckDB twin — change BOTH together."""
+    return F.array_join(
+        F.transform(
+            F.split(text_col, " "),
+            lambda tk: F.concat(
+                F.col(doc_id_col).cast("string"), F.lit(":"), tk
+            ),
+        ),
+        " ",
+    )
+
+
+#: DuckDB twin of ``_ns_text`` (op-for-op; VARCHAR cast of a BIGINT id
+#: renders identically to Spark's string cast)
+_NS_TEXT_SQL = (
+    "array_to_string(list_transform(string_split(text, ' '),"
+    " tk -> CAST(doc_id AS VARCHAR) || ':' || tk), ' ')"
+)
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     return d.select(
@@ -57,9 +82,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_training_corpus_neardup",
     oracle=f"""
     WITH o AS (
-      SELECT doc_id, lang, source,
-             array_to_string(list_transform(string_split(text, ' '),
-               tk -> CAST(doc_id AS VARCHAR) || ':' || tk), ' ') AS text
+      SELECT doc_id, lang, source, {_NS_TEXT_SQL} AS text
       FROM documents
       WHERE doc_id < 500 AND lang IN ('en', 'de', 'fr')
         AND text IS NOT NULL
@@ -97,18 +120,24 @@ def pipeline_training_corpus_neardup(
     * SAME-TOKEN-SET copies planted at % 40 → +200000 (text + " " +
       its own first token — md5 differs, distinct-token set identical)
       test the MinHash stage with a GUARANTEED merge: they survive
-      exact dedup, then minhash_dedup_assign's exact-set band
-      (xxhash64 over the identical sorted token array — always the
-      same bucket) connects them to their source and the edge
-      verifies at J = 1.0 — no banding probability involved — so they
-      must die as near-dup losers. No other merges are possible
+      exact dedup, and an identical token set means an identical
+      minhash signature, so copy and source share ALL NINE band
+      buckets (8 minhash bands + the exact-set band) and — the
+      namespaced fixture having no interlopers, cross-doc J = 0 —
+      their edges verify at J = 1.0 deterministically; they must die
+      as near-dup losers. (The fixture therefore pins the
+      banding → edges → verify → CC → loser path as a whole, NOT the
+      exact-set band in isolation — that band's own guarantee, which
+      matters only when interlopers block the minhash buckets, is
+      pinned by the structural and recovery tests in
+      tests/test_approx_operators.py.) No other merges are possible
       (namespaces ⇒ J = 0, and every LSH edge is
       exact-Jaccard-verified).
     * Survivors = exactly the base slice, gated on the quality score
       of the namespaced text — already oracle-replayable op-for-op
       (TX.quality_score_sql, proven by `text_quality_score`).
 
-    A broken md5 window, exact-set band, verify/CC stage, loser
+    A broken md5 window, banding/edge pass, verify/CC stage, loser
     anti-join, or gate each produce a hash mismatch. Natural-corpus
     near-dup behavior stays pinned by `dedup_minhash_lsh` (rows-only by
     its documented xxhash64 rationale), the planted-cluster recovery
@@ -123,18 +152,7 @@ def pipeline_training_corpus_neardup(
     d = load_tables(spark, sf_dir).documents
     ns = d.filter(
         (F.col("doc_id") < 500) & F.col("lang").isin("en", "de", "fr")
-    ).select(
-        "doc_id", "lang", "source",
-        F.array_join(
-            F.transform(
-                F.split("text", " "),
-                lambda tk: F.concat(
-                    F.col("doc_id").cast("string"), F.lit(":"), tk
-                ),
-            ),
-            " ",
-        ).alias("text"),
-    )
+    ).select("doc_id", "lang", "source", _ns_text().alias("text"))
     exact_copies = ns.filter(F.col("doc_id") % 20 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(100000)
     )
@@ -1155,18 +1173,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyetl_spark.operators.text import winnowing_dedup_assign
 
     d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
-    ns = d.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                F.split("text", " "),
-                lambda t: F.concat(
-                    F.col("doc_id").cast("string"), F.lit(":"), t
-                ),
-            ),
-            " ",
-        ).alias("text"),
-    )
+    ns = d.select("doc_id", _ns_text().alias("text"))
     aug = ns.unionByName(
         ns.filter(F.col("doc_id") % 20 == 0).withColumn(
             "doc_id", F.col("doc_id") + F.lit(100000)

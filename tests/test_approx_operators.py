@@ -982,3 +982,42 @@ def test_embedding_lsh_planted_copies_recovered(spark):
             assert keeper == vid - 100000, (vid, keeper)
         else:
             assert keeper == vid, (vid, keeper)
+
+
+def test_minhash_exact_set_band_alone_guarantees_identity_merge(
+    spark, monkeypatch
+):
+    """The exact-set band IS the J=1.0 recovery guarantee (r10): with
+    every minhash band suppressed — the worst case the band exists for,
+    where interlopers (or here, an outright empty band frame) deny all
+    8 probabilistic routes — identical token SETS must still merge
+    through the exact-set bucket alone. Doc 1 repeats and reorders its
+    tokens, so this also pins the band key's array_distinct+sort_array
+    normalization (set semantics, matching the set-Jaccard verify);
+    doc 2 is a distinct set and must self-keep. The planted Tier-A
+    fixtures cannot isolate this band (identical sets share the
+    minhash buckets too, and namespaced fixtures have no interlopers),
+    which is why this pin exists."""
+    from pyetl_spark.operators import minhash as MH
+
+    real_banded = MH._banded
+
+    def no_minhash_bands(docs, id_col, tokens_col, num_hashes, bands, seed):
+        return real_banded(
+            docs, id_col, tokens_col, num_hashes, bands, seed
+        ).filter(F.lit(False))
+
+    monkeypatch.setattr(MH, "_banded", no_minhash_bands)
+    df = spark.createDataFrame(
+        [
+            (0, ["a", "b", "c"]),
+            (1, ["c", "b", "a", "a"]),  # same SET, reordered, multiset
+            (2, ["x", "y", "z"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    assign = {
+        r.doc_id: r.keeper_id
+        for r in MH.minhash_dedup_assign(df, threshold=0.8).collect()
+    }
+    assert assign == {0: 0, 1: 0, 2: 2}
