@@ -362,11 +362,20 @@ def main() -> None:
     if sf1 is not None and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         sf1_timings: dict[str, float] = {}
         for key in SF1_QUERIES:
-            start = time.perf_counter()
-            registry.QUERIES[key](spark, sf1).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sf1_timings[key] = round(time.perf_counter() - start, 3)
+            # best-of-2, not single-shot: this loop runs at the END of a
+            # JVM that has churned through the whole suite, and a
+            # one-off GC/compaction spike here fabricates a scaling
+            # regression (measured r10: text_semdedup printed 8.4x in
+            # one suite pass vs 1.8x isolated — identical code). The
+            # min of two runs kills the spike while staying cheap.
+            runs = []
+            for _ in range(2):
+                start = time.perf_counter()
+                registry.QUERIES[key](spark, sf1).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - start)
+            sf1_timings[key] = round(min(runs), 3)
         out["sf1"] = {
             "sf": 1.0,
             "queries": sf1_timings,
