@@ -188,3 +188,69 @@ def run_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_neardup_ingest(
+    docs_stream: DataFrame,
+    index: DataFrame,
+    corpus_tokens: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+):
+    """Streaming NEAR-dup ingest — the streaming twin of
+    `minhash_assign_incremental` (north star: the daily-ingest contract
+    becomes CONTINUOUS: documents arrive as file/topic batches and each
+    gets a keeper against the existing deduplicated corpus without ever
+    re-banding it). Complements this module's exact path: `dedup_stream`
+    drops WITHIN-STREAM repeats by content hash; this step assigns each
+    survivor a keeper among the EXISTING corpus' near-duplicates.
+
+    Per micro-batch, via foreachBatch: the batch is a bounded DataFrame,
+    so it rides the BATCH operator unchanged — O(|batch|·bands)
+    signature work + bucket joins against the prebuilt static
+    `minhash_index`, never a corpus re-scan. A pure streaming-native
+    formulation would force an update-mode stateful aggregation (min
+    keeper per doc) for zero benefit: the per-doc answer is complete
+    within its own batch, exactly the case foreachBatch exists for.
+    Idempotency: each batch lands under ``batch_id=N`` with dynamic
+    partition overwrite, so post-failure replays rewrite instead of
+    duplicating (same contract as `write_corpus_batch`).
+
+    Intra-batch duplicates are NOT merged against each other (each doc
+    is matched against the corpus only) — the documented
+    `minhash_assign_incremental` semantics; run `dedup_stream` upstream
+    when the stream itself carries repeats.
+    """
+    from pyetl_spark.operators.minhash import minhash_assign_incremental
+
+    def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "doc_id",
+            F.array_distinct(F.split("text", " ")).alias("tokens"),
+        )
+        out = minhash_assign_incremental(
+            batch,
+            index,
+            corpus_tokens,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            seed=seed,
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -466,3 +466,4 @@ def run_topk_trending(
         .trigger(availableNow=True)
         .start()
     )
+

@@ -743,3 +743,72 @@ def test_stream_stream_interval_join_left_outer(spark, scratch):
     # id=10 (the left-side pusher) stays buffered: nothing later advances
     # the watermark past ITS bound — exactly the deferred-emission trade
     assert got == {(2, 1), (3, None), (5, None)}
+
+
+def test_stream_neardup_ingest_assigns_keepers(spark, scratch):
+    """Streaming near-dup ingest (foreachBatch twin of
+    minhash_assign_incremental): document batches arrive as files and
+    each doc gets a keeper against the STATIC corpus index — exact
+    copies of corpus docs map to their source, novel docs become new
+    keepers — with no corpus re-band. Namespaced tokens (the planted-
+    fixture primitive) make the expectation pure id arithmetic, and the
+    streamed result must equal the batch operator run on the union of
+    both batches (same index, same semantics, batch boundaries
+    invisible in the assignments)."""
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+    )
+    from pyetl_spark.streaming.corpus import (
+        read_docs_stream,
+        run_neardup_ingest,
+    )
+
+    def text(ns: int) -> str:
+        return " ".join(f"{ns}:w{j}" for j in range(20))
+
+    corpus = spark.createDataFrame(
+        [(i, text(i)) for i in range(10)], "doc_id long, text string"
+    ).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    index = minhash_index(corpus)
+
+    src = os.path.join(scratch, "docs_src")
+    out = os.path.join(scratch, "assign_out")
+    ck = os.path.join(scratch, "ck")
+    b1 = [{"doc_id": 100 + i, "text": text(100 + i)} for i in range(3)]
+    b1 += [{"doc_id": 1000 + s, "text": text(s)} for s in (0, 2)]
+    _write_batch(src, "b1.json", b1)
+    b2 = [
+        {"doc_id": 105, "text": text(105)},
+        {"doc_id": 1004, "text": text(4)},
+    ]
+    _write_batch(src, "b2.json", b2)
+
+    q = run_neardup_ingest(
+        read_docs_stream(spark, src), index, corpus, out, ck
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {100: 100, 101: 101, 102: 102, 1000: 0, 1002: 2,
+              105: 105, 1004: 4}
+    assert got == expect
+
+    # batch agreement: the union of both file batches through the BATCH
+    # operator gives the identical assignment
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in (*b1, *b2)],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    batch_got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_assign_incremental(union, index, corpus).collect()
+    }
+    assert batch_got == got
