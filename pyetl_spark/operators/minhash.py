@@ -377,11 +377,25 @@ def minhash_index(
     once from the kept docs (post ``minhash_dedup_assign``), write it as
     a parquet table bucketed/partitioned however the store likes, and
     incremental ingests join against it instead of re-banding 100 TB.
-    Size: bands rows per kept doc."""
+    Size: bands rows per kept doc.
+
+    The build parameters are stamped into the ``band_hash`` field
+    metadata (parquet round-trips preserve Spark schema metadata), so
+    ``minhash_assign_incremental`` can verify an incremental caller's
+    (num_hashes, bands, seed) match the index it is probing — a mismatch
+    would otherwise silently produce empty band buckets (every doc
+    self-keeps) instead of an error."""
     return _banded(docs, id_col, tokens_col, num_hashes, bands, seed).select(
         F.col("_id").alias("keeper_id"),
         "band_idx",
-        "band_hash",
+        F.col("band_hash").alias(
+            "band_hash",
+            metadata={
+                "minhash.num_hashes": num_hashes,
+                "minhash.bands": bands,
+                "minhash.seed": seed,
+            },
+        ),
     )
 
 
@@ -414,7 +428,31 @@ def minhash_assign_incremental(
     Semantics match the batch operator's star edges: a new doc joins the
     cluster of any keeper sharing a band bucket whose exact Jaccard
     clears the threshold; ties pick the smallest keeper id.
+
+    (num_hashes, bands, seed) MUST match the values the ``index`` was
+    built with — band hashes from different parameters never collide, so
+    a mismatch silently yields zero candidates and every doc self-keeps.
+    ``minhash_index`` stamps its build params into the ``band_hash``
+    field metadata; when present they are verified here and a mismatch
+    raises instead of returning wrong keepers.
     """
+    try:
+        meta = index.schema["band_hash"].metadata or {}
+    except KeyError:  # caller projected/renamed the index — can't check
+        meta = {}
+    if "minhash.num_hashes" in meta:
+        built = (
+            meta["minhash.num_hashes"],
+            meta["minhash.bands"],
+            meta["minhash.seed"],
+        )
+        if built != (num_hashes, bands, seed):
+            raise ValueError(
+                "minhash_assign_incremental: (num_hashes, bands, seed)="
+                f"{(num_hashes, bands, seed)} does not match the index's "
+                f"build parameters {built}; a mismatch silently produces "
+                "empty band buckets (every doc would self-keep)"
+            )
     new_banded = _banded(new_docs, id_col, tokens_col, num_hashes, bands, seed)
     cands = (
         new_banded.join(index, ["band_idx", "band_hash"])

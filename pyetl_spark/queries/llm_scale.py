@@ -1707,47 +1707,54 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     url_keep = F.col("_r_url") == 1
     exact_keep = url_keep & (F.col("_r_txt") == 1)
 
-    # head counts: raw / url survivors / exact survivors — ONE pass
-    head = base.agg(
-        F.count(F.lit(1)).alias("raw"),
-        F.count_if(url_keep).alias("url"),
-        F.count_if(exact_keep).alias("exact"),
-    ).collect()[0]
+    # Everything that touches the pinned frame runs under try/finally:
+    # any failed action in between (e.g. fit_quality_model's over-cap
+    # refusal) must not leak the corpus-scale persist for the session.
+    try:
+        # head counts: raw / url survivors / exact survivors — ONE pass
+        head = base.agg(
+            F.count(F.lit(1)).alias("raw"),
+            F.count_if(url_keep).alias("url"),
+            F.count_if(exact_keep).alias("exact"),
+        ).collect()[0]
 
-    exact = base.filter(exact_keep).drop("_r_url", "_r_txt")
+        exact = base.filter(exact_keep).drop("_r_url", "_r_txt")
 
-    # 3. near-dup cluster drop (keepers only)
-    toks = exact.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
-    )
-    assign = minhash_dedup_assign(toks, threshold=0.8)
-    keepers = exact.join(
-        assign.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id"),
-        "doc_id",
-    )
+        # 3. near-dup cluster drop (keepers only)
+        toks = exact.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+        )
+        assign = minhash_dedup_assign(toks, threshold=0.8)
+        keepers = exact.join(
+            assign.filter(F.col("doc_id") == F.col("keeper_id")).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
 
-    # 4. learned quality gate — train on a CONSTANT-count hash-ordered
-    # sample of the survivors (TakeOrderedAndProject, O(cap) driver
-    # memory at any corpus size; the enforcement lives in
-    # fit_quality_model, which refuses over-cap inputs)
-    feats = featurize(keepers)
-    labeled = feats.withColumn(
-        "label",
-        ((F.col("n_chars") > 120) & (F.col("digit_ratio") < 0.2)).cast(
-            "double"
-        ),
-    )
-    sample = sample_for_training(labeled)
-    wts, b = fit_quality_model(sample)
-    # tail counts: near-dup survivors / gate acceptances — ONE pass
-    # over the survivor frame (the gate is a broadcast-weights scalar
-    # expression, so acceptance is a flag, not a filtered re-count)
-    tail = feats.agg(
-        F.count(F.lit(1)).alias("near"),
-        F.count_if(score_expr(wts, b) > 0.5).alias("quality"),
-    ).collect()[0]
-
-    base.unpersist()
+        # 4. learned quality gate — train on a CONSTANT-count
+        # hash-ordered sample of the survivors (TakeOrderedAndProject,
+        # O(cap) driver memory at any corpus size; the enforcement
+        # lives in fit_quality_model, which refuses over-cap inputs)
+        feats = featurize(keepers)
+        labeled = feats.withColumn(
+            "label",
+            ((F.col("n_chars") > 120) & (F.col("digit_ratio") < 0.2)).cast(
+                "double"
+            ),
+        )
+        sample = sample_for_training(labeled)
+        wts, b = fit_quality_model(sample)
+        # tail counts: near-dup survivors / gate acceptances — ONE pass
+        # over the survivor frame (the gate is a broadcast-weights
+        # scalar expression, so acceptance is a flag, not a filtered
+        # re-count)
+        tail = feats.agg(
+            F.count(F.lit(1)).alias("near"),
+            F.count_if(score_expr(wts, b) > 0.5).alias("quality"),
+        ).collect()[0]
+    finally:
+        base.unpersist()
 
     stages = [
         ("raw", head["raw"]),

@@ -224,6 +224,14 @@ def run_neardup_ingest(
     is matched against the corpus only) — the documented
     `minhash_assign_incremental` semantics; run `dedup_stream` upstream
     when the stream itself carries repeats.
+
+    (num_hashes, bands, seed) MUST equal the values `index` was built
+    with (`minhash_index`'s caller contract): band hashes from different
+    parameters never collide, so a mismatch would yield empty buckets
+    and every doc would silently self-keep. `minhash_index` stamps its
+    build params into the index schema metadata and
+    `minhash_assign_incremental` verifies them on every batch, so a
+    mismatched ingest fails fast instead of writing wrong keepers.
     """
     from pyetl_spark.operators.minhash import minhash_assign_incremental
 

@@ -466,4 +466,3 @@ def run_topk_trending(
         .trigger(availableNow=True)
         .start()
     )
-

@@ -518,6 +518,62 @@ def test_minhash_incremental_matches_batch(spark, tmp_path):
     assert union_assign[10] == 0
 
 
+def test_minhash_incremental_param_mismatch_raises(spark, tmp_path):
+    """(num_hashes, bands, seed) must match the index's build params —
+    band hashes from different parameters never collide, so a mismatch
+    would silently yield empty buckets and every doc would self-keep.
+    `minhash_index` stamps its params into the band_hash field metadata
+    (surviving the parquet round-trip a real pipeline does) and
+    `minhash_assign_incremental` fails fast on a mismatch (r10 advisory,
+    streaming/corpus.py run_neardup_ingest forwards these blind)."""
+    import os
+
+    import pytest
+
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, [f"w{j}" for j in range(40)])],
+        "doc_id long, tokens array<string>",
+    )
+    idx_path = os.path.join(str(tmp_path), "minhash_index_params")
+    minhash_index(docs, num_hashes=32, bands=8, seed=42).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # metadata survived the parquet round-trip
+    meta = index.schema["band_hash"].metadata
+    assert meta["minhash.num_hashes"] == 32
+    assert meta["minhash.bands"] == 8
+    assert meta["minhash.seed"] == 42
+
+    for bad in (
+        {"num_hashes": 16},
+        {"bands": 4},
+        {"seed": 7},
+    ):
+        with pytest.raises(ValueError, match="does not match the index"):
+            minhash_assign_incremental(
+                docs, index, docs, threshold=0.8, **bad
+            )
+
+    # an index projected without the stamped column can't be checked —
+    # the call stays permissive (documented caller contract applies)
+    bare = index.select(
+        "keeper_id",
+        "band_idx",
+        F.col("band_hash").alias("band_hash", metadata={}),
+    )
+    assert (
+        minhash_assign_incremental(docs, bare, docs, threshold=0.8).count()
+        == 1
+    )
+
+
 # --- count-min sketch ---------------------------------------------------------
 
 
