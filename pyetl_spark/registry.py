@@ -113,70 +113,79 @@ ORACLE: dict[str, str] = {}
 #:       r3-evidence head fills (join_returned_revenue_top …
 #:       win_streak). Lands the r9 verdict's #1: after this window no
 #:       key's latest evidence predates r3.
-#:   r11 draft: (any r10 reds) + keys r11 changes + the remaining 31
-#:       r3-evidence keys (events_session_conversion …
-#:       text_quality_score, registration order) + r4-evidence head
-#:       fills to 50.
+#:   r11 (this): zero r10 reds, so the draft below made concrete —
+#:       2 changed keys first (pipeline_curation_full: try/finally
+#:       unpersist, r10 advisory; dedup_minhash_incremental: rides the
+#:       minhash_index param-stamp + fail-fast check, r10 advisory),
+#:       then ALL 31 r3-evidence keys (events_session_conversion …
+#:       text_quality_score, registration order), then 17 r4-evidence
+#:       head fills (scan_parquet_project …
+#:       join_cust_order_distribution) — 50 total. Lands the r10
+#:       verdict's #2: after this window no key's evidence predates r4
+#:       and the rotation is steady-state (oldest ≤ 2 rounds back).
+#:   r12 draft: (any r11 reds) + keys r12 changes + the remaining 30
+#:       r4-evidence keys (subq_small_qty_revenue … text_repetition,
+#:       registration order) + r5-evidence head fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r10 window (see rotation history above): 4 changed keys, then the
-    # 30 remaining r2-evidence keys (registration order), then 16
-    # r3-evidence head fills — 50 total.
-    "pipeline_training_corpus_neardup",
+    # r11 window (see rotation history above): 2 changed keys, then the
+    # 31 remaining r3-evidence keys (registration order), then 17
+    # r4-evidence head fills — 50 total.
     "pipeline_curation_full",
-    "dedup_minhash_lsh",
-    "dedup_winnowing",
-    # r2-evidence block (oldest driver rows in the registry; none of
-    # these changed since r2 except dedup_minhash_lsh above)
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_conditional",
-    "fn_array",
-    "fn_array_higher_order",
-    "fn_map",
-    "fn_json",
-    "stream_tumbling_1h",
-    "stream_sliding",
-    "stream_session",
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "text_stats",
-    "text_top_terms",
-    "text_lang_filter_pipeline",
-    "vec_norm",
-    "vec_centroid",
-    "vec_cosine_topk",
-    "udf_scalar_python",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped",
-    "udtf_python",
-    "grouped_map_applyInPandas",
-    "map_partitions_arrow",
-    "sink_parquet_partitioned",
-    "sink_json_lines",
-    "sink_csv",
-    "sink_multi",
-    # r3-evidence head fills
-    "join_returned_revenue_top",
-    "join_part_supplier_diversity",
-    "join_top_supplier",
-    "etl_unpivot",
-    "agg_string_concat",
-    "source_range",
-    "fn_null_semantics",
-    "fn_struct",
-    "win_locf",
-    "agg_mode",
-    "fn_try_arithmetic",
-    "fn_interval",
-    "fn_array_outer",
-    "events_gapfill_spine",
-    "win_time_weighted_avg",
-    "win_streak",
+    "dedup_minhash_incremental",
+    # r3-evidence block (oldest driver rows in the registry after the
+    # r10 window retired the r2 tail; none of these changed since r3)
+    "events_session_conversion",
+    "events_funnel",
+    "events_retention",
+    "win_pct_of_total",
+    "topk_per_group_agg",
+    "agg_histogram",
+    "agg_bool",
+    "events_anomaly_zscore",
+    "vec_quantize_int8",
+    "basket_part_pairs",
+    "agg_relational_division",
+    "revenue_yoy",
+    "interval_max_concurrent",
+    "alloc_largest_remainder",
+    "agg_entropy",
+    "agg_gini",
+    "events_markov",
+    "outlier_iqr",
+    "agg_weighted_median",
+    "orders_gap_stats",
+    "agg_mad",
+    "events_attribution",
+    "agg_winsorized_mean",
+    "events_path_mining",
+    "events_burst_detection",
+    "revenue_rank_movers",
+    "events_dwell_time",
+    "orders_cohort_ltv",
+    "revenue_trend_ols",
+    "text_lang_id",
+    "text_quality_score",
+    # r4-evidence head fills
+    "scan_parquet_project",
+    "scan_pushdown_filter",
+    "source_json_parse",
+    "proj_expr",
+    "filter_compound",
+    "win_nth_value",
+    "win_moving_median",
+    "win_running_distinct",
+    "win_rolling_argmax",
+    "win_since_last_error",
+    "set_except_all",
+    "subq_in",
+    "agg_pivot",
+    "subq_exists_late_orders",
+    "subq_any_all",
+    "join_market_share",
+    "join_cust_order_distribution",
 ]
 
 
