@@ -190,6 +190,48 @@ def run_corpus_ingest(
     )
 
 
+def assign_neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index: DataFrame,
+    corpus_tokens: DataFrame,
+    out_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> None:
+    """IDEMPOTENT per-batch near-dup assigner (module-level so tests can
+    crash-replay it, same pattern as ``write_corpus_batch``): tokenizes
+    the batch, assigns keepers against the static index via
+    ``minhash_assign_incremental``, and lands the result under its own
+    ``batch_id=<id>`` partition with dynamic partition overwrite — a
+    replay of batch N after a failure between the sink write and the
+    checkpoint commit rewrites exactly batch N's assignments instead of
+    appending duplicates."""
+    from pyetl_spark.operators.minhash import minhash_assign_incremental
+
+    batch = batch_df.select(
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    out = minhash_assign_incremental(
+        batch,
+        index,
+        corpus_tokens,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+
+
 def run_neardup_ingest(
     docs_stream: DataFrame,
     index: DataFrame,
@@ -233,27 +275,17 @@ def run_neardup_ingest(
     `minhash_assign_incremental` verifies them on every batch, so a
     mismatched ingest fails fast instead of writing wrong keepers.
     """
-    from pyetl_spark.operators.minhash import minhash_assign_incremental
-
     def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(
-            "doc_id",
-            F.array_distinct(F.split("text", " ")).alias("tokens"),
-        )
-        out = minhash_assign_incremental(
-            batch,
+        assign_neardup_batch(
+            batch_df,
+            batch_id,
             index,
             corpus_tokens,
+            out_path,
             threshold=threshold,
             num_hashes=num_hashes,
             bands=bands,
             seed=seed,
-        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_path)
         )
 
     return (

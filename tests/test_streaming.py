@@ -812,3 +812,118 @@ def test_stream_neardup_ingest_assigns_keepers(spark, scratch):
         for r in minhash_assign_incremental(union, index, corpus).collect()
     }
     assert batch_got == got
+
+
+def test_stream_neardup_ingest_checkpoint_recovery(spark, scratch):
+    """Kill/restart contract for the near-dup ingest (the sibling
+    guarantee `test_foreachbatch_checkpoint_recovery_exactly_once` pins
+    for the exact path): stop after part 1, restart the SAME checkpoint
+    with part 2 present — only the new file is processed, every doc is
+    assigned exactly once, and the assignments equal the batch operator
+    on the union (restart boundaries invisible)."""
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+    )
+    from pyetl_spark.streaming.corpus import (
+        read_docs_stream,
+        run_neardup_ingest,
+    )
+
+    def text(ns: int) -> str:
+        return " ".join(f"{ns}:w{j}" for j in range(20))
+
+    corpus = spark.createDataFrame(
+        [(i, text(i)) for i in range(8)], "doc_id long, text string"
+    ).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    index = minhash_index(corpus)
+
+    src = os.path.join(scratch, "docs_src_rec")
+    out = os.path.join(scratch, "assign_out_rec")
+    ck = os.path.join(scratch, "ck_rec")
+    b1 = [{"doc_id": 200, "text": text(200)},
+          {"doc_id": 2001, "text": text(1)}]
+    _write_batch(src, "b1.json", b1)
+
+    q1 = run_neardup_ingest(read_docs_stream(spark, src), index, corpus,
+                            out, ck)
+    q1.awaitTermination(120)
+    q1.stop()  # simulated shutdown (availableNow already drained part 1)
+    first = {
+        r["doc_id"]: r["keeper_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {200: 200, 2001: 1}
+
+    b2 = [{"doc_id": 201, "text": text(201)},
+          {"doc_id": 2003, "text": text(3)}]
+    _write_batch(src, "b2.json", b2)
+    q2 = run_neardup_ingest(read_docs_stream(spark, src), index, corpus,
+                            out, ck)
+    q2.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    got = {r["doc_id"]: r["keeper_id"] for r in back.collect()}
+    assert got == {200: 200, 2001: 1, 201: 201, 2003: 3}
+    # each doc assigned exactly once — part 1 was NOT reprocessed
+    assert back.count() == 4
+    # the two runs landed under distinct batch_id partitions
+    assert back.select("batch_id").distinct().count() == 2
+
+    union = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in (*b1, *b2)],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    batch_got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_assign_incremental(union, index, corpus).collect()
+    }
+    assert batch_got == got
+
+
+def test_stream_neardup_replayed_batch_is_idempotent(spark, scratch):
+    """foreachBatch is at-least-once: a crash between the parquet write
+    and the checkpoint commit re-runs the SAME batch_id on restart. The
+    per-batch dynamic partition overwrite must make that replay rewrite
+    batch N's partition in place — same assignments, not doubled rows
+    (the sibling guarantee `test_replayed_batch_is_idempotent` pins for
+    the exact path's accept/quarantine sinks)."""
+    from pyetl_spark.operators.minhash import minhash_index
+    from pyetl_spark.streaming.corpus import assign_neardup_batch
+
+    def text(ns: int) -> str:
+        return " ".join(f"{ns}:w{j}" for j in range(20))
+
+    corpus = spark.createDataFrame(
+        [(i, text(i)) for i in range(5)], "doc_id long, text string"
+    ).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    index = minhash_index(corpus)
+    out = os.path.join(scratch, "assign_out_replay")
+
+    batch = spark.createDataFrame(
+        [(300, text(300)), (3002, text(2))], "doc_id long, text string"
+    )
+    for _ in range(3):  # crash-replay the same epoch three times
+        assign_neardup_batch(batch, 7, index, corpus, out)
+
+    back = spark.read.parquet(out)
+    got = {r["doc_id"]: r["keeper_id"] for r in back.collect()}
+    assert got == {300: 300, 3002: 2}
+    assert back.count() == 2  # rewritten in place, not appended
+    assert {r["batch_id"] for r in back.collect()} == {7}
+
+    # a replay carrying a different batch_id must NOT clobber batch 7
+    # (dynamic overwrite touches only its own partition)
+    other = spark.createDataFrame(
+        [(301, text(301))], "doc_id long, text string"
+    )
+    assign_neardup_batch(other, 8, index, corpus, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r["batch_id"] for r in back.collect()} == {7, 8}
