@@ -71,6 +71,24 @@ def minhash_signature(
     return F.array(*sigs)
 
 
+def _signature_sql(tokens_expr: str, num_hashes: int, seed: int) -> str:
+    """One-string SQL form of ``minhash_signature`` — same hash family,
+    same integer ops, same fold order, so the signatures are
+    bit-identical to the Column form (pinned by
+    test_minhash_signature_sql_equals_column_form). Exists because the
+    per-literal Column form costs ~1.3k Py4J round-trips per plan BUILD
+    and ``_banded`` runs on every minhash entry point (twice for the
+    incremental path) — driver-side plan construction is a scale axis
+    (SCALE.md; same fix pattern as operators/knn.py's SRP bank)."""
+    base = f"transform({tokens_expr}, t -> xxhash64(t))"
+    mins = ", ".join(
+        f"array_min(transform({base}, "
+        f"h -> ((abs(h) % {_MERSENNE_P}L) * {a}L + {b}L) % {_MERSENNE_P}L))"
+        for a, b in _hash_params(num_hashes, seed)
+    )
+    return f"array({mins})"
+
+
 def _banded(
     docs: DataFrame,
     id_col: str,
@@ -81,7 +99,7 @@ def _banded(
 ) -> DataFrame:
     """(_id, band_idx, band_hash) — one row per doc per band."""
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(tokens_col), num_hashes, seed)
+    sig = F.expr(_signature_sql(f"`{tokens_col}`", num_hashes, seed))
     return docs.select(
         F.col(id_col).alias("_id"), sig.alias("_sig")
     ).select(

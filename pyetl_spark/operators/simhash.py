@@ -75,27 +75,35 @@ def simhash_df(
     ``hash_fn`` (Column -> Column) defaults to xxhash64 (the scale path).
     ``parity.phash60`` makes the fingerprints cross-engine replayable (a
     60-bit simhash — the top 4 bit-majorities are vacuously 0); the
-    voting/banding algebra is identical either way."""
+    voting/banding algebra is identical either way.
+
+    Build cost (r11): the 64 bit-count aggregates and the 64-term
+    majority fold are compiled SQL strings, not per-literal Column
+    chains — the Column form spent ~5k Py4J round-trips per plan BUILD
+    (SCALE.md: driver-side plan construction is a scale axis; same fix
+    pattern as operators/knn.py's SRP bank). ``shiftleft(1L, j)``
+    reproduces ``_MASKS`` exactly, sign bit included; the arithmetic is
+    identical, so fingerprints are bit-identical to the old form
+    (pinned by test_simhash_df_equals_column_form)."""
     exploded = docs.select(
         F.col(id_col).alias("_id"), F.explode(F.col(tokens_col)).alias("_t")
     ).select("_id", (hash_fn or F.xxhash64)(F.col("_t")).alias("_h"))
     aggs = [
-        F.sum((F.col("_h").bitwiseAND(F.lit(m)) != 0).cast("long")).alias(
-            f"_c{j}"
-        )
-        for j, m in enumerate(_MASKS)
+        F.expr(
+            f"sum(cast((_h & shiftleft(1L, {j})) != 0 as long))"
+        ).alias(f"_c{j}")
+        for j in range(_BITS)
     ]
     counted = exploded.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"), *aggs
     )
-    out = F.lit(0).cast("long")
-    for j, m in enumerate(_MASKS):
-        out = out.bitwiseOR(
-            F.when(F.col(f"_c{j}") * 2 > F.col("_n"), F.lit(m))
-            .otherwise(0)
-            .cast("long")
-        )
-    return counted.select(F.col("_id").alias(id_col), out.alias("sh"))
+    majority = " | ".join(
+        f"(CASE WHEN _c{j} * 2 > _n THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(_BITS)
+    )
+    return counted.select(
+        F.col("_id").alias(id_col), F.expr(majority).alias("sh")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -65,6 +65,39 @@ def test_minhash_signature_deterministic(spark, docs_tokens):
     assert s1.exceptAll(s3).count() > 0
 
 
+def test_minhash_signature_sql_equals_column_form(spark, docs_tokens):
+    """The compiled one-string SQL signature (`_signature_sql`, the
+    production path inside `_banded` since the r11 build-cost trim) must
+    be bit-identical to the public Column form — same hash family, same
+    integer ops, same fold order. A drift here would silently re-band
+    every corpus on the next ingest."""
+    from pyetl_spark.operators.minhash import (
+        _signature_sql,
+        minhash_signature,
+    )
+
+    for num_hashes, seed in ((16, 7), (32, 42)):
+        col_form = {
+            r["doc_id"]: r["sig"]
+            for r in docs_tokens.select(
+                "doc_id",
+                minhash_signature(
+                    F.col("tokens"), num_hashes, seed=seed
+                ).alias("sig"),
+            ).collect()
+        }
+        sql_form = {
+            r["doc_id"]: r["sig"]
+            for r in docs_tokens.select(
+                "doc_id",
+                F.expr(_signature_sql("`tokens`", num_hashes, seed)).alias(
+                    "sig"
+                ),
+            ).collect()
+        }
+        assert sql_form == col_form
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs_tokens, exact_pairs):
     """LSH with 32 hashes / 8 bands must recover >= 90% of true >=0.8
     pairs (S-curve: J=0.8, r=4, b=8 → P(candidate) ≈ 1-(1-0.41)^8 ≈ 0.985)
