@@ -114,27 +114,34 @@ ORACLE: dict[str, str] = {}
 #:       win_streak). Lands the r9 verdict's #1: after this window no
 #:       key's latest evidence predates r3.
 #:   r11 (this): zero r10 reds, so the draft below made concrete —
-#:       2 changed keys first (pipeline_curation_full: try/finally
-#:       unpersist, r10 advisory; dedup_minhash_incremental: rides the
-#:       minhash_index param-stamp + fail-fast check, r10 advisory),
-#:       then ALL 31 r3-evidence keys (events_session_conversion …
-#:       text_quality_score, registration order), then 17 r4-evidence
-#:       head fills (scan_parquet_project …
-#:       join_cust_order_distribution) — 50 total. Lands the r10
-#:       verdict's #2: after this window no key's evidence predates r4
-#:       and the rotation is steady-state (oldest ≤ 2 rounds back).
-#:   r12 draft: (any r11 reds) + keys r12 changes + the remaining 30
-#:       r4-evidence keys (subq_small_qty_revenue … text_repetition,
+#:       5 changed keys first (pipeline_curation_full: try/finally
+#:       unpersist, r10 advisory; dedup_minhash_incremental +
+#:       dedup_minhash_lsh + pipeline_training_corpus_neardup: ride the
+#:       minhash_index param-stamp and the compiled `_signature_sql`
+#:       build-cost trim; dedup_simhash: compiled 64-term bit-majority
+#:       SQL — all gated at 3 SFs + determinism,
+#:       canon_sweep_r11_buildcost_*.jsonl), then ALL 31 r3-evidence
+#:       keys (events_session_conversion … text_quality_score,
+#:       registration order), then 14 r4-evidence head fills
+#:       (scan_parquet_project … subq_exists_late_orders) — 50 total.
+#:       Lands the r10 verdict's #2: after this window no key's
+#:       evidence predates r4 and the rotation is steady-state
+#:       (oldest ≤ 2 rounds back).
+#:   r12 draft: (any r11 reds) + keys r12 changes + the remaining 33
+#:       r4-evidence keys (subq_any_all … text_repetition,
 #:       registration order) + r5-evidence head fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r11 window (see rotation history above): 2 changed keys, then the
-    # 31 remaining r3-evidence keys (registration order), then 17
+    # r11 window (see rotation history above): 5 changed keys, then the
+    # 31 remaining r3-evidence keys (registration order), then 14
     # r4-evidence head fills — 50 total.
     "pipeline_curation_full",
     "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "pipeline_training_corpus_neardup",
+    "dedup_simhash",
     # r3-evidence block (oldest driver rows in the registry after the
     # r10 window retired the r2 tail; none of these changed since r3)
     "events_session_conversion",
@@ -183,9 +190,6 @@ PRIORITY: list[str] = [
     "subq_in",
     "agg_pivot",
     "subq_exists_late_orders",
-    "subq_any_all",
-    "join_market_share",
-    "join_cust_order_distribution",
 ]
 
 
