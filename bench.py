@@ -16,6 +16,18 @@ suite, a small warm-up to amortize codegen, per-query wall time around a
 count()-style action (results are consumed, not collected to driver).
 Per-query numbers are the MEDIAN of 3 warm runs (r7): robust to the
 2-3 s run-to-run spread that best-of-2 let mask real regressions.
+
+Two noise rules measured in r11 (EVIDENCE_r11.md) that any reader of a
+BENCH diff needs:
+- INTER-run noise floor ~8 s/14 % on the full suite: two back-to-back
+  runs of an identical tree on a verified-quiet machine read 64.2 and
+  56.2 s (per-key swings to 1.57x). The per-key median-of-3 bounds only
+  INTRA-run noise; suite-level diffs inside that band are weather.
+- Fresh-process isolated reruns (SPARK_GRAFT_ONLY — the auto-triage
+  path) carry a JIT/codegen premium over in-suite medians (measured:
+  graph_pagerank 5.7-6.0 s isolated vs 3.9 in-suite, same tree). They
+  answer "is this regression suite-interference?" and must only be
+  compared to OTHER isolated numbers, never to in-suite medians.
 """
 
 from __future__ import annotations
