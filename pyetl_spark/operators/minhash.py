@@ -417,6 +417,47 @@ def minhash_index(
     )
 
 
+def minhash_index_delta(
+    new_docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Band rows for the NEW KEEPERS of an incremental batch — the rows
+    the caller appends to the persisted ``minhash_index`` so the NEXT
+    batch can match today's novel documents (closing the daily-ingest
+    loop: without the append, a tomorrow-dup of a today-novel doc
+    self-keeps and the corpus accumulates near-duplicates).
+
+    ``assignments`` is ``minhash_assign_incremental``'s output for this
+    batch. New keepers are its self-keep rows (``id == keeper_id``);
+    docs that matched an existing cluster are already represented by
+    that cluster's keeper and must NOT be re-banded — the index holds
+    keepers only, ``bands`` rows each. Cost is O(|new keepers| · bands);
+    the existing index is not read, so the append is as incremental as
+    the assignment itself. The delta carries the same stamped
+    (num_hashes, bands, seed) schema metadata as ``minhash_index`` —
+    REQUIRED to match the index being appended to (the fail-fast check
+    in ``minhash_assign_incremental`` reads whichever file's footer the
+    scan samples, so a mixed-parameter index is exactly the corruption
+    the stamp exists to catch).
+    """
+    keepers = assignments.filter(
+        F.col(id_col) == F.col("keeper_id")
+    ).select(id_col)
+    return minhash_index(
+        new_docs.join(keepers, id_col),
+        id_col,
+        tokens_col,
+        num_hashes,
+        bands,
+        seed,
+    )
+
+
 def minhash_assign_incremental(
     new_docs: DataFrame,
     index: DataFrame,
@@ -438,7 +479,8 @@ def minhash_assign_incremental(
     Returns (``id_col``, keeper_id): keeper = the id of the matched
     existing cluster representative (min id among verified band-bucket
     matches), or the doc's own id when nothing matches (a NEW keeper —
-    the caller appends those to the index). New docs are matched against
+    the caller appends those to the index via ``minhash_index_delta``,
+    closing the daily-ingest loop). New docs are matched against
     the corpus only, not each other — run ``minhash_dedup_assign`` on
     the batch first if intra-batch dups matter (the streaming twin's
     within-watermark dedup usually owns that).

@@ -1284,6 +1284,88 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_index_maintenance",
+    oracle="""
+    SELECT doc_id, doc_id AS keeper_id FROM documents
+    WHERE doc_id BETWEEN 400 AND 449
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, doc_id AS keeper_id
+    FROM documents WHERE doc_id BETWEEN 300 AND 399 AND doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_minhash_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index-maintenance leg of the daily-ingest contract (r11,
+    closes the loop `dedup_minhash_incremental` opens): day-2's NEW
+    keepers are banded by `minhash_index_delta` and unioned into the
+    index, and day-3 dups of day-2 NOVEL docs must then match — without
+    the append they would silently self-keep and the corpus would
+    accumulate near-duplicates batch over batch. Cost of the delta is
+    O(|new keepers| · bands); the existing index is never re-read, so
+    maintenance is as incremental as assignment.
+
+    Tier A via the namespaced-planting construction of its sibling:
+    corpus = docs < 300 with id-namespaced token sets (pairwise J = 0,
+    deduplicated by construction — no xxhash64-dependent merge set);
+    day 2 = docs 300–399 (novel, own namespaces) + exact copies of
+    corpus docs (% 25 → +100000, carrying the source's namespace);
+    day 3 = exact copies of day-2 NOVEL docs (% 10 → +200000) + fresh
+    docs 400–449. A day-3 copy shares every band bucket with its day-2
+    source (identical token set ⇒ identical signature) and ONLY that
+    source can verify (everything else is J = 0), so the whole expected
+    output is id arithmetic, which the oracle states. A delta that
+    re-bands matched docs, misses a new keeper, drops the stamped
+    parameter metadata (the union would fail the fail-fast check), or
+    an assignment regression each produce a hash mismatch. The parquet
+    append mechanics + metadata survival across the mixed-file index
+    are pinned by tests/test_approx_operators.py::
+    test_minhash_index_delta_closes_daily_ingest_loop."""
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+        minhash_index_delta,
+    )
+
+    base = load_tables(spark, sf_dir).documents.filter(
+        F.col("doc_id") < 450
+    ).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.concat(F.col("doc_id").cast("string"), F.lit(":"), t),
+        ).alias("tokens"),
+    )
+    corpus = base.filter(F.col("doc_id") < 300)
+    novel2 = base.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    day2 = novel2.unionByName(
+        corpus.filter(F.col("doc_id") % 25 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(100000)
+        )
+    )
+    index1 = minhash_index(corpus)
+    assign2 = minhash_assign_incremental(day2, index1, corpus)
+    index2 = index1.unionByName(minhash_index_delta(day2, assign2))
+    corpus2 = corpus.unionByName(
+        day2.join(
+            assign2.filter(F.col("doc_id") == F.col("keeper_id")).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
+    )
+    day3 = base.filter(F.col("doc_id") >= 400).unionByName(
+        novel2.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(200000)
+        )
+    )
+    return minhash_assign_incremental(day3, index2, corpus2).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "text_count_min_freq",
     oracle=f"""
     WITH tok AS (

@@ -98,7 +98,8 @@ ORACLE: dict[str, str] = {}
 #:       (recomputed this session from CORRECTNESS_r01..r08 vs the
 #:       363-key registry) and there were no r8 reds; the window is
 #:       pure steady-state rotation — see the list below.
-#:   r10 (this): zero r9 reds, so the window is the draft below made
+#:   r10 (done, 50 green — 42 hash + 8 rows-only-by-design): zero r9
+#:       reds, so the window was the draft made
 #:       concrete: the four changed keys first —
 #:       pipeline_training_corpus_neardup (rows-only → Tier-A this
 #:       round via the r9 namespaced-planting technique, gated at
@@ -114,31 +115,33 @@ ORACLE: dict[str, str] = {}
 #:       win_streak). Lands the r9 verdict's #1: after this window no
 #:       key's latest evidence predates r3.
 #:   r11 (this): zero r10 reds, so the draft below made concrete —
-#:       5 changed keys first (pipeline_curation_full: try/finally
-#:       unpersist, r10 advisory; dedup_minhash_incremental +
-#:       dedup_minhash_lsh + pipeline_training_corpus_neardup: ride the
-#:       minhash_index param-stamp and the compiled `_signature_sql`
-#:       build-cost trim; dedup_simhash: compiled 64-term bit-majority
-#:       SQL — all gated at 3 SFs + determinism,
-#:       canon_sweep_r11_buildcost_*.jsonl), then ALL 31 r3-evidence
+#:       5 changed + 1 NEW key first (pipeline_curation_full:
+#:       try/finally unpersist, r10 advisory; dedup_minhash_incremental
+#:       + dedup_minhash_lsh + pipeline_training_corpus_neardup: ride
+#:       the minhash_index param-stamp and the compiled `_signature_sql`
+#:       build-cost trim; dedup_minhash_index_maintenance: NEW — the
+#:       index-append leg of the daily-ingest contract; dedup_simhash:
+#:       compiled 64-term bit-majority SQL — all gated at 3 SFs +
+#:       determinism, canon_sweep_r11_buildcost_*.jsonl +
+#:       canon_sweep_r11_idxmaint_*.jsonl), then ALL 31 r3-evidence
 #:       keys (events_session_conversion … text_quality_score,
-#:       registration order), then 14 r4-evidence head fills
-#:       (scan_parquet_project … subq_exists_late_orders) — 50 total.
-#:       Lands the r10 verdict's #2: after this window no key's
-#:       evidence predates r4 and the rotation is steady-state
-#:       (oldest ≤ 2 rounds back).
-#:   r12 draft: (any r11 reds) + keys r12 changes + the remaining 33
-#:       r4-evidence keys (subq_any_all … text_repetition,
+#:       registration order), then 13 r4-evidence head fills
+#:       (scan_parquet_project … agg_pivot) — 50 total. Lands the r10
+#:       verdict's #2: after this window no key's evidence predates r4
+#:       and the rotation is steady-state (oldest ≤ 2 rounds back).
+#:   r12 draft: (any r11 reds) + keys r12 changes + the remaining 34
+#:       r4-evidence keys (subq_exists_late_orders … text_repetition,
 #:       registration order) + r5-evidence head fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r11 window (see rotation history above): 5 changed keys, then the
-    # 31 remaining r3-evidence keys (registration order), then 14
+    # r11 window (see rotation history above): 5 changed + 1 new key, then
+    # the 31 remaining r3-evidence keys (registration order), then 13
     # r4-evidence head fills — 50 total.
     "pipeline_curation_full",
     "dedup_minhash_incremental",
+    "dedup_minhash_index_maintenance",
     "dedup_minhash_lsh",
     "pipeline_training_corpus_neardup",
     "dedup_simhash",
@@ -189,7 +192,6 @@ PRIORITY: list[str] = [
     "set_except_all",
     "subq_in",
     "agg_pivot",
-    "subq_exists_late_orders",
 ]
 
 

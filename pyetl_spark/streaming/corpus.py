@@ -274,6 +274,15 @@ def run_neardup_ingest(
     build params into the index schema metadata and
     `minhash_assign_incremental` verifies them on every batch, so a
     mismatched ingest fails fast instead of writing wrong keepers.
+
+    Index maintenance happens BETWEEN runs, not per-batch: after a run
+    drains, feed its assignment output through `minhash_index_delta`
+    and append the new keepers' band rows to the index parquet — the
+    next `run_neardup_ingest` (or restart) then catches dups of this
+    run's novel docs (tests/test_approx_operators.py pins the
+    three-day lifecycle). A per-batch append inside foreachBatch would
+    break replay idempotency (the delta append is not keyed by
+    batch_id), which is why the index stays static within a run.
     """
     def assign_batch(batch_df: DataFrame, batch_id: int) -> None:
         assign_neardup_batch(

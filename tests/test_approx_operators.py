@@ -551,6 +551,76 @@ def test_minhash_incremental_matches_batch(spark, tmp_path):
     assert union_assign[10] == 0
 
 
+def test_minhash_index_delta_closes_daily_ingest_loop(spark, tmp_path):
+    """Three-day lifecycle: day-1 corpus builds the index; day-2 brings
+    a novel doc (new keeper) whose band rows are appended via
+    minhash_index_delta; day-3 brings an exact copy of the day-2 novel
+    doc. WITH the append, day-3's copy maps to the day-2 keeper;
+    without it, it would silently self-keep and the corpus would
+    accumulate near-duplicates — the exact failure the helper closes.
+    Also pins that the stamped parameter metadata survives the
+    mixed-file (original + delta) parquet index, so the fail-fast
+    parameter check keeps working after appends."""
+    import os
+
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+        minhash_index_delta,
+    )
+
+    def toks(ns):
+        return [f"{ns}:w{j}" for j in range(30)]
+
+    corpus = spark.createDataFrame(
+        [(i, toks(i)) for i in range(5)], "doc_id long, tokens array<string>"
+    )
+    idx_path = os.path.join(str(tmp_path), "idx_lifecycle")
+    minhash_index(corpus).write.mode("overwrite").parquet(idx_path)
+
+    # day 2: one dup of corpus doc 3, one novel doc 100
+    day2 = spark.createDataFrame(
+        [(100, toks(100)), (1003, toks(3))],
+        "doc_id long, tokens array<string>",
+    )
+    index = spark.read.parquet(idx_path)
+    assign2 = minhash_assign_incremental(day2, index, corpus)
+    got2 = {r["doc_id"]: r["keeper_id"] for r in assign2.collect()}
+    assert got2 == {100: 100, 1003: 3}
+
+    # append ONLY the new keeper's band rows (the dup of 3 must not be
+    # re-banded — the index holds keepers only)
+    delta = minhash_index_delta(day2, assign2)
+    assert delta.count() == 8  # bands rows for doc 100 alone
+    delta.write.mode("append").parquet(idx_path)
+
+    # day 3: an exact copy of the day-2 NOVEL doc + a fresh novel doc.
+    # corpus tokens for verification now include day-2's keeper.
+    day3 = spark.createDataFrame(
+        [(2100, toks(100)), (200, toks(200))],
+        "doc_id long, tokens array<string>",
+    )
+    corpus_plus = corpus.unionByName(
+        day2.filter(F.col("doc_id") == 100)
+    )
+    index2 = spark.read.parquet(idx_path)
+    # the stamped params survived the mixed-file index
+    assert index2.schema["band_hash"].metadata["minhash.bands"] == 8
+    got3 = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_assign_incremental(
+            day3, index2, corpus_plus
+        ).collect()
+    }
+    assert got3 == {2100: 100, 200: 200}
+
+    # and the fail-fast parameter check still fires on the appended index
+    import pytest
+
+    with pytest.raises(ValueError, match="does not match the index"):
+        minhash_assign_incremental(day3, index2, corpus_plus, bands=4)
+
+
 def test_minhash_incremental_param_mismatch_raises(spark, tmp_path):
     """(num_hashes, bands, seed) must match the index's build params —
     band hashes from different parameters never collide, so a mismatch
