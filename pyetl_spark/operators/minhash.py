@@ -500,12 +500,12 @@ def minhash_assign_incremental(
         meta = index.schema["band_hash"].metadata or {}
     except KeyError:  # caller projected/renamed the index — can't check
         meta = {}
-    if "minhash.num_hashes" in meta:
-        built = (
-            meta["minhash.num_hashes"],
-            meta["minhash.bands"],
-            meta["minhash.seed"],
-        )
+    _stamp_keys = ("minhash.num_hashes", "minhash.bands", "minhash.seed")
+    # all three or nothing: a partially-present stamp (caller re-aliased
+    # with its own metadata, keeping some keys) is uncheckable, and must
+    # fall back to the documented permissive path rather than KeyError
+    if all(k in meta for k in _stamp_keys):
+        built = tuple(meta[k] for k in _stamp_keys)
         if built != (num_hashes, bands, seed):
             raise ValueError(
                 "minhash_assign_incremental: (num_hashes, bands, seed)="

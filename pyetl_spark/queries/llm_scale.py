@@ -1316,12 +1316,16 @@ def dedup_minhash_index_maintenance(
     source (identical token set ⇒ identical signature) and ONLY that
     source can verify (everything else is J = 0), so the whole expected
     output is id arithmetic, which the oracle states. A delta that
-    re-bands matched docs, misses a new keeper, drops the stamped
-    parameter metadata (the union would fail the fail-fast check), or
-    an assignment regression each produce a hash mismatch. The parquet
-    append mechanics + metadata survival across the mixed-file index
-    are pinned by tests/test_approx_operators.py::
-    test_minhash_index_delta_closes_daily_ingest_loop."""
+    re-bands matched docs, misses a new keeper, or an assignment
+    regression each produce a hash mismatch here. A delta that DROPS
+    the stamped parameter metadata would NOT fail here (Union output
+    attributes take the FIRST child's metadata, so index1's stamp
+    masks it) — that regression is pinned directly by the lifecycle
+    pytest's assertion on the delta frame's own metadata
+    (tests/test_approx_operators.py::
+    test_minhash_index_delta_closes_daily_ingest_loop, which also pins
+    the parquet append mechanics and metadata survival across the
+    mixed-file index)."""
     from pyetl_spark.operators.minhash import (
         minhash_assign_incremental,
         minhash_index,
@@ -1345,7 +1349,14 @@ def dedup_minhash_index_maintenance(
         )
     )
     index1 = minhash_index(corpus)
-    assign2 = minhash_assign_incremental(day2, index1, corpus)
+    # eager localCheckpoint (the etl_incremental_join_view pattern):
+    # assign2 feeds BOTH index2 (via the delta) and corpus2, and a real
+    # pipeline reads the day-2 assignment from disk — without the pin
+    # the final action would replay the day-2 banding + verify once per
+    # consumer. The frame is id-bounded (≤ ~112 rows at every SF).
+    assign2 = minhash_assign_incremental(
+        day2, index1, corpus
+    ).localCheckpoint(eager=True)
     index2 = index1.unionByName(minhash_index_delta(day2, assign2))
     corpus2 = corpus.unionByName(
         day2.join(

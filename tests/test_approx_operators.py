@@ -592,6 +592,14 @@ def test_minhash_index_delta_closes_daily_ingest_loop(spark, tmp_path):
     # re-banded — the index holds keepers only)
     delta = minhash_index_delta(day2, assign2)
     assert delta.count() == 8  # bands rows for doc 100 alone
+    # the DELTA ITSELF must carry the parameter stamp: a union with the
+    # original index masks a missing stamp (Union takes the first
+    # child's metadata), and a parquet read may sample the original
+    # file's footer — this direct assertion is the only reliable pin
+    dmeta = delta.schema["band_hash"].metadata
+    assert dmeta["minhash.num_hashes"] == 32
+    assert dmeta["minhash.bands"] == 8
+    assert dmeta["minhash.seed"] == 42
     delta.write.mode("append").parquet(idx_path)
 
     # day 3: an exact copy of the day-2 NOVEL doc + a fresh novel doc.
@@ -673,6 +681,22 @@ def test_minhash_incremental_param_mismatch_raises(spark, tmp_path):
     )
     assert (
         minhash_assign_incremental(docs, bare, docs, threshold=0.8).count()
+        == 1
+    )
+
+    # a PARTIAL stamp (caller re-aliased keeping only some keys) is
+    # equally uncheckable: permissive skip, never a KeyError
+    partial = index.select(
+        "keeper_id",
+        "band_idx",
+        F.col("band_hash").alias(
+            "band_hash", metadata={"minhash.num_hashes": 32}
+        ),
+    )
+    assert (
+        minhash_assign_incremental(
+            docs, partial, docs, threshold=0.8, num_hashes=16
+        ).count()
         == 1
     )
 
