@@ -99,7 +99,12 @@ def _banded(
 ) -> DataFrame:
     """(_id, band_idx, band_hash) — one row per doc per band."""
     rows = num_hashes // bands
-    sig = F.expr(_signature_sql(f"`{tokens_col}`", num_hashes, seed))
+    # the token column name is interpolated into SQL text (the compiled
+    # `_signature_sql` path) — backtick-quote it the way F.col would, so
+    # names containing backticks/spaces survive the parser (same rule as
+    # operators/knn.py `_dot_sql`)
+    quoted = "`" + tokens_col.replace("`", "``") + "`"
+    sig = F.expr(_signature_sql(quoted, num_hashes, seed))
     return docs.select(
         F.col(id_col).alias("_id"), sig.alias("_sig")
     ).select(
@@ -402,8 +407,16 @@ def minhash_index(
     ``minhash_assign_incremental`` can verify an incremental caller's
     (num_hashes, bands, seed) match the index it is probing — a mismatch
     would otherwise silently produce empty band buckets (every doc
-    self-keeps) instead of an error."""
-    return _banded(docs, id_col, tokens_col, num_hashes, bands, seed).select(
+    self-keeps) instead of an error.
+
+    Empty/null token sets are excluded (mirroring
+    ``minhash_dedup_assign``): their all-null signatures would collapse
+    into ONE shared band bucket that grows with every appended batch on
+    degenerate corpora — output stays correct (0/0 Jaccard never
+    verifies) but every future empty doc would candidate-join against
+    the whole bucket. An empty doc has nothing to near-match anyway."""
+    bandable = docs.filter(F.size(F.col(tokens_col)) > 0)
+    return _banded(bandable, id_col, tokens_col, num_hashes, bands, seed).select(
         F.col("_id").alias("keeper_id"),
         "band_idx",
         F.col("band_hash").alias(
@@ -417,6 +430,37 @@ def minhash_index(
     )
 
 
+def _check_index_stamp(
+    index: DataFrame,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    caller: str,
+) -> None:
+    """Raise if ``index`` carries a (num_hashes, bands, seed) stamp in
+    its ``band_hash`` field metadata that disagrees with the caller's
+    parameters. Band hashes from different parameters never collide, so
+    a mismatch silently yields zero candidates (every doc self-keeps)
+    or, on append, a partially-dead index — exactly the corruption the
+    stamp exists to catch. A missing or partial stamp (caller projected
+    / re-aliased the index) is uncheckable and passes — all three keys
+    or nothing, so a partially-present stamp can't KeyError."""
+    try:
+        meta = index.schema["band_hash"].metadata or {}
+    except KeyError:  # caller projected/renamed the index — can't check
+        meta = {}
+    _stamp_keys = ("minhash.num_hashes", "minhash.bands", "minhash.seed")
+    if all(k in meta for k in _stamp_keys):
+        built = tuple(meta[k] for k in _stamp_keys)
+        if built != (num_hashes, bands, seed):
+            raise ValueError(
+                f"{caller}: (num_hashes, bands, seed)="
+                f"{(num_hashes, bands, seed)} does not match the index's "
+                f"build parameters {built}; a mismatch silently produces "
+                "empty band buckets (every doc would self-keep)"
+            )
+
+
 def minhash_index_delta(
     new_docs: DataFrame,
     assignments: DataFrame,
@@ -425,6 +469,7 @@ def minhash_index_delta(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Band rows for the NEW KEEPERS of an incremental batch — the rows
     the caller appends to the persisted ``minhash_index`` so the NEXT
@@ -444,7 +489,19 @@ def minhash_index_delta(
     in ``minhash_assign_incremental`` reads whichever file's footer the
     scan samples, so a mixed-parameter index is exactly the corruption
     the stamp exists to catch).
+
+    Pass ``index`` (the table being appended to, or any frame carrying
+    its stamped ``band_hash`` metadata) to verify the append's
+    (num_hashes, bands, seed) against the index's BEFORE producing
+    rows — a mismatched append creates the mixed-parameter index the
+    probe-side stamp check cannot reliably see (it reads whichever
+    parquet footer the scan samples). Optional only for callers that
+    already hold both sides' params by construction.
     """
+    if index is not None:
+        _check_index_stamp(
+            index, num_hashes, bands, seed, "minhash_index_delta"
+        )
     keepers = assignments.filter(
         F.col(id_col) == F.col("keeper_id")
     ).select(id_col)
@@ -496,23 +553,9 @@ def minhash_assign_incremental(
     field metadata; when present they are verified here and a mismatch
     raises instead of returning wrong keepers.
     """
-    try:
-        meta = index.schema["band_hash"].metadata or {}
-    except KeyError:  # caller projected/renamed the index — can't check
-        meta = {}
-    _stamp_keys = ("minhash.num_hashes", "minhash.bands", "minhash.seed")
-    # all three or nothing: a partially-present stamp (caller re-aliased
-    # with its own metadata, keeping some keys) is uncheckable, and must
-    # fall back to the documented permissive path rather than KeyError
-    if all(k in meta for k in _stamp_keys):
-        built = tuple(meta[k] for k in _stamp_keys)
-        if built != (num_hashes, bands, seed):
-            raise ValueError(
-                "minhash_assign_incremental: (num_hashes, bands, seed)="
-                f"{(num_hashes, bands, seed)} does not match the index's "
-                f"build parameters {built}; a mismatch silently produces "
-                "empty band buckets (every doc would self-keep)"
-            )
+    _check_index_stamp(
+        index, num_hashes, bands, seed, "minhash_assign_incremental"
+    )
     new_banded = _banded(new_docs, id_col, tokens_col, num_hashes, bands, seed)
     cands = (
         new_banded.join(index, ["band_idx", "band_hash"])

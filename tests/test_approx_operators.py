@@ -701,6 +701,131 @@ def test_minhash_incremental_param_mismatch_raises(spark, tmp_path):
     )
 
 
+def test_minhash_index_excludes_empty_and_null_token_docs(spark):
+    """Empty/null token sets must NOT be banded into the index (r11
+    advisory): their all-null signatures collapse into ONE shared band
+    bucket, and because the incremental path appends each batch's empty
+    self-keepers, that degenerate bucket would grow batch-over-batch —
+    every future empty doc candidate-joining against all of it. Output
+    was already correct (0/0 Jaccard never verifies); this pins the
+    CANDIDATE-side exclusion, mirroring minhash_dedup_assign's."""
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+        minhash_index_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, [f"w{j}" for j in range(30)]),
+            (1, []),           # empty token set
+            (2, None),         # null token set
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    idx = minhash_index(docs)
+    assert idx.count() == 8  # bands rows for doc 0 ONLY
+    assert idx.filter(F.col("keeper_id") != 0).count() == 0
+
+    # the delta path (rides minhash_index) excludes them the same way:
+    # all three self-keep, but only doc 0 produces append rows
+    assign = minhash_assign_incremental(
+        docs, minhash_index(docs.limit(0)), docs.limit(0)
+    )
+    assert {
+        r["doc_id"]: r["keeper_id"] for r in assign.collect()
+    } == {0: 0, 1: 1, 2: 2}
+    delta = minhash_index_delta(docs, assign)
+    assert delta.count() == 8
+    assert delta.filter(F.col("keeper_id") != 0).count() == 0
+
+
+def test_banded_survives_backtick_and_space_column_names(spark):
+    """The compiled `_signature_sql` path interpolates the token column
+    NAME into SQL text; it must backtick-quote (and escape embedded
+    backticks) the way F.col did before the r11 build-cost trim, so
+    non-identifier names keep working (r11 advisory; same contract as
+    operators/knn.py srp_signature)."""
+    from pyetl_spark.operators.minhash import _banded, minhash_dedup_assign
+
+    docs = spark.createDataFrame(
+        [
+            (0, [f"w{j}" for j in range(30)]),
+            (1, [f"w{j}" for j in range(30)]),
+            (2, [f"x{j}" for j in range(30)]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    # space name: the whole operator path (F.col sites + compiled SQL)
+    renamed = docs.withColumnRenamed("tokens", "my tokens")
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_dedup_assign(
+            renamed, tokens_col="my tokens", threshold=0.8
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2}, got
+    # backtick name: F.col cannot express it un-escaped anywhere, so the
+    # operator-level contract stops at the SQL layer — `_banded` must
+    # escape it rather than emit a parse error / mis-resolution
+    plain = {
+        (r["_id"], r["band_idx"]): r["band_hash"]
+        for r in _banded(docs, "doc_id", "tokens", 32, 8, 42).collect()
+    }
+    ticked = {
+        (r["_id"], r["band_idx"]): r["band_hash"]
+        for r in _banded(
+            docs.withColumnRenamed("tokens", "tok`ens"),
+            "doc_id",
+            "tok`ens",
+            32,
+            8,
+            42,
+        ).collect()
+    }
+    assert ticked == plain
+
+
+def test_minhash_index_delta_param_mismatch_raises(spark, tmp_path):
+    """minhash_index_delta optionally takes the TARGET index and fails
+    fast when the append's (num_hashes, bands, seed) disagree with the
+    index's stamp (r11 advisory): a mismatched append creates a
+    mixed-parameter index that the probe-side check can miss (it reads
+    whichever parquet footer the scan samples) — part of the index then
+    silently yields empty buckets."""
+    import os
+
+    import pytest
+
+    from pyetl_spark.operators.minhash import (
+        minhash_assign_incremental,
+        minhash_index,
+        minhash_index_delta,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, [f"w{j}" for j in range(40)])],
+        "doc_id long, tokens array<string>",
+    )
+    idx_path = os.path.join(str(tmp_path), "idx_delta_params")
+    minhash_index(docs).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    new = spark.createDataFrame(
+        [(100, [f"n{j}" for j in range(40)])],
+        "doc_id long, tokens array<string>",
+    )
+    assign = minhash_assign_incremental(new, index, docs)
+
+    for bad in ({"num_hashes": 16}, {"bands": 4}, {"seed": 7}):
+        with pytest.raises(ValueError, match="does not match the index"):
+            minhash_index_delta(new, assign, index=index, **bad)
+
+    # matching params pass the guard and produce the append rows
+    assert minhash_index_delta(new, assign, index=index).count() == 8
+    # omitting the index keeps the pre-r12 permissive contract
+    assert minhash_index_delta(new, assign, bands=4).count() == 4
+
+
 # --- count-min sketch ---------------------------------------------------------
 
 
