@@ -927,3 +927,98 @@ def test_stream_neardup_replayed_batch_is_idempotent(spark, scratch):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert {r["batch_id"] for r in back.collect()} == {7, 8}
+
+
+def test_stream_neardup_index_maintenance_between_runs(spark, scratch):
+    """Streaming twin of the three-day index-maintenance lifecycle
+    (test_minhash_index_delta_closes_daily_ingest_loop pins it at
+    operator level): ingest run 1 assigns a NOVEL doc (self-keeps);
+    BETWEEN runs — the documented maintenance point, since a per-batch
+    append inside foreachBatch would double-append on crash-replay —
+    its band rows are appended to the persisted index via
+    minhash_index_delta; ingest run 2 (fresh checkpoint, as a new day's
+    ingest would start) must then assign a dup of run 1's novel doc to
+    that keeper instead of silently self-keeping. Closes the last
+    untested seam of the daily-ingest contract: streaming assignment →
+    between-runs append → streaming assignment."""
+    from pyetl_spark.operators.minhash import (
+        minhash_index,
+        minhash_index_delta,
+    )
+    from pyetl_spark.streaming.corpus import (
+        read_docs_stream,
+        run_neardup_ingest,
+    )
+
+    def text(ns: int) -> str:
+        return " ".join(f"{ns}:w{j}" for j in range(20))
+
+    def tokenized(df):
+        return df.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+        )
+
+    corpus_docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(6)], "doc_id long, text string"
+    )
+    corpus = tokenized(corpus_docs)
+    idx_path = os.path.join(scratch, "maint_index")
+    minhash_index(corpus).write.mode("overwrite").parquet(idx_path)
+
+    src = os.path.join(scratch, "maint_src")
+    out = os.path.join(scratch, "maint_out")
+
+    # run 1: a novel doc 400 and a dup of corpus doc 2
+    b1 = [{"doc_id": 400, "text": text(400)},
+          {"doc_id": 4002, "text": text(2)}]
+    _write_batch(src, "b1.json", b1)
+    index1 = spark.read.parquet(idx_path)
+    q1 = run_neardup_ingest(
+        read_docs_stream(spark, src), index1, corpus, out,
+        os.path.join(scratch, "maint_ck1"),
+    )
+    q1.awaitTermination(120)
+    assign1 = spark.read.parquet(out).drop("batch_id")
+    assert {
+        r["doc_id"]: r["keeper_id"] for r in assign1.collect()
+    } == {400: 400, 4002: 2}
+
+    # between runs: append run 1's new keepers to the persisted index —
+    # the index= guard proves the append params match the index's stamp
+    run1_docs = tokenized(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in b1],
+            "doc_id long, text string",
+        )
+    )
+    minhash_index_delta(
+        run1_docs, assign1, index=index1
+    ).write.mode("append").parquet(idx_path)
+    # ...and fold the new keeper into the verification token lookup
+    corpus2 = corpus.unionByName(
+        run1_docs.join(
+            assign1.filter(F.col("doc_id") == F.col("keeper_id"))
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+
+    # run 2 (fresh source + checkpoint, like a new day's ingest): a dup
+    # of run 1's NOVEL doc must now land on keeper 400, and a fresh
+    # novel doc still self-keeps
+    src2 = os.path.join(scratch, "maint_src2")
+    out2 = os.path.join(scratch, "maint_out2")
+    _write_batch(src2, "b1.json", [
+        {"doc_id": 5400, "text": text(400)},
+        {"doc_id": 500, "text": text(500)},
+    ])
+    q2 = run_neardup_ingest(
+        read_docs_stream(spark, src2), spark.read.parquet(idx_path),
+        corpus2, out2, os.path.join(scratch, "maint_ck2"),
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["keeper_id"]
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == {5400: 400, 500: 500}
