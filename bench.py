@@ -28,6 +28,17 @@ BENCH diff needs:
   graph_pagerank 5.7-6.0 s isolated vs 3.9 in-suite, same tree). They
   answer "is this regression suite-interference?" and must only be
   compared to OTHER isolated numbers, never to in-suite medians.
+
+The first rule is ENFORCED here, not just documented (r12, VERDICT r11
+item 2 — the r10→r11 drift investigation cost a round because a single
+suite pass cannot see inter-run JVM drift): when the pass-1 suite total
+over the keys shared with the last driver record differs from that
+record by more than the measured 14 % band, the whole suite runs a
+SECOND pass in the same session and the shipping per-key numbers are
+the min of the two passes' medians; both passes are recorded under
+"noise_band" in the detail file so a verdict reader sees exactly what
+was out of band and what the quiet estimate is. An in-band run ships
+single-pass, with the band check itself still recorded.
 """
 
 from __future__ import annotations
@@ -267,6 +278,43 @@ def _sf1_dir() -> str | None:
     return d
 
 
+# the measured inter-run suite noise band (EVIDENCE_r11.md: two
+# identical-tree runs on a quiet machine differed 7.9 s / 14 %) — a
+# pass-1 total within this band of the prior driver record is weather
+# by measurement, outside it earns a confirming second pass
+NOISE_BAND = 0.14
+
+
+def _run_suite(
+    spark, headline: list[str], sf_dir: str
+) -> tuple[dict[str, float], dict[str, float]]:
+    """One full suite pass: per-key median-of-3 timings + intra-run
+    spreads ((max-min)/median — the floor a round-over-round diff must
+    exceed before it means anything; the r2→r3 "uniform slowdown" scare
+    was exactly this noise)."""
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for key in headline:
+        fn = registry.QUERIES[key]
+        runs = []
+        # median-of-3 (r6 verdict item 9): best-of-2 let 2-3 s of
+        # run-to-run spread mask real regressions on a ~47 s suite; the
+        # median is robust to one outlier in either direction.
+        for _ in range(3):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: computes every output column (count() would let
+            # Catalyst prune unprojected work), materializes nothing
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        med = sorted(runs)[len(runs) // 2]
+        timings[key] = round(med, 3)
+        spreads[key] = (
+            round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
+        )
+    return timings, spreads
+
+
 def main() -> None:
     # SPARK_GRAFT_ONLY=k1,k2 restricts the suite — used for the isolated
     # subset runs that separate per-query drift from suite-growth load
@@ -288,27 +336,62 @@ def main() -> None:
     registry.QUERIES["agg_groupby_pricing"](spark, sf_dir).limit(1).count()
     first_query_secs = time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for key in headline:
-        fn = registry.QUERIES[key]
-        runs = []
-        # median-of-3 (r6 verdict item 9): best-of-2 let 2-3 s of
-        # run-to-run spread mask real regressions on a ~47 s suite; the
-        # median is robust to one outlier in either direction.
-        for _ in range(3):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: computes every output column (count() would let
-            # Catalyst prune unprojected work), materializes nothing
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - start)
-        med = sorted(runs)[len(runs) // 2]
-        timings[key] = round(med, 3)
-        # intra-session run spread: (max-min)/median — the noise floor a
-        # round-over-round diff must exceed before it means anything
-        # (the r2→r3 "uniform slowdown" scare was exactly this noise)
-        spreads[key] = round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
+    prior = None if only else _latest_prior_bench()
+    if prior is not None and (prior[2] != sf or sf < 0):
+        # prior round ran at a different sf — a median-vs-median diff is
+        # meaningless, so no band check or triage at all (the detail
+        # file still carries this run's own timings/spreads). sf < 0 is
+        # the unknown-SF sentinel (dir name without "sf"): two unknowns
+        # compare equal (-1 == -1) while the underlying data sizes may
+        # differ, so unknown on either side also skips both.
+        prior = None
+
+    timings, spreads = _run_suite(spark, headline, sf_dir)
+
+    # inter-run noise band check (VERDICT r11 item 2): a single suite
+    # pass cannot distinguish JVM/machine weather from a real drift —
+    # the measured band between identical-tree runs is 14 % (NOISE_BAND).
+    # Out-of-band in EITHER direction earns a confirming second pass in
+    # the same session; the shipping number is then the per-key MIN of
+    # the two passes' medians (the quiet-machine estimate — contention
+    # only ever adds time). Both passes land in the detail record.
+    noise_band: dict | None = None
+    # SPARK_GRAFT_NOISE_BAND overrides the measured band — 0 forces the
+    # confirming second pass (how the branch is exercised end-to-end
+    # without waiting for real drift), a large value forces single-pass
+    band = float(os.environ.get("SPARK_GRAFT_NOISE_BAND", NOISE_BAND))
+    if prior is not None:
+        prior_q = prior[1]
+        shared = [k for k in timings if k in prior_q and prior_q[k] > 0]
+        pri_total = sum(prior_q[k] for k in shared)
+        cur_total = sum(timings[k] for k in shared)
+        if shared and pri_total > 0:
+            rel = abs(cur_total - pri_total) / pri_total
+            noise_band = {
+                "band": band,
+                "prior_round": prior[0],
+                "shared_keys": len(shared),
+                "shared_total_prior": round(pri_total, 3),
+                "shared_total_pass1": round(cur_total, 3),
+                "rel_diff_pass1": round(rel, 3),
+                "second_pass": rel > band,
+            }
+            if rel > band:
+                t2, s2 = _run_suite(spark, headline, sf_dir)
+                noise_band["pass1_queries"] = dict(timings)
+                noise_band["pass2_queries"] = dict(t2)
+                # per-key min-of-two, spread from whichever pass wins
+                merged_t: dict[str, float] = {}
+                merged_s: dict[str, float] = {}
+                for k in timings:
+                    if k in t2 and t2[k] < timings[k]:
+                        merged_t[k], merged_s[k] = t2[k], s2[k]
+                    else:
+                        merged_t[k], merged_s[k] = timings[k], spreads[k]
+                timings, spreads = merged_t, merged_s
+                noise_band["shared_total_min2"] = round(
+                    sum(timings[k] for k in shared), 3
+                )
 
     # regression auto-triage (VERDICT r8 item 4): any shared query whose
     # median moved >1.3x AND >0.3s vs the last driver-recorded round
@@ -316,20 +399,13 @@ def main() -> None:
     # regressions (GC/JVM state) re-run at historical levels there,
     # real per-query regressions don't. r8's vec_ann_lsh slipped
     # through a manual triage that covered three other queries.
-    # DETECT here; the subprocess reruns happen AFTER spark.stop() below
-    # so the parent JVM's heap isn't co-resident with the child's (a
-    # memory-squeezed child would read as a fake "real" regression).
+    # DETECT here (on the post-band-check timings, so a second pass that
+    # already explained a mover as weather doesn't re-flag it); the
+    # subprocess reruns happen AFTER spark.stop() below so the parent
+    # JVM's heap isn't co-resident with the child's (a memory-squeezed
+    # child would read as a fake "real" regression).
     isolated: dict[str, dict[str, float | None]] = {}
     flagged: list[str] = []
-    prior = None if only else _latest_prior_bench()
-    if prior is not None and (prior[2] != sf or sf < 0):
-        # prior round ran at a different sf — a median-vs-median diff is
-        # meaningless, so no triage at all (the detail file still carries
-        # this run's own timings/spreads). sf < 0 is the unknown-SF
-        # sentinel (dir name without "sf"): two unknowns compare equal
-        # (-1 == -1) while the underlying data sizes may differ, so
-        # unknown on either side also skips triage.
-        prior = None
     if prior is not None:
         prior_n, prior_q, _prior_sf = prior
         flagged = sorted(
@@ -361,6 +437,8 @@ def main() -> None:
             "first_query_secs": round(first_query_secs, 3),
         },
     }
+    if noise_band is not None:
+        out["noise_band"] = noise_band
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -443,6 +521,20 @@ def main() -> None:
     }
     if "sf1" in out:
         compact["sf1_ratio_vs_sf01"] = out["sf1"]["ratio_vs_sf01"]
+    if noise_band is not None:
+        # the stdout line carries the verdict-facing summary; per-pass
+        # key maps live in the detail file
+        compact["noise_band"] = {
+            k: noise_band[k]
+            for k in (
+                "rel_diff_pass1",
+                "second_pass",
+                "shared_total_prior",
+                "shared_total_pass1",
+                "shared_total_min2",
+            )
+            if k in noise_band
+        }
     if isolated:
         compact["isolated_reruns"] = {
             k: v["isolated"] for k, v in isolated.items()

@@ -129,69 +129,81 @@ ORACLE: dict[str, str] = {}
 #:       (scan_parquet_project … agg_pivot) — 50 total. Lands the r10
 #:       verdict's #2: after this window no key's evidence predates r4
 #:       and the rotation is steady-state (oldest ≤ 2 rounds back).
-#:   r12 draft: (any r11 reds) + keys r12 changes + the remaining 34
-#:       r4-evidence keys (subq_exists_late_orders … text_repetition,
-#:       registration order) + r5-evidence head fills to 50.
+#:   r12 (this): zero r11 reds, so the draft made concrete — the 5 keys
+#:       riding this round's operators/minhash.py hardening first
+#:       (empty/null-token exclusion from minhash_index, backtick-safe
+#:       compiled signature SQL, append-side param-stamp guard on
+#:       minhash_index_delta — all gated by canon_sweep_r12_advfix_* +
+#:       determinism_sweep_r12_advfix), then ALL 34 r4-evidence keys
+#:       (subq_exists_late_orders … text_repetition, registration
+#:       order), then 11 r5-evidence head fills
+#:       (source_json_corrupt_records … etl_dataset_fingerprint) — 50
+#:       total. Lands the r11 verdict's #1: after this window no key's
+#:       evidence predates r5 and the rotation self-sustains at
+#:       "oldest ≤ 2 rounds back".
+#:   r13 draft: (any r12 reds) + keys r13 changes + the remaining 38
+#:       r5-evidence keys (registration order) + r6-evidence head fills
+#:       to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r11 window (see rotation history above): 5 changed + 1 new key, then
-    # the 31 remaining r3-evidence keys (registration order), then 13
-    # r4-evidence head fills — 50 total.
+    # r12 window (see rotation history above): 5 keys riding the
+    # minhash.py hardening, then the 34 remaining r4-evidence keys
+    # (registration order), then 11 r5-evidence head fills — 50 total.
     "pipeline_curation_full",
     "dedup_minhash_incremental",
     "dedup_minhash_index_maintenance",
     "dedup_minhash_lsh",
     "pipeline_training_corpus_neardup",
-    "dedup_simhash",
-    # r3-evidence block (oldest driver rows in the registry after the
-    # r10 window retired the r2 tail; none of these changed since r3)
-    "events_session_conversion",
-    "events_funnel",
-    "events_retention",
-    "win_pct_of_total",
-    "topk_per_group_agg",
-    "agg_histogram",
-    "agg_bool",
-    "events_anomaly_zscore",
-    "vec_quantize_int8",
-    "basket_part_pairs",
-    "agg_relational_division",
-    "revenue_yoy",
-    "interval_max_concurrent",
-    "alloc_largest_remainder",
-    "agg_entropy",
-    "agg_gini",
-    "events_markov",
-    "outlier_iqr",
-    "agg_weighted_median",
-    "orders_gap_stats",
-    "agg_mad",
-    "events_attribution",
-    "agg_winsorized_mean",
-    "events_path_mining",
-    "events_burst_detection",
-    "revenue_rank_movers",
-    "events_dwell_time",
-    "orders_cohort_ltv",
-    "revenue_trend_ols",
-    "text_lang_id",
-    "text_quality_score",
-    # r4-evidence head fills
-    "scan_parquet_project",
-    "scan_pushdown_filter",
-    "source_json_parse",
-    "proj_expr",
-    "filter_compound",
-    "win_nth_value",
-    "win_moving_median",
-    "win_running_distinct",
-    "win_rolling_argmax",
-    "win_since_last_error",
-    "set_except_all",
-    "subq_in",
-    "agg_pivot",
+    # r4-evidence block (oldest driver rows in the registry after the
+    # r11 window retired the r3 block; none of these changed since r4)
+    "subq_exists_late_orders",
+    "subq_any_all",
+    "join_market_share",
+    "join_cust_order_distribution",
+    "subq_small_qty_revenue",
+    "join_disjunctive_pred",
+    "subq_cheapest_supplier",
+    "agg_ship_delay_buckets",
+    "subq_excess_shipments",
+    "join_waiting_orders",
+    "fn_bitwise",
+    "fn_hash",
+    "fn_string_parts",
+    "fn_trig",
+    "fn_printf",
+    "events_sliding_distinct_users",
+    "events_audience_overlap",
+    "text_ngram_novelty",
+    "events_new_vs_returning",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "text_stratified_cap",
+    "text_pack_sequences",
+    "text_mixture_sample",
+    "pipeline_training_corpus",
+    "text_tfidf_top_terms",
+    "dedup_sorted_neighborhood",
+    "graph_triangles",
+    "dedup_levenshtein",
+    "text_bigrams",
+    "text_source_divergence",
+    "text_decontaminate",
+    "text_repetition",
+    # r5-evidence head fills
+    "source_json_corrupt_records",
+    "source_csv_roundtrip_typed",
+    "source_json_variant",
+    "source_python_datasource",
+    "source_xml_parse",
+    "source_orc_roundtrip_typed",
+    "etl_cdc_compact",
+    "etl_fk_integrity",
+    "etl_freshness_lag",
+    "etl_k_anonymity",
+    "etl_dataset_fingerprint",
 ]
 
 
