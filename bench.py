@@ -146,6 +146,11 @@ HEADLINE = [
     # previously untracked round-over-round
     "graph_pagerank",
     "vec_ann_ivf",
+    # r12: the composed IVF-PQ index (coarse fit + residual PQ fit +
+    # ADC search) — the most expensive ANN build in the repo; tracked
+    # so a regression in either composed half (or the residual pass
+    # gluing them) is visible even if vec_ann_ivf/vec_pq stay flat
+    "vec_ann_ivfpq",
     # r9: the Arrow/mapInPandas heavyweight — the Python-worker data
     # path had no heavy sentinel (udf_arrow_scalar is sub-second), so a
     # regression in Arrow batch transfer or the mapInPandas machinery

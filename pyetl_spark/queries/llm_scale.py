@@ -893,6 +893,210 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+def _ivfpq_oracle(
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    nprobe: int = 2,
+    scale: int | None = None,
+) -> str:
+    """DuckDB replay of vec_ann_ivfpq end-to-end (r12): the _kmeans_ctes
+    coarse cells, per-vector RESIDUAL vs the assigned centroid (exact
+    IEEE subtraction — both sides see identical doubles because the
+    coarse means are integer-quantized), the _pq_oracle codebook fit
+    re-run over residual subvectors (same phash60(sub, id) seeding —
+    seed choice reads only (sub, id), so it is construction-identical),
+    per-(probe, probed-cell) residual ADC tables, and the fixed
+    sub-order fold. Mirrors operators/ivfpq.py."""
+    from pyetl_spark.operators.pq import PQ_SCALE
+
+    scale = PQ_SCALE if scale is None else scale
+    d_sub = dim // m
+    final = f"c{coarse_iters}"
+    dists = f"list_transform(s.cents, c -> {_sq_sql('p.e', 'c', dim)})"
+    argmin = f"list_position({dists}, list_aggregate({dists}, 'min'))"
+    seed_h = PHASH60_SEEDED("sub", "id")
+
+    def assign(cb: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+      SELECT id, sub, sv, cell AS code FROM (
+        SELECT s.id, s.sub, s.sv, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.id, s.sub
+                 ORDER BY {_sq_sql('s.sv', 'c.centroid', d_sub)}, c.cell
+               ) AS rn
+        FROM rsubs s JOIN {cb} c USING (sub)
+      ) WHERE rn = 1
+    )"""
+
+    parts = [
+        _kmeans_ctes(coarse_k, coarse_iters, dim).lstrip(),
+        f"""idx AS MATERIALIZED (
+      SELECT p.vec_id AS id, p.e,
+             s.cells[{argmin}] AS cell,
+             s.cents[{argmin}] AS ccent
+      FROM v p, {final} s
+    ),
+    res AS MATERIALIZED (
+      SELECT id, cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> e[i] - ccent[i]) AS r
+      FROM idx
+    ),
+    rsubs AS MATERIALIZED (
+      SELECT id, s.sub, r[s.sub*{d_sub}+1 : s.sub*{d_sub}+{d_sub}] AS sv
+      FROM res, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT sub,
+             CAST(row_number() OVER (PARTITION BY sub ORDER BY bucket) - 1
+                  AS INT) AS cell,
+             centroid
+      FROM (
+        SELECT sub, bucket, sv AS centroid FROM (
+          SELECT sub, {seed_h} % {k} AS bucket, sv,
+                 row_number() OVER (PARTITION BY sub, {seed_h} % {k}
+                                    ORDER BY {seed_h}, id) AS rb
+          FROM rsubs
+        ) WHERE rb = 1
+      )
+    )""",
+    ]
+    for i in range(1, pq_iters + 1):
+        parts.append(assign(f"cb{i - 1}", f"pa{i}"))
+        parts.append(
+            f"""cb{i} AS MATERIALIZED (
+      SELECT sub, cell, list(mval ORDER BY pos) AS centroid FROM (
+        SELECT sub, code AS cell, pos,
+               (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                 / {float(scale)} AS mval
+        FROM (
+          SELECT sub, code,
+                 unnest(generate_series(1, {d_sub})) AS pos,
+                 unnest(list_transform(sv, x -> {FXP('x', scale)})) AS q
+          FROM pa{i}
+        ) GROUP BY sub, code, pos
+      ) GROUP BY sub, cell
+    )"""
+        )
+    parts.append(assign(f"cb{pq_iters}", "encf"))
+    parts.append(
+        f"""enc AS MATERIALIZED (
+      SELECT e.id, r.cell, e.sub, e.code
+      FROM encf e JOIN (SELECT id, cell FROM res) r USING (id)
+    ),
+    pcells AS MATERIALIZED (
+      SELECT pid, cell, ccent, e FROM (
+        SELECT pid, cell, ccent, e,
+               row_number() OVER (PARTITION BY pid ORDER BY dd, cell)
+                 AS rn
+        FROM (
+          SELECT p.vec_id AS pid, p.e,
+                 unnest(s.cells) AS cell,
+                 unnest(s.cents) AS ccent,
+                 unnest({dists}) AS dd
+          FROM v p, {final} s WHERE p.vec_id < 5
+        )
+      ) WHERE rn <= {nprobe}
+    ),
+    ptab AS MATERIALIZED (
+      SELECT pc.pid, pc.cell, s.sub, c.cell AS code,
+             {_sq_sql(f"(list_transform(generate_series(1, {dim}), i -> pc.e[i] - pc.ccent[i]))[s.sub*{d_sub}+1 : s.sub*{d_sub}+{d_sub}]", 'c.centroid', d_sub)}
+               AS pd
+      FROM pcells pc,
+           (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+      JOIN cb{pq_iters} c ON c.sub = s.sub
+    ),
+    scored AS (
+      SELECT t.pid, e2.id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(t.pd ORDER BY t.sub)), (a,b) -> a + b) AS adc_dist
+      FROM enc e2
+      JOIN ptab t ON t.cell = e2.cell AND t.sub = e2.sub
+                 AND t.code = e2.code
+      WHERE e2.id != t.pid
+      GROUP BY t.pid, e2.id
+    )""",
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT pid AS probe_id, id AS neighbor_id,
+           {R('adc_dist', 4)} AS adc_dist, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT pid, id, adc_dist,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY adc_dist, id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    ORDER BY probe_id, rank
+    """
+    )
+
+
+@query("vec_ann_ivfpq", oracle=_ivfpq_oracle())
+def vec_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/ivfpq.py, r12) — the composed billion-scale
+    index: coarse k-means cells prune the corpus to nprobe=2 cells per
+    probe, PQ (m=8, k=16) trained on RESIDUALS compresses each vector
+    to 8 4-bit codes, and search is per-(probe, cell) residual ADC
+    tables joined once on (cell, sub, code). This is the standard
+    production composition of the two existing indexes (vec_ann_ivf
+    prunes but stores full vectors; vec_pq_adc_topk compresses but
+    scans every code): together the inverted file holds 8 BYTES per
+    vector and search touches only the probed cells' codes.
+
+    Tier A end-to-end: coarse centroids from kmeans_fit_exact, PQ
+    codebooks from pq_fit_exact over the residual frame (seeding reads
+    only (sub, id), so planted identically by the oracle), residual
+    subtraction exact IEEE on identical inputs, ADC folded in fixed sub
+    order — the DuckDB oracle (_ivfpq_oracle) replays coarse fit →
+    residual → PQ fit → encode → probe-residual ADC and hash-matches
+    on 4dp-rounded distances. Recall vs exact L2 is pinned in
+    tests/test_pq.py."""
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
+    from pyetl_spark.operators.ivfpq import ivfpq_residuals, ivfpq_topk
+    from pyetl_spark.operators.pq import pq_encode, pq_fit_exact
+
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = kmeans_fit_exact(v, k=8, iters=2)
+    # pin the residual frame: PQ's Lloyd iterations, the encode, and the
+    # cell join each consume it, and without the pin every consumer
+    # replays coarse-assign + zip_with from the scan. A production
+    # index build persists exactly this frame on its way to disk (the
+    # inverted file IS derived from it); size = corpus × dim doubles.
+    res = ivfpq_residuals(ivf_assign(v, cents), cents).localCheckpoint(
+        eager=True
+    )
+    cb = pq_fit_exact(
+        res, id_col="vec_id", vec_col="r", m=8, k=16, dim=64, iters=2
+    )
+    codes = pq_encode(
+        res, cb, id_col="vec_id", vec_col="r", m=8, dim=64
+    ).join(res.select(F.col("vec_id").alias("id"), "cell"), "id")
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    out = ivfpq_topk(
+        probes, codes, cb, cents, m=8, dim=64, topk=5, nprobe=2
+    )
+    return out.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        rnd(F.col("adc_dist"), 4).alias("adc_dist"),
+        "rank",
+    ).orderBy("probe_id", "rank")
+
+
 def _recall_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """DuckDB replay of vec_ann_recall_eval: the _ivf_oracle approx set
     joined against the exact brute-force top-5 (same fold-ordered

@@ -96,6 +96,97 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_paragraph_global",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS cidx,
+             array_to_string(list_slice(ts, i*10 + 1, i*10 + 10), ' ')
+               AS chunk
+      FROM toks, UNNEST(range(CAST(ceil(len(ts)/10.0) AS BIGINT))) AS r(i)
+    ),
+    boiler AS (
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING count(DISTINCT doc_id) > 3
+    ),
+    marked AS (
+      SELECT c.doc_id, c.cidx, c.chunk, b.chunk IS NULL AS keep
+      FROM chunks c LEFT JOIN boiler b USING (chunk)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(chunk, ' ' ORDER BY cidx)
+                      FILTER (WHERE keep), '') AS clean_text,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+             AS n_removed_chunks,
+           CAST(count(*) AS BIGINT) AS n_chunks
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style GLOBAL paragraph-hash dedup (r12): split every doc
+    into fixed 10-token chunks (the corpus has no newline paragraph
+    marks, so the chunk window IS the paragraph unit), find chunks that
+    appear in more than 3 DISTINCT documents (cross-corpus boilerplate
+    — headers, navigation, license blurbs in a real crawl), strip them
+    from every document, and reconstruct the cleaned text in original
+    chunk order. Complements the existing dedup family: doc-level exact
+    (`dedup_exact`) and near (`dedup_near_jaccard`/MinHash) dedup keep
+    or drop WHOLE documents; this is the sub-document cross-doc pass a
+    crawl corpus needs BEFORE near-dup (boilerplate inflates Jaccard
+    between unrelated pages).
+
+    100 TB plan: one explode to chunk rows (corpus-linear), one
+    aggregate on the chunk text (shuffle keyed on content — uniform by
+    construction, partial counts map-side), one join back on the same
+    key (AQE broadcasts when the boilerplate set is small, the common
+    case), one groupBy(doc_id) whose collect_list is bounded by the
+    document's own chunk count. No window over the corpus, no driver
+    materialization.
+    """
+    d = load_tables(spark, sf_dir).documents.filter(
+        F.col("text").isNotNull()
+    )
+    ts = F.split("text", " ")
+    nch = F.ceil(F.size(ts) / F.lit(10.0)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(F.slice(ts, i * 10 + 1, 10), " "),
+            )
+        ).alias("cidx", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 3)
+        .select("chunk", F.lit(True).alias("_boiler"))
+    )
+    marked = chunks.join(boiler, "chunk", "left")
+    kept_struct = F.when(
+        F.col("_boiler").isNull(), F.struct("cidx", "chunk")
+    )  # null for boilerplate rows -> dropped by collect_list
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                # struct sort = by first field (cidx, unique per doc)
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(
+            F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)
+        ).alias("n_removed_chunks"),
+        F.count("*").alias("n_chunks"),
+    )
+
+
+@query(
     "text_stats",
     oracle=f"""
     SELECT lang, source,

@@ -129,16 +129,21 @@ ORACLE: dict[str, str] = {}
 #:       (scan_parquet_project … agg_pivot) — 50 total. Lands the r10
 #:       verdict's #2: after this window no key's evidence predates r4
 #:       and the rotation is steady-state (oldest ≤ 2 rounds back).
-#:   r12 (this): zero r11 reds, so the draft made concrete — the 5 keys
-#:       riding this round's operators/minhash.py hardening first
-#:       (empty/null-token exclusion from minhash_index, backtick-safe
-#:       compiled signature SQL, append-side param-stamp guard on
-#:       minhash_index_delta — all gated by canon_sweep_r12_advfix_* +
+#:   r12 (this): zero r11 reds, so the draft made concrete — the TWO
+#:       NEW keys first (dedup_paragraph_global: CCNet-style global
+#:       paragraph-hash boilerplate strip; vec_ann_ivfpq: coarse-cell +
+#:       residual-PQ ANN, the composed billion-scale index; both with
+#:       no CORRECTNESS row yet, each gated at 3 SFs + determinism
+#:       before pinning), then the 5 keys riding this round's
+#:       operators/minhash.py hardening (empty/null-token exclusion
+#:       from minhash_index, backtick-safe compiled signature SQL,
+#:       append-side param-stamp guard on minhash_index_delta — all
+#:       gated by canon_sweep_r12_advfix_* +
 #:       determinism_sweep_r12_advfix), then ALL 34 r4-evidence keys
 #:       (subq_exists_late_orders … text_repetition, registration
-#:       order), then 11 r5-evidence head fills
-#:       (source_json_corrupt_records … etl_dataset_fingerprint) — 50
-#:       total. Lands the r11 verdict's #1: after this window no key's
+#:       order), then 9 r5-evidence head fills
+#:       (source_json_corrupt_records … etl_freshness_lag) — 50 total.
+#:       Lands the r11 verdict's #1: after this window no key's
 #:       evidence predates r5 and the rotation self-sustains at
 #:       "oldest ≤ 2 rounds back".
 #:   r13 draft: (any r12 reds) + keys r13 changes + the remaining 38
@@ -148,9 +153,12 @@ ORACLE: dict[str, str] = {}
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r12 window (see rotation history above): 5 keys riding the
-    # minhash.py hardening, then the 34 remaining r4-evidence keys
-    # (registration order), then 11 r5-evidence head fills — 50 total.
+    # r12 window (see rotation history above): the NEW key + 5 keys
+    # riding the minhash.py hardening, then the 34 remaining
+    # r4-evidence keys (registration order), then 10 r5-evidence head
+    # fills — 50 total.
+    "dedup_paragraph_global",  # NEW in r12 (no CORRECTNESS row yet)
+    "vec_ann_ivfpq",  # NEW in r12 (no CORRECTNESS row yet)
     "pipeline_curation_full",
     "dedup_minhash_incremental",
     "dedup_minhash_index_maintenance",
@@ -202,8 +210,6 @@ PRIORITY: list[str] = [
     "etl_cdc_compact",
     "etl_fk_integrity",
     "etl_freshness_lag",
-    "etl_k_anonymity",
-    "etl_dataset_fingerprint",
 ]
 
 

@@ -829,3 +829,54 @@ def test_contamination_check_detects_planted_copy(spark, tmp_path):
     }
     assert 0 in out and out[0]["contaminated"] is True
     assert out[0]["contamination_frac"] == 1.0
+
+
+def test_paragraph_dedup_strips_cross_doc_boilerplate(spark, tmp_path):
+    """dedup_paragraph_global (r12): a 10-token chunk shared by MORE
+    than 3 distinct docs is boilerplate and must vanish from every
+    doc's clean_text (in-order reconstruction of the survivors); a
+    chunk in exactly 3 docs stays; a doc that is ALL boilerplate comes
+    back as the empty string, not a dropped row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyetl_spark.registry import QUERIES
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"  # exactly one chunk
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"    # in 3 docs: stays
+    texts = [
+        boiler + " u0a u0b u0c u0d u0e u0f u0g u0h u0i u0j",  # 0
+        boiler + " " + rare,                                    # 1
+        boiler + " " + rare,                                    # 2
+        boiler + " " + rare,                                    # 3
+        boiler,                                                 # 4: all boiler
+        "solo words only here nothing shared at all ok fine",   # 5
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_paragraph_global"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 6
+    # the 4-doc chunk is stripped everywhere, in-order survivors remain
+    assert out[0]["clean_text"] == "u0a u0b u0c u0d u0e u0f u0g u0h u0i u0j"
+    assert out[0]["n_removed_chunks"] == 1 and out[0]["n_chunks"] == 2
+    # the 3-doc chunk survives (threshold is > 3 DISTINCT docs)
+    for i in (1, 2, 3):
+        assert out[i]["clean_text"] == rare, out[i]
+        assert out[i]["n_removed_chunks"] == 1
+    # all-boilerplate doc -> empty string, still a row
+    assert out[4]["clean_text"] == "" and out[4]["n_removed_chunks"] == 1
+    # untouched doc round-trips byte-identically
+    assert out[5]["clean_text"] == texts[5]
+    assert out[5]["n_removed_chunks"] == 0 and out[5]["n_chunks"] == 1

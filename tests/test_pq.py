@@ -111,3 +111,49 @@ def test_fixture_embeddings_compress(spark):
     n = emb.count()
     assert codes.count() == n * 8
     assert codes.agg(F.max("code")).collect()[0][0] < 16
+
+
+def test_ivfpq_recall_and_cell_pruning_on_clustered_data(spark):
+    """IVF-PQ (operators/ivfpq.py, r12): coarse cells + residual-PQ ADC.
+    On well-separated clusters with nprobe=1, every neighbor must come
+    from the probe's OWN cluster (the inverted file actually prunes),
+    and recall@5 vs exact L2 must match the plain-PQ bar — residual
+    quantization should not LOSE accuracy on centered data."""
+    from pyspark.sql import functions as F
+
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit
+    from pyetl_spark.operators.ivfpq import ivfpq_residuals, ivfpq_topk
+
+    df = _clustered(spark)
+    v = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cents = kmeans_fit(v, k=4, iters=3)
+    res = ivfpq_residuals(ivf_assign(v, cents), cents)
+    cb = pq_fit(res, id_col="vec_id", vec_col="r", m=M, k=K, dim=DIM,
+                iters=3)
+    codes = pq_encode(
+        res, cb, id_col="vec_id", vec_col="r", m=M, dim=DIM
+    ).join(res.select(F.col("vec_id").alias("id"), "cell"), "id")
+    probes = v.filter(F.col("vec_id").isin([0, 60, 120, 180])).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    got = ivfpq_topk(
+        probes, codes, cb, cents, m=M, dim=DIM, topk=5, nprobe=1
+    ).collect()
+    data = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    hits = total = 0
+    for pid in (0, 60, 120, 180):
+        q = data[pid]
+        exact = sorted(
+            (i for i in data if i != pid),
+            key=lambda i: float(np.sum((data[i] - q) ** 2)),
+        )[:5]
+        approx = [r["id"] for r in got if r["probe_id"] == pid]
+        assert len(approx) == 5
+        # nprobe=1 on separated clusters: strictly the probe's cluster
+        assert all(abs(a - pid) < 60 for a in approx)
+        hits += len(set(exact) & set(approx))
+        total += 5
+    assert hits / total >= 0.6, hits / total
