@@ -146,7 +146,7 @@ ORACLE: dict[str, str] = {}
 #:       Lands the r11 verdict's #1: after this window no key's
 #:       evidence predates r5 and the rotation self-sustains at
 #:       "oldest ≤ 2 rounds back".
-#:   r13 draft: (any r12 reds) + keys r13 changes + the remaining 38
+#:   r13 draft: (any r12 reds) + keys r13 changes + the remaining 40
 #:       r5-evidence keys (registration order) + r6-evidence head fills
 #:       to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
