@@ -13,8 +13,9 @@ Scale shape: index build = one coarse assign (broadcast centroids) +
 one residual zip_with + one PQ fit/encode over the exploded subvector
 frame — all corpus-linear, no pairwise work. Search = nprobe cells per
 probe (broadcast coarse centroids), an m x k ADC table per (probe,
-cell) (tiny, broadcast), ONE equi-join on (cell, sub, code), and a
-fixed-order fold per candidate. Memory: the inverted file holds
+cell) — tiny per probe, but the union scales with the probe batch, so
+it is shuffle-joined and AQE broadcasts only when small — ONE equi-join
+on (cell, sub, code), and a fixed-order fold per candidate. Memory: the inverted file holds
 m log2(k)-bit codes per vector (8 bytes at m=8, k=16) — the arithmetic
 that fits billions of vectors on a cluster.
 
@@ -62,6 +63,11 @@ def _split_keyed(
     """(keys..., sub, v): subvector explode keeping arbitrary key cols
     (pq.split_subvectors keeps a single id — search needs (probe, cell))."""
     d_sub = dim // m
+    # same guard as pq.split_subvectors: a non-divisible (m, dim) would
+    # silently drop the trailing dim % m components from every probe
+    # residual (wrong rankings, no error) while the corpus-side split
+    # fails fast — build and search must agree on the failure mode
+    assert d_sub * m == dim, "m must divide dim"
     subs = F.explode(
         F.array(
             *[
@@ -100,7 +106,14 @@ def ivfpq_topk(
     cells; per (probe, cell): the probe residual vs THAT centroid, an
     m x k ADC table; then one equi-join on (cell, sub, code) and a
     fixed-sub-order fold per candidate (bit-deterministic, same rule as
-    pq.adc_topk)."""
+    pq.adc_topk).
+
+    The ADC table is nprobe x m x k rows PER PROBE — tiny per probe but
+    proportional to the probe batch, so it is deliberately NOT
+    force-broadcast (a 10M-probe offline batch would blow the driver);
+    the (cell, sub, code) equi-join shuffles both sides by default and
+    AQE broadcasts the table when the probe batch is actually small —
+    the common online case."""
     cents = F.broadcast(coarse_centroids)
     pc = probes.crossJoin(cents).withColumn(
         "_d", _sq_dist(F.col(probe_vec), F.col("centroid"))
@@ -129,7 +142,7 @@ def ivfpq_topk(
         _sq_dist(F.col("v"), F.col("centroid")).alias("pd"),
     )
     scored = (
-        codes.join(F.broadcast(table), ["cell", "sub", "code"])
+        codes.join(table, ["cell", "sub", "code"])
         .filter(F.col("id") != F.col("pid"))
         .groupBy("pid", "id")
         .agg(

@@ -153,10 +153,10 @@ ORACLE: dict[str, str] = {}
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r12 window (see rotation history above): the NEW key + 5 keys
-    # riding the minhash.py hardening, then the 34 remaining
-    # r4-evidence keys (registration order), then 10 r5-evidence head
-    # fills — 50 total.
+    # r12 window (see rotation history above): the TWO NEW keys + 5
+    # keys riding the minhash.py hardening, then the 34 remaining
+    # r4-evidence keys (registration order), then 9 r5-evidence head
+    # fills — 2 + 5 + 34 + 9 = 50 total.
     "dedup_paragraph_global",  # NEW in r12 (no CORRECTNESS row yet)
     "vec_ann_ivfpq",  # NEW in r12 (no CORRECTNESS row yet)
     "pipeline_curation_full",

@@ -153,7 +153,10 @@ def test_ivfpq_recall_and_cell_pruning_on_clustered_data(spark):
         approx = [r["id"] for r in got if r["probe_id"] == pid]
         assert len(approx) == 5
         # nprobe=1 on separated clusters: strictly the probe's cluster
-        assert all(abs(a - pid) < 60 for a in approx)
+        # (clusters are the contiguous id blocks [0,60) [60,120) ... —
+        # same-block, NOT |a-pid|<60, which for pid=60+ would admit most
+        # of the NEIGHBORING block and miss a cell-join leak)
+        assert all(a // 60 == pid // 60 for a in approx), (pid, approx)
         hits += len(set(exact) & set(approx))
         total += 5
     assert hits / total >= 0.6, hits / total
