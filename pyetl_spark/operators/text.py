@@ -222,6 +222,93 @@ def winnowing_dedup_assign(
     )
 
 
+def paragraph_chunks(text: Column, width: int = 10) -> Column:
+    """array<string>: consecutive ``width``-token chunks of ``text`` —
+    the fixed-window "paragraph" unit for corpora without newline marks
+    (the CCNet paragraph-hash unit). Pure JVM expression algebra; text
+    must be non-null (split of '' yields one ''-chunk, consistent with
+    the DuckDB twin in queries/llm_text.dedup_paragraph_global)."""
+    ts = F.split(text, " ")
+    nch = F.ceil(F.size(ts) / F.lit(float(width))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(ts, i * width + 1, width), " "),
+    )
+
+
+def paragraph_boilerplate(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+    min_docs: int = 4,
+):
+    """(chunk): the cross-doc boilerplate table — chunks appearing in at
+    least ``min_docs`` DISTINCT documents. This is the persistable
+    maintenance artifact of the paragraph-dedup lifecycle: build it in
+    batch over the corpus, write it as a small parquet table, and
+    streaming ingests strip against it statically (refresh BETWEEN
+    runs as the corpus grows — same between-runs contract as the
+    MinHash index, and for the same reason: an in-run refresh would
+    make replayed batches non-idempotent). One content-keyed exchange;
+    output is bounded by how much text the corpus actually repeats."""
+    chunks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.explode(paragraph_chunks(F.col(text_col), width)).alias("chunk"),
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("chunk")
+    )
+
+
+def strip_boilerplate(
+    docs,
+    boiler,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+):
+    """(id_col, clean_text, n_removed_chunks, n_chunks): remove every
+    boilerplate chunk from every document and reassemble the survivors
+    in original chunk order (struct-sorted collect_list — no window).
+    ``boiler`` is ``paragraph_boilerplate`` output (or the persisted
+    table); an all-boilerplate doc returns an empty string, not a
+    dropped row. Works identically on a bounded streaming micro-batch
+    against a STATIC boiler table (streaming/corpus.run_boilerplate_strip).
+    """
+    chunks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(paragraph_chunks(F.col(text_col), width)).alias(
+            "cidx", "chunk"
+        ),
+    )
+    marked = chunks.join(
+        boiler.select("chunk", F.lit(True).alias("_boiler")),
+        "chunk",
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("_boiler").isNull(), F.struct("cidx", "chunk")
+    )  # null for boilerplate rows -> dropped by collect_list
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                # struct sort = by first field (cidx, unique per doc)
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(
+            F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)
+        ).alias("n_removed_chunks"),
+        F.count("*").alias("n_chunks"),
+    )
+
+
 # ---------------------------------------------------------------- SQL twins
 
 def _stopword_hits_sql(toks: str, lang: str) -> str:

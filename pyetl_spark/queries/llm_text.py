@@ -146,44 +146,15 @@ def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's own chunk count. No window over the corpus, no driver
     materialization.
     """
-    d = load_tables(spark, sf_dir).documents.filter(
-        F.col("text").isNotNull()
+    from pyetl_spark.operators.text import (
+        paragraph_boilerplate,
+        strip_boilerplate,
     )
-    ts = F.split("text", " ")
-    nch = F.ceil(F.size(ts) / F.lit(10.0)).cast("int")
-    chunks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nch - 1),
-                lambda i: F.array_join(F.slice(ts, i * 10 + 1, 10), " "),
-            )
-        ).alias("cidx", "chunk"),
-    )
-    boiler = (
-        chunks.groupBy("chunk")
-        .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .filter(F.col("ndocs") > 3)
-        .select("chunk", F.lit(True).alias("_boiler"))
-    )
-    marked = chunks.join(boiler, "chunk", "left")
-    kept_struct = F.when(
-        F.col("_boiler").isNull(), F.struct("cidx", "chunk")
-    )  # null for boilerplate rows -> dropped by collect_list
-    return marked.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                # struct sort = by first field (cidx, unique per doc)
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum(
-            F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)
-        ).alias("n_removed_chunks"),
-        F.count("*").alias("n_chunks"),
-    )
+
+    d = load_tables(spark, sf_dir).documents
+    # boiler threshold: > 3 distinct docs == min_docs=4
+    boiler = paragraph_boilerplate(d, width=10, min_docs=4)
+    return strip_boilerplate(d, boiler, width=10)
 
 
 @query(

@@ -303,3 +303,76 @@ def run_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def strip_boilerplate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    boiler: DataFrame,
+    out_path: str,
+    width: int = 10,
+) -> None:
+    """IDEMPOTENT per-batch boilerplate strip (module-level so tests can
+    crash-replay it, same pattern as ``write_corpus_batch`` /
+    ``assign_neardup_batch``): runs the batch-identical
+    ``operators/text.strip_boilerplate`` against the STATIC boilerplate
+    table and lands the cleaned docs under their own ``batch_id=<id>``
+    partition with dynamic partition overwrite — a replayed batch
+    rewrites its own partition instead of appending duplicates."""
+    from pyetl_spark.operators.text import strip_boilerplate
+
+    out = strip_boilerplate(batch_df, boiler, width=width).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+
+
+def run_boilerplate_strip(
+    docs_stream: DataFrame,
+    boiler: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    width: int = 10,
+):
+    """Streaming cross-doc boilerplate removal — the streaming twin of
+    ``dedup_paragraph_global`` (north star: a crawl ingest strips known
+    boilerplate BEFORE near-dup assignment, because repeated headers /
+    navigation / license blurbs inflate Jaccard between unrelated
+    pages and waste index space downstream).
+
+    Per micro-batch via foreachBatch: the batch is bounded, so it rides
+    the batch kernel (``operators/text.strip_boilerplate``) unchanged —
+    one (chunk)-keyed join against the static ``boiler`` table per
+    batch, per-doc bounded reassembly. A streaming-native formulation
+    would need an update-mode aggregation per doc for zero benefit: the
+    per-doc answer is complete within its own batch.
+
+    ``boiler`` is the persisted ``paragraph_boilerplate`` table and is
+    STATIC within a run — maintenance happens BETWEEN runs by
+    re-running ``paragraph_boilerplate`` over the grown corpus and
+    overwriting the table (the ``minhash_index`` between-runs contract,
+    for the same reason: an in-run refresh would make replayed batches
+    produce different cleaned text than the original attempt, breaking
+    the idempotent-overwrite guarantee). New boilerplate that EMERGES
+    within a run (a chunk crossing min_docs today) is therefore caught
+    at the next run boundary, exactly like a today-novel near-dup.
+    ``width`` MUST equal the value the boiler table was built with —
+    chunks of different widths never string-match, so a mismatch
+    silently strips nothing.
+    """
+    def strip_batch(batch_df: DataFrame, batch_id: int) -> None:
+        strip_boilerplate_batch(
+            batch_df, batch_id, boiler, out_path, width=width
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(strip_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1022,3 +1022,105 @@ def test_stream_neardup_index_maintenance_between_runs(spark, scratch):
         for r in spark.read.parquet(out2).collect()
     }
     assert got2 == {5400: 400, 500: 500}
+
+
+def test_stream_boilerplate_strip_matches_batch_and_replays(spark, scratch):
+    """Streaming twin of dedup_paragraph_global (r12): per micro-batch,
+    docs are stripped against the STATIC persisted boilerplate table
+    with the batch-identical kernel — streamed output equals the batch
+    operator on the same docs, a crash-replayed batch_id rewrites in
+    place (not doubled), and a between-runs boiler refresh (the
+    minhash_index maintenance contract) changes what the NEXT run
+    strips without touching this run's output."""
+    from pyetl_spark.operators.text import (
+        paragraph_boilerplate,
+        strip_boilerplate,
+    )
+    from pyetl_spark.streaming.corpus import (
+        read_docs_stream,
+        run_boilerplate_strip,
+        strip_boilerplate_batch,
+    )
+
+    boiler_txt = " ".join(f"b{j}" for j in range(10))  # one exact chunk
+    def uniq(ns):
+        return " ".join(f"{ns}:w{j}" for j in range(10))
+
+    # corpus: the boiler chunk appears in 4 docs -> boilerplate at
+    # min_docs=4; build and persist the table like a real pipeline
+    corpus = spark.createDataFrame(
+        [(i, boiler_txt + " " + uniq(i)) for i in range(4)]
+        + [(9, uniq(9))],
+        "doc_id long, text string",
+    )
+    boiler_path = os.path.join(scratch, "boiler_tbl")
+    paragraph_boilerplate(corpus).write.mode("overwrite").parquet(
+        boiler_path
+    )
+    boiler = spark.read.parquet(boiler_path)
+
+    src = os.path.join(scratch, "strip_src")
+    out = os.path.join(scratch, "strip_out")
+    b1 = [
+        {"doc_id": 100, "text": boiler_txt + " " + uniq(100)},
+        {"doc_id": 101, "text": uniq(101)},
+        {"doc_id": 102, "text": boiler_txt},  # all boilerplate
+    ]
+    _write_batch(src, "b1.json", b1)
+    q = run_boilerplate_strip(
+        read_docs_stream(spark, src), boiler, out,
+        os.path.join(scratch, "strip_ck"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_chunks"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        100: (uniq(100), 1),
+        101: (uniq(101), 0),
+        102: ("", 1),
+    }
+    # streamed == batch kernel on the same docs
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in b1], "doc_id long, text string"
+    )
+    batch_got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_chunks"])
+        for r in strip_boilerplate(batch_docs, boiler).collect()
+    }
+    assert batch_got == got
+
+    # crash-replay: the same batch_id rewrites in place, not doubled
+    for _ in range(2):
+        strip_boilerplate_batch(batch_docs, 0, boiler, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r["batch_id"] for r in back.collect()} == {0}
+
+    # between-runs refresh: docs 100s' uniq text never crosses
+    # min_docs, but a NEW chunk that now appears in 4 docs (corpus +
+    # run-1 dup pushed it over) enters the refreshed table and the NEXT
+    # run strips it — this run's landed output is untouched
+    corpus2 = corpus.unionByName(batch_docs)
+    paragraph_boilerplate(corpus2).write.mode("overwrite").parquet(
+        boiler_path
+    )
+    src2 = os.path.join(scratch, "strip_src2")
+    out2 = os.path.join(scratch, "strip_out2")
+    _write_batch(src2, "b1.json", [
+        {"doc_id": 200, "text": boiler_txt + " " + uniq(200)},
+    ])
+    q2 = run_boilerplate_strip(
+        read_docs_stream(spark, src2), spark.read.parquet(boiler_path),
+        out2, os.path.join(scratch, "strip_ck2"),
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == {200: uniq(200)}
+    # run 1's output unchanged by the refresh
+    assert spark.read.parquet(out).count() == 3
