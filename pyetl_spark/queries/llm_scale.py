@@ -2066,6 +2066,38 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage_idx")
 
 
+def _scratch_index_dir(prefix: str) -> str:
+    """Fresh per-run scratch dir for a persisted-index lifecycle key.
+
+    The query phase READS the returned path back as its
+    correctness-critical input, so concurrent runs (test suite + bench,
+    parallel CI) must never interleave overwrite with read — mkdtemp is
+    unique per call. Retention: dirs with the SAME prefix from PRIOR
+    runs (>1h old — old enough that no live query phase can still be
+    reading them; a concurrent run's fresh dir is untouched) are pruned
+    so repeated sweep/bench/test runs don't accumulate unbounded
+    parquet artifacts."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    root = os.path.join(
+        os.environ.get("PYETL_SCRATCH", tempfile.gettempdir()),
+        "pyetl_spark_index",
+    )
+    os.makedirs(root, exist_ok=True)
+    cutoff = _time.time() - 3600
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        try:
+            if name.startswith(prefix) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent prune — someone else removed it
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 @query("vec_ann_ivf_persisted", oracle=_ivf_oracle())
 def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index LIFECYCLE: build once, persist, query from the persisted
@@ -2085,7 +2117,6 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_ivf_oracle`` pins the persisted query path — the hash match
     proves the index survived the disk round-trip bit-exactly."""
     import os
-    import tempfile
 
     from pyetl_spark.operators.ivf import (
         ivf_assign,
@@ -2093,31 +2124,7 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit_exact,
     )
 
-    # per-run directory: the query phase READS this path back as its
-    # correctness-critical input, so concurrent runs (test suite + bench,
-    # parallel CI) must never interleave overwrite with read. mkdtemp is
-    # unique per call; retention below keeps the scratch root bounded.
-    root = os.path.join(
-        os.environ.get("PYETL_SCRATCH", tempfile.gettempdir()),
-        "pyetl_spark_index",
-    )
-    os.makedirs(root, exist_ok=True)
-    # retention: prune ivf_* dirs from PRIOR runs (>1h old — old enough
-    # that no live query phase can still be reading them; a concurrent
-    # run's fresh dir is untouched) so repeated sweep/bench/test runs
-    # don't accumulate unbounded parquet artifacts.
-    import shutil
-    import time as _time
-
-    cutoff = _time.time() - 3600
-    for name in os.listdir(root):
-        p = os.path.join(root, name)
-        try:
-            if name.startswith("ivf_") and os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass  # raced with a concurrent prune — someone else removed it
-    base = tempfile.mkdtemp(prefix="ivf_", dir=root)
+    base = _scratch_index_dir("ivf_")
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
         "vec_id",
@@ -2140,6 +2147,74 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(probes, corpus_idx, cents_idx, k=5, nprobe=2).orderBy(
         "probe_id", "rank"
     )
+
+
+@query("vec_ann_ivfpq_persisted", oracle=_ivfpq_oracle())
+def vec_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index LIFECYCLE (r12): build once, persist, query from the
+    persisted form — the vec_ann_ivf_persisted contract applied to the
+    composed index, where it matters even more because what persists is
+    the COMPRESSED inverted file. Three parquet artifacts: the k-row
+    coarse centroid table, the m×k residual codebook, and the PQ codes
+    partitioned BY CELL — so an nprobe search prunes to the probed
+    cells' directories AND the bytes it reads there are 4-bit codes,
+    not vectors: the 32× memory arithmetic holds ON DISK too (at 10^9
+    vectors the full-vector inverted file is ~256 GB of float32 where
+    the code file is ~8 GB). The query phase cold-reads all three
+    artifacts (no lineage back to the build) and must produce the same
+    neighbors as the in-memory path.
+
+    Tier A: the build rides kmeans_fit_exact + pq_fit_exact like
+    vec_ann_ivfpq, and persisting is a LAYOUT change only (parquet
+    round-trips the centroid/codebook doubles and the integer codes
+    losslessly), so the SAME ``_ivfpq_oracle`` pins the persisted query
+    path — the hash match proves the composed index survived the disk
+    round-trip bit-exactly."""
+    import os
+
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
+    from pyetl_spark.operators.ivfpq import ivfpq_residuals, ivfpq_topk
+    from pyetl_spark.operators.pq import pq_encode, pq_fit_exact
+
+    base = _scratch_index_dir("ivfpq_")
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    # build + persist (the nightly job); residual frame pinned for the
+    # same multi-consumer reason as vec_ann_ivfpq
+    cents = kmeans_fit_exact(v, k=8, iters=2)
+    res = ivfpq_residuals(ivf_assign(v, cents), cents).localCheckpoint(
+        eager=True
+    )
+    cb = pq_fit_exact(
+        res, id_col="vec_id", vec_col="r", m=8, k=16, dim=64, iters=2
+    )
+    codes = pq_encode(
+        res, cb, id_col="vec_id", vec_col="r", m=8, dim=64
+    ).join(res.select(F.col("vec_id").alias("id"), "cell"), "id")
+    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))
+    codes.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(base, "codes")
+    )
+    # query phase: cold read of the persisted index only
+    cents_idx = spark.read.parquet(os.path.join(base, "centroids"))
+    cb_idx = spark.read.parquet(os.path.join(base, "codebook"))
+    codes_idx = spark.read.parquet(os.path.join(base, "codes"))
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    out = ivfpq_topk(
+        probes, codes_idx, cb_idx, cents_idx, m=8, dim=64, topk=5, nprobe=2
+    )
+    return out.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        rnd(F.col("adc_dist"), 4).alias("adc_dist"),
+        "rank",
+    ).orderBy("probe_id", "rank")
 
 
 @query(

@@ -129,20 +129,21 @@ ORACLE: dict[str, str] = {}
 #:       (scan_parquet_project … agg_pivot) — 50 total. Lands the r10
 #:       verdict's #2: after this window no key's evidence predates r4
 #:       and the rotation is steady-state (oldest ≤ 2 rounds back).
-#:   r12 (this): zero r11 reds, so the draft made concrete — the TWO
+#:   r12 (this): zero r11 reds, so the draft made concrete — the THREE
 #:       NEW keys first (dedup_paragraph_global: CCNet-style global
 #:       paragraph-hash boilerplate strip; vec_ann_ivfpq: coarse-cell +
-#:       residual-PQ ANN, the composed billion-scale index; both with
-#:       no CORRECTNESS row yet, each gated at 3 SFs + determinism
-#:       before pinning), then the 5 keys riding this round's
+#:       residual-PQ ANN, the composed billion-scale index;
+#:       vec_ann_ivfpq_persisted: its persisted-index lifecycle twin;
+#:       all with no CORRECTNESS row yet, each gated at 3 SFs +
+#:       determinism before pinning), then the 5 keys riding this round's
 #:       operators/minhash.py hardening (empty/null-token exclusion
 #:       from minhash_index, backtick-safe compiled signature SQL,
 #:       append-side param-stamp guard on minhash_index_delta — all
 #:       gated by canon_sweep_r12_advfix_* +
 #:       determinism_sweep_r12_advfix), then ALL 34 r4-evidence keys
 #:       (subq_exists_late_orders … text_repetition, registration
-#:       order), then 9 r5-evidence head fills
-#:       (source_json_corrupt_records … etl_freshness_lag) — 50 total.
+#:       order), then 8 r5-evidence head fills
+#:       (source_json_corrupt_records … etl_fk_integrity) — 50 total.
 #:       Lands the r11 verdict's #1: after this window no key's
 #:       evidence predates r5 and the rotation self-sustains at
 #:       "oldest ≤ 2 rounds back".
@@ -153,12 +154,14 @@ ORACLE: dict[str, str] = {}
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r12 window (see rotation history above): the TWO NEW keys + 5
-    # keys riding the minhash.py hardening, then the 34 remaining
-    # r4-evidence keys (registration order), then 9 r5-evidence head
-    # fills — 2 + 5 + 34 + 9 = 50 total.
+    # r12 window (see rotation history above): the THREE NEW keys
+    # (paragraph dedup, IVF-PQ, IVF-PQ persisted lifecycle) + 5 keys
+    # riding the minhash.py hardening, then the 34 remaining
+    # r4-evidence keys (registration order), then 8 r5-evidence head
+    # fills — 3 + 5 + 34 + 8 = 50 total.
     "dedup_paragraph_global",  # NEW in r12 (no CORRECTNESS row yet)
     "vec_ann_ivfpq",  # NEW in r12 (no CORRECTNESS row yet)
+    "vec_ann_ivfpq_persisted",  # NEW in r12 (no CORRECTNESS row yet)
     "pipeline_curation_full",
     "dedup_minhash_incremental",
     "dedup_minhash_index_maintenance",
@@ -209,7 +212,6 @@ PRIORITY: list[str] = [
     "source_orc_roundtrip_typed",
     "etl_cdc_compact",
     "etl_fk_integrity",
-    "etl_freshness_lag",
 ]
 
 

@@ -319,6 +319,8 @@ _NESTED_LOOP_OK = {
                            # broadcast k-row centroid table), residual-PQ
                            # composition — candidate scoring itself is the
                            # (cell, sub, code) hash equi-join
+    "vec_ann_ivfpq_persisted",  # same composed index, persisted-index
+                           # lifecycle variant (same intended BNLJ)
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
     "text_bm25_search",    # 1-row (N, avgdl) corpus scalar crossJoined in
     "text_stopword_discovery",  # 1-row n_docs scalar crossJoined for the
@@ -715,11 +717,11 @@ def test_plan_lint_no_accidental_python_eval(spark, key):
 # build, fixed by compiling the SRP bank to ONE F.expr string). This lint
 # makes that class mechanical instead of bench archaeology: every key's
 # builder runs at sf0.001 with py4j method calls counted, and fails above
-# max(1500, 2 x its committed r11 baseline) — 1500 covers the registry's
+# max(1500, 2 x its committed r12 baseline) — 1500 covers the registry's
 # p90 (581) with ~2.5x headroom; the 2x term lets the 11 documented
 # heavy-build keys (iterative fits whose EAGER driver jobs — k-means, EM,
 # connected components, funnel counts — dominate the count) regress no
-# more than 2x before failing. Baseline: build_cost_r12.jsonl (367 keys,
+# more than 2x before failing. Baseline: build_cost_r12.jsonl (368 keys,
 # measured 2026-08-16 with scripts/gen_build_cost.py — the script IS the
 # "same loop", so regeneration stopped being archaeology). History: r11
 # trimmed the literal-bank members of the r10 over-1500 set —
