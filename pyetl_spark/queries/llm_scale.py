@@ -488,6 +488,7 @@ def _kmeans_ctes(
     iters: int = 2,
     dim: int = 64,
     scale: int | None = None,
+    train_where: str = "",
 ) -> str:
     """CTE chain replaying operators/ivf.kmeans_fit_exact in DuckDB:
     phash60-spread seeds, then ``iters`` textually-unrolled Lloyd steps
@@ -496,10 +497,18 @@ def _kmeans_ctes(
     with list position; means = exact integer fixed-point sums descaled
     with the same float expression). Produces c{iters}(cents, cells).
     ``scale`` defaults to the ENGINE's KMEANS_SCALE constant so the
-    descale factor has one definition feeding both sides."""
+    descale factor has one definition feeding both sides.
+
+    ``train_where`` (r13, the index-maintenance oracles): a raw SQL
+    predicate ("WHERE vec_id % 5 != 4") restricting the FIT to a subset
+    of ``v`` — seeds and every Lloyd step then read the filtered ``vt``
+    while ``v`` itself stays the full table for downstream probe/encode
+    CTEs. Empty (default) fits on all of ``v``, text-identical to the
+    pre-r13 generator."""
     from pyetl_spark.operators.ivf import KMEANS_SCALE
 
     scale = KMEANS_SCALE if scale is None else scale
+    src = "vt" if train_where else "v"
 
     def assign(s: str) -> str:
         dists = (
@@ -510,12 +519,20 @@ def _kmeans_ctes(
             f"list_aggregate({dists}, 'min'))]"
         )
 
+    vt_cte = (
+        f"""vt AS MATERIALIZED (
+      SELECT * FROM v {train_where}
+    ),
+    """
+        if train_where
+        else ""
+    )
     parts = [
         f"""v AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ),
-    seeds AS (
+    {vt_cte}seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY bucket) - 1 AS INT) AS cell,
              e AS centroid
       FROM (
@@ -523,7 +540,7 @@ def _kmeans_ctes(
                row_number() OVER (PARTITION BY bucket ORDER BY h, vec_id)
                  AS rb
         FROM (SELECT vec_id, e, {PHASH60('vec_id')} AS h,
-                     {PHASH60('vec_id')} % ({k}) AS bucket FROM v)
+                     {PHASH60('vec_id')} % ({k}) AS bucket FROM {src})
       ) WHERE rb = 1
     ),
     c0 AS MATERIALIZED (
@@ -536,7 +553,7 @@ def _kmeans_ctes(
         parts.append(
             f"""a{i} AS MATERIALIZED (
       SELECT p.vec_id, p.e, {assign(f'c{i - 1}')} AS cell
-      FROM v p, c{i - 1} c{i - 1}
+      FROM {src} p, c{i - 1} c{i - 1}
     ),
     m{i} AS (
       SELECT cell, pos,
@@ -903,6 +920,8 @@ def _ivfpq_oracle(
     topk: int = 5,
     nprobe: int = 2,
     scale: int | None = None,
+    train_where: str = "",
+    delta_where: str = "",
 ) -> str:
     """DuckDB replay of vec_ann_ivfpq end-to-end (r12): the _kmeans_ctes
     coarse cells, per-vector RESIDUAL vs the assigned centroid (exact
@@ -911,7 +930,15 @@ def _ivfpq_oracle(
     re-run over residual subvectors (same phash60(sub, id) seeding —
     seed choice reads only (sub, id), so it is construction-identical),
     per-(probe, probed-cell) residual ADC tables, and the fixed
-    sub-order fold. Mirrors operators/ivfpq.py."""
+    sub-order fold. Mirrors operators/ivfpq.py.
+
+    Maintenance mode (r13, vec_ann_ivfpq_index_maintenance): pass
+    complementary ``train_where``/``delta_where`` predicates. The
+    coarse fit, PQ fit, and day-1 encode then read only the train
+    subset; the delta subset is assigned to the FINAL centroids and
+    encoded with the FINAL codebook (no retrain — the exact replay of
+    operators/ivfpq.ivfpq_index_delta), and search runs over the union
+    of both days' codes. Defaults replay the single-shot build."""
     from pyetl_spark.operators.pq import PQ_SCALE
 
     scale = PQ_SCALE if scale is None else scale
@@ -921,7 +948,7 @@ def _ivfpq_oracle(
     argmin = f"list_position({dists}, list_aggregate({dists}, 'min'))"
     seed_h = PHASH60_SEEDED("sub", "id")
 
-    def assign(cb: str, out: str) -> str:
+    def assign(cb: str, out: str, src: str = "rsubs") -> str:
         return f"""{out} AS MATERIALIZED (
       SELECT id, sub, sv, cell AS code FROM (
         SELECT s.id, s.sub, s.sv, c.cell,
@@ -929,17 +956,20 @@ def _ivfpq_oracle(
                  PARTITION BY s.id, s.sub
                  ORDER BY {_sq_sql('s.sv', 'c.centroid', d_sub)}, c.cell
                ) AS rn
-        FROM rsubs s JOIN {cb} c USING (sub)
+        FROM {src} s JOIN {cb} c USING (sub)
       ) WHERE rn = 1
     )"""
 
+    idx_clause = f" {train_where}" if train_where else ""
     parts = [
-        _kmeans_ctes(coarse_k, coarse_iters, dim).lstrip(),
+        _kmeans_ctes(
+            coarse_k, coarse_iters, dim, train_where=train_where
+        ).lstrip(),
         f"""idx AS MATERIALIZED (
       SELECT p.vec_id AS id, p.e,
              s.cells[{argmin}] AS cell,
              s.cents[{argmin}] AS ccent
-      FROM v p, {final} s
+      FROM v p, {final} s{idx_clause}
     ),
     res AS MATERIALIZED (
       SELECT id, cell,
@@ -984,12 +1014,50 @@ def _ivfpq_oracle(
     )"""
         )
     parts.append(assign(f"cb{pq_iters}", "encf"))
+    enc_src = "enc"
+    if delta_where:
+        # the maintenance replay: day-2 vectors assigned to the FINAL
+        # coarse centroids, residualized, encoded with the FINAL
+        # codebook (no retrain), appended to day-1's codes — exactly
+        # operators/ivfpq.ivfpq_index_delta
+        enc_src = "encall"
+        parts.append(
+            f"""idxd AS MATERIALIZED (
+      SELECT p.vec_id AS id, p.e,
+             s.cells[{argmin}] AS cell,
+             s.cents[{argmin}] AS ccent
+      FROM v p, {final} s {delta_where}
+    ),
+    resd AS MATERIALIZED (
+      SELECT id, cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> e[i] - ccent[i]) AS r
+      FROM idxd
+    ),
+    rsubsd AS MATERIALIZED (
+      SELECT id, s.sub, r[s.sub*{d_sub}+1 : s.sub*{d_sub}+{d_sub}] AS sv
+      FROM resd, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+    )"""
+        )
+        parts.append(assign(f"cb{pq_iters}", "encfd", src="rsubsd"))
+    delta_enc = (
+        """encd AS MATERIALIZED (
+      SELECT e.id, r.cell, e.sub, e.code
+      FROM encfd e JOIN (SELECT id, cell FROM resd) r USING (id)
+    ),
+    encall AS MATERIALIZED (
+      SELECT * FROM enc UNION ALL SELECT * FROM encd
+    ),
+    """
+        if delta_where
+        else ""
+    )
     parts.append(
         f"""enc AS MATERIALIZED (
       SELECT e.id, r.cell, e.sub, e.code
       FROM encf e JOIN (SELECT id, cell FROM res) r USING (id)
     ),
-    pcells AS MATERIALIZED (
+    {delta_enc}pcells AS MATERIALIZED (
       SELECT pid, cell, ccent, e FROM (
         SELECT pid, cell, ccent, e,
                row_number() OVER (PARTITION BY pid ORDER BY dd, cell)
@@ -1015,7 +1083,7 @@ def _ivfpq_oracle(
       SELECT t.pid, e2.id,
              list_reduce(list_prepend(CAST(0 AS DOUBLE),
                list(t.pd ORDER BY t.sub)), (a,b) -> a + b) AS adc_dist
-      FROM enc e2
+      FROM {enc_src} e2
       JOIN ptab t ON t.cell = e2.cell AND t.sub = e2.sub
                  AND t.code = e2.code
       WHERE e2.id != t.pid
@@ -1060,8 +1128,12 @@ def vec_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 4dp-rounded distances. Recall vs exact L2 is pinned in
     tests/test_pq.py."""
     from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
-    from pyetl_spark.operators.ivfpq import ivfpq_residuals, ivfpq_topk
-    from pyetl_spark.operators.pq import pq_encode, pq_fit_exact
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit_exact
 
     e = load_tables(spark, sf_dir).embeddings
     v = e.select(
@@ -1080,14 +1152,23 @@ def vec_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_fit_exact(
         res, id_col="vec_id", vec_col="r", m=8, k=16, dim=64, iters=2
     )
-    codes = pq_encode(
-        res, cb, id_col="vec_id", vec_col="r", m=8, dim=64
-    ).join(res.select(F.col("vec_id").alias("id"), "cell"), "id")
+    codes = ivfpq_encode(res, cb, m=8, dim=64, k=16)
     probes = v.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
     )
     out = ivfpq_topk(
-        probes, codes, cb, cents, m=8, dim=64, topk=5, nprobe=2
+        probes,
+        codes,
+        cb,
+        cents,
+        m=8,
+        dim=64,
+        topk=5,
+        nprobe=2,
+        # probes are drawn from the corpus itself (vec_id < 5), so the
+        # trivially-nearest self match is excluded explicitly (r13:
+        # exclude_self became opt-in library-wide)
+        exclude_self=True,
     )
     return out.select(
         "probe_id",
@@ -2073,10 +2154,14 @@ def _scratch_index_dir(prefix: str) -> str:
     correctness-critical input, so concurrent runs (test suite + bench,
     parallel CI) must never interleave overwrite with read — mkdtemp is
     unique per call. Retention: dirs with the SAME prefix from PRIOR
-    runs (>1h old — old enough that no live query phase can still be
-    reading them; a concurrent run's fresh dir is untouched) are pruned
-    so repeated sweep/bench/test runs don't accumulate unbounded
-    parquet artifacts."""
+    runs are pruned so repeated sweep/bench/test runs don't accumulate
+    unbounded parquet artifacts. Horizon: 24h, NOT "longer than a
+    query" (r12 ADVICE) — a concurrent suite+bench CI pair can hold a
+    build-to-read span well over an hour (the full pytest wall alone is
+    ~25 min and growing), and a live index deleted mid-query fails with
+    a missing-path read; nothing legitimate spans a day, and a day of
+    sf0.1-scale index artifacts is a few hundred MB, an acceptable
+    bound for a scratch area."""
     import os
     import shutil
     import tempfile
@@ -2087,7 +2172,7 @@ def _scratch_index_dir(prefix: str) -> str:
         "pyetl_spark_index",
     )
     os.makedirs(root, exist_ok=True)
-    cutoff = _time.time() - 3600
+    cutoff = _time.time() - 24 * 3600
     for name in os.listdir(root):
         p = os.path.join(root, name)
         try:
@@ -2173,8 +2258,12 @@ def vec_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
-    from pyetl_spark.operators.ivfpq import ivfpq_residuals, ivfpq_topk
-    from pyetl_spark.operators.pq import pq_encode, pq_fit_exact
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit_exact
 
     base = _scratch_index_dir("ivfpq_")
     e = load_tables(spark, sf_dir).embeddings
@@ -2191,9 +2280,7 @@ def vec_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_fit_exact(
         res, id_col="vec_id", vec_col="r", m=8, k=16, dim=64, iters=2
     )
-    codes = pq_encode(
-        res, cb, id_col="vec_id", vec_col="r", m=8, dim=64
-    ).join(res.select(F.col("vec_id").alias("id"), "cell"), "id")
+    codes = ivfpq_encode(res, cb, m=8, dim=64, k=16)
     cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
     cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))
     codes.write.partitionBy("cell").mode("overwrite").parquet(
@@ -2207,7 +2294,101 @@ def vec_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
     )
     out = ivfpq_topk(
-        probes, codes_idx, cb_idx, cents_idx, m=8, dim=64, topk=5, nprobe=2
+        probes,
+        codes_idx,
+        cb_idx,
+        cents_idx,
+        m=8,
+        dim=64,
+        topk=5,
+        nprobe=2,
+        exclude_self=True,
+    )
+    return out.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        rnd(F.col("adc_dist"), 4).alias("adc_dist"),
+        "rank",
+    ).orderBy("probe_id", "rank")
+
+
+@query(
+    "vec_ann_ivfpq_index_maintenance",
+    oracle=_ivfpq_oracle(
+        train_where="WHERE vec_id % 5 != 4",
+        delta_where="WHERE vec_id % 5 = 4",
+    ),
+)
+def vec_ann_ivfpq_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index-maintenance leg of the persisted IVF-PQ lifecycle
+    (r13, VERDICT r12 item 5 — the contract dedup_minhash_index_maintenance
+    pins for near-dup, applied to ANN): day-1 builds the index (coarse
+    fit + residual-PQ fit + encode on 80% of the corpus, vec_id % 5 != 4),
+    day-2 vectors are appended via ``ivfpq_index_delta`` — assigned to
+    the EXISTING coarse centroids and encoded with the EXISTING
+    codebook, NO retrain, cost O(|new|) — and search then runs over the
+    union. Probe vec_id=4 IS a day-2 vector: without the append it
+    would be unfindable (and find nothing near itself), so a delta that
+    drops rows, re-fits, or encodes under the wrong codebook moves the
+    hash. The parameter-stamp fail-fast on mismatched (m, dim, k)
+    appends and the parquet-append mechanics are pinned by
+    tests/test_pq.py::test_ivfpq_index_delta_closes_daily_ingest_loop;
+    drift monitoring (``ivfpq_batch_mse`` build-vs-batch ratio, the
+    retrain trigger) by test_ivfpq_batch_mse_drift_signal.
+
+    Tier A end-to-end: the fit legs ride the same exact-arithmetic
+    construction as vec_ann_ivfpq, and the delta leg is assignment +
+    encode only (argmin over integer-quantized centroids — no new
+    fitted state), so the SAME oracle generator replays both days
+    (``_ivfpq_oracle(train_where=…, delta_where=…)``) and hash-matches
+    the merged-index search at 4dp."""
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_index_delta,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit_exact
+
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    day1 = v.filter(F.col("vec_id") % 5 != 4)
+    day2 = v.filter(F.col("vec_id") % 5 == 4)
+    # day-1 nightly build (the persisted artifacts of
+    # vec_ann_ivfpq_persisted; kept in-memory here — the disk round-trip
+    # is that key's subject, the append algebra is this one's)
+    cents = kmeans_fit_exact(day1, k=8, iters=2)
+    res1 = ivfpq_residuals(ivf_assign(day1, cents), cents).localCheckpoint(
+        eager=True
+    )
+    cb = pq_fit_exact(
+        res1, id_col="vec_id", vec_col="r", m=8, k=16, dim=64, iters=2
+    )
+    codes1 = ivfpq_encode(res1, cb, m=8, dim=64, k=16)
+    # day-2 append: assign-to-existing + encode-with-existing only
+    delta = ivfpq_index_delta(
+        day2, cents, cb, m=8, dim=64, k=16, codes=codes1
+    )
+    codes = codes1.unionByName(delta)
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    out = ivfpq_topk(
+        probes,
+        codes,
+        cb,
+        cents,
+        m=8,
+        dim=64,
+        topk=5,
+        nprobe=2,
+        exclude_self=True,
     )
     return out.select(
         "probe_id",

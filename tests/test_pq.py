@@ -140,7 +140,15 @@ def test_ivfpq_recall_and_cell_pruning_on_clustered_data(spark):
         F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
     )
     got = ivfpq_topk(
-        probes, codes, cb, cents, m=M, dim=DIM, topk=5, nprobe=1
+        probes,
+        codes,
+        cb,
+        cents,
+        m=M,
+        dim=DIM,
+        topk=5,
+        nprobe=1,
+        exclude_self=True,
     ).collect()
     data = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
     hits = total = 0
@@ -160,3 +168,141 @@ def test_ivfpq_recall_and_cell_pruning_on_clustered_data(spark):
         hits += len(set(exact) & set(approx))
         total += 5
     assert hits / total >= 0.6, hits / total
+
+
+def test_ivfpq_index_delta_closes_daily_ingest_loop(spark, tmp_path):
+    """Three-day persisted-index lifecycle for IVF-PQ (r13, VERDICT r12
+    item 5 — the ANN twin of the MinHash lifecycle test): day-1 builds
+    and persists the three artifacts; day-2 vectors are appended via
+    ivfpq_index_delta (assign-to-existing + encode-with-existing, no
+    retrain); day-3 probes AT the day-2 vectors must then retrieve
+    them from the mixed-file index. Without the append, a day-2 vector
+    is invisible to every future search — the silent-growth failure
+    the delta closes. Also pins that the stamped (m, dim, k) metadata
+    survives the mixed-file parquet index and that a mismatched append
+    fails fast."""
+    import os
+
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_index_delta,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit
+
+    df = _clustered(spark)
+    v = df.select("vec_id", F.col("embedding").alias("e"))
+    # day 1: clusters 0-2 (ids < 180); day 2: cluster 3 (ids >= 180)
+    day1 = v.filter(F.col("vec_id") < 180)
+    day2 = v.filter(F.col("vec_id") >= 180)
+
+    cents = kmeans_fit(day1, k=3, iters=3)
+    res1 = ivfpq_residuals(ivf_assign(day1, cents), cents)
+    cb = pq_fit(res1, id_col="vec_id", vec_col="r", m=M, k=K, dim=DIM,
+                iters=3)
+    codes1 = ivfpq_encode(res1, cb, m=M, dim=DIM, k=K)
+    base = str(tmp_path / "ivfpq_lifecycle")
+    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))
+    codes_path = os.path.join(base, "codes")
+    codes1.write.mode("overwrite").parquet(codes_path)
+
+    # day 2: append the delta to the persisted codes table
+    cents_idx = spark.read.parquet(os.path.join(base, "centroids"))
+    cb_idx = spark.read.parquet(os.path.join(base, "codebook"))
+    codes_idx = spark.read.parquet(codes_path)
+    # the stamp survived the parquet round-trip
+    meta = codes_idx.schema["code"].metadata
+    assert (meta["ivfpq.m"], meta["ivfpq.dim"], meta["ivfpq.k"]) == (
+        M, DIM, K,
+    )
+    delta = ivfpq_index_delta(
+        day2, cents_idx, cb_idx, m=M, dim=DIM, k=K, codes=codes_idx
+    )
+    # the DELTA ITSELF carries the stamp (a union/append masks a missing
+    # one: the reader samples whichever file footer it lists first)
+    dmeta = delta.schema["code"].metadata
+    assert (dmeta["ivfpq.m"], dmeta["ivfpq.dim"], dmeta["ivfpq.k"]) == (
+        M, DIM, K,
+    )
+    assert delta.count() == 60 * M  # m code rows per day-2 vector
+    delta.write.mode("append").parquet(codes_path)
+
+    # day 3: probes AT day-2 vectors against the mixed-file index —
+    # WITH the append their cluster-mates are retrievable
+    codes2 = spark.read.parquet(codes_path)
+    assert codes2.count() == 240 * M
+    # stamp still present on the mixed index
+    assert codes2.schema["code"].metadata["ivfpq.k"] == K
+    probes = day2.filter(F.col("vec_id").isin([180, 200])).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    got = ivfpq_topk(
+        probes, codes2, cb_idx, cents_idx, m=M, dim=DIM, topk=5,
+        nprobe=1, exclude_self=True,
+    ).collect()
+    for pid in (180, 200):
+        approx = [r["id"] for r in got if r["probe_id"] == pid]
+        assert len(approx) == 5
+        # all retrieved neighbors are day-2 vectors (the appended
+        # cluster) — impossible without the delta append
+        assert all(a >= 180 for a in approx), (pid, approx)
+
+    # WITHOUT the append (day-1 codes only), the day-2 probe finds only
+    # wrong-cluster candidates or nothing in its probed cell
+    got_stale = ivfpq_topk(
+        probes, codes_idx, cb_idx, cents_idx, m=M, dim=DIM, topk=5,
+        nprobe=1, exclude_self=True,
+    ).collect()
+    assert all(r["id"] < 180 for r in got_stale)
+
+    # mismatched append params fail fast against the stamped index
+    with pytest.raises(ValueError, match="does not match the index"):
+        ivfpq_index_delta(
+            day2, cents_idx, cb_idx, m=M, dim=DIM, k=K + 8,
+            codes=codes_idx,
+        )
+
+
+def test_ivfpq_batch_mse_drift_signal(spark):
+    """ivfpq_batch_mse is the retrain trigger for append-only
+    maintenance: a batch drawn from the trained distribution scores
+    near the build-time MSE, while a shifted batch (vectors far from
+    every trained centroid/codeword) scores decisively higher — the
+    documented >2x rebuild signal actually fires on a real shift."""
+    from pyetl_spark.operators.ivf import kmeans_fit
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_batch_mse,
+        ivfpq_residuals,
+    )
+    from pyetl_spark.operators.ivf import ivf_assign
+    from pyetl_spark.operators.pq import pq_fit
+
+    df = _clustered(spark)
+    v = df.select("vec_id", F.col("embedding").alias("e"))
+    cents = kmeans_fit(v, k=4, iters=3)
+    res = ivfpq_residuals(ivf_assign(v, cents), cents)
+    cb = pq_fit(res, id_col="vec_id", vec_col="r", m=M, k=K, dim=DIM,
+                iters=3)
+    build_mse = ivfpq_batch_mse(v, cents, cb, m=M, dim=DIM)
+
+    # in-distribution batch: same generator, fresh ids
+    indist = spark.createDataFrame(
+        [(1000 + i, [5.0 * ((3 >> b) & 1) + 0.1 * math.sin(0.3 * i * (b + 1))
+                     for b in range(DIM)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").alias("e"))
+    # shifted batch: far outside every trained cluster
+    shifted = spark.createDataFrame(
+        [(2000 + i, [25.0 + float((i * 7 + b * 3) % 11)
+                     for b in range(DIM)]) for i in range(20)],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").alias("e"))
+
+    mse_in = ivfpq_batch_mse(indist, cents, cb, m=M, dim=DIM)
+    mse_shift = ivfpq_batch_mse(shifted, cents, cb, m=M, dim=DIM)
+    assert mse_in < 2.0 * max(build_mse, 1e-9)
+    assert mse_shift > 2.0 * max(build_mse, 1e-9)
+    assert mse_shift > 5.0 * max(mse_in, 1e-9)
