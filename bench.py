@@ -34,11 +34,13 @@ item 2 — the r10→r11 drift investigation cost a round because a single
 suite pass cannot see inter-run JVM drift): when the pass-1 suite total
 over the keys shared with the last driver record differs from that
 record by more than the measured 14 % band, the whole suite runs a
-SECOND pass in the same session and the shipping per-key numbers are
-the min of the two passes' medians; both passes are recorded under
-"noise_band" in the detail file so a verdict reader sees exactly what
-was out of band and what the quiet estimate is. An in-band run ships
-single-pass, with the band check itself still recorded.
+SECOND pass in the same session. The SHIPPED per-key numbers are always
+the pass-1 medians (r13, ADVICE r12: shipping the min-of-two ratcheted
+the comparable series low, so every later quiet run read spuriously
+high against it); the min-of-two survives as the quiet-machine estimate
+under "noise_band" in the detail file and as the triage detector's
+input. An in-band run ships single-pass, with the band check itself
+still recorded.
 """
 
 from __future__ import annotations
@@ -149,7 +151,12 @@ HEADLINE = [
     # r12: the composed IVF-PQ index (coarse fit + residual PQ fit +
     # ADC search) — the most expensive ANN build in the repo; tracked
     # so a regression in either composed half (or the residual pass
-    # gluing them) is visible even if vec_ann_ivf/vec_pq stay flat
+    # gluing them) is visible even if vec_ann_ivf/vec_pq stay flat.
+    # r13 (VERDICT r12 item 4): _run_suite splits this entry into
+    # vec_ann_ivfpq_build (single-run nightly-job number) +
+    # vec_ann_ivfpq_search (median-of-3 serving number against the
+    # persisted artifacts) — the recorded series changes key names
+    # accordingly; r12's fused 8.6 s number = build + search.
     "vec_ann_ivfpq",
     # r9: the Arrow/mapInPandas heavyweight — the Python-worker data
     # path had no heavy sentinel (udf_arrow_scalar is sub-second), so a
@@ -252,7 +259,9 @@ def _isolated_rerun(key: str, timeout: float = 600.0) -> float | None:
         if r.returncode != 0:
             return None
         with open(detail) as fh:
-            return json.load(fh)["queries"].get(key)
+            d = json.load(fh)
+        # the ivfpq build half lands under index_builds, not queries
+        return d["queries"].get(key) or d.get("index_builds", {}).get(key)
     except Exception:
         return None
     finally:
@@ -292,15 +301,48 @@ NOISE_BAND = 0.14
 
 def _run_suite(
     spark, headline: list[str], sf_dir: str
-) -> tuple[dict[str, float], dict[str, float]]:
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
     """One full suite pass: per-key median-of-3 timings + intra-run
     spreads ((max-min)/median — the floor a round-over-round diff must
     exceed before it means anything; the r2→r3 "uniform slowdown" scare
-    was exactly this noise)."""
+    was exactly this noise). Third return: single-run index BUILD
+    timings (vec_ann_ivfpq_build) — recorded separately because a
+    nightly build amortizes over thousands of searches, so summing it
+    into per-query suite seconds would misstate the serving shape."""
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for key in headline:
-        fn = registry.QUERIES[key]
+        # derived names accepted too so SPARK_GRAFT_ONLY (the triage
+        # subprocess path) can target either half of the split directly
+        if key in (
+            "vec_ann_ivfpq",
+            "vec_ann_ivfpq_build",
+            "vec_ann_ivfpq_search",
+        ):
+            # r13 (VERDICT r12 item 4): measure the lifecycle the index
+            # actually has at scale — the k-means + residual-PQ BUILD
+            # once per suite pass (vec_ann_ivfpq_build, single-run: the
+            # nightly-job number, still a round-over-round regression
+            # sentinel for the composed fit), then median-of-3 of the
+            # SEARCH against the persisted artifacts
+            # (vec_ann_ivfpq_search: the serving number). r12 measured
+            # build+search fused and re-fit the whole index three times
+            # (8.6 s × 3) to get one sub-second search measurement.
+            from pyetl_spark.queries.llm_scale import (
+                ivfpq_bench_build,
+                ivfpq_bench_search,
+            )
+
+            start = time.perf_counter()
+            base = ivfpq_bench_build(spark, sf_dir)
+            builds["vec_ann_ivfpq_build"] = round(
+                time.perf_counter() - start, 3
+            )
+            fn = ivfpq_bench_search(base)
+            key = "vec_ann_ivfpq_search"
+        else:
+            fn = registry.QUERIES[key]
         runs = []
         # median-of-3 (r6 verdict item 9): best-of-2 let 2-3 s of
         # run-to-run spread mask real regressions on a ~47 s suite; the
@@ -317,7 +359,7 @@ def _run_suite(
         spreads[key] = (
             round((max(runs) - min(runs)) / med, 2) if med > 0 else 0.0
         )
-    return timings, spreads
+    return timings, spreads, builds
 
 
 def main() -> None:
@@ -351,15 +393,20 @@ def main() -> None:
         # differ, so unknown on either side also skips both.
         prior = None
 
-    timings, spreads = _run_suite(spark, headline, sf_dir)
+    timings, spreads, builds = _run_suite(spark, headline, sf_dir)
+    # the series the triage detector reads: pass-1 medians unless an
+    # out-of-band check earns a second pass, in which case the per-key
+    # min-of-two (a mover BOTH passes reproduce is worth a rerun)
+    triage_timings = timings
 
     # inter-run noise band check (VERDICT r11 item 2): a single suite
     # pass cannot distinguish JVM/machine weather from a real drift —
     # the measured band between identical-tree runs is 14 % (NOISE_BAND).
     # Out-of-band in EITHER direction earns a confirming second pass in
-    # the same session; the shipping number is then the per-key MIN of
-    # the two passes' medians (the quiet-machine estimate — contention
-    # only ever adds time). Both passes land in the detail record.
+    # the same session; the SHIPPED numbers stay pass-1 (comparable
+    # series), the per-key min-of-two lands under noise_band as the
+    # quiet-machine estimate (contention only ever adds time) and
+    # feeds the triage detector. Both passes land in the detail record.
     noise_band: dict | None = None
     # SPARK_GRAFT_NOISE_BAND overrides the measured band — 0 forces the
     # confirming second pass (how the branch is exercised end-to-end
@@ -382,21 +429,30 @@ def main() -> None:
                 "second_pass": rel > band,
             }
             if rel > band:
-                t2, s2 = _run_suite(spark, headline, sf_dir)
-                noise_band["pass1_queries"] = dict(timings)
+                t2, s2, _b2 = _run_suite(spark, headline, sf_dir)
                 noise_band["pass2_queries"] = dict(t2)
-                # per-key min-of-two, spread from whichever pass wins
-                merged_t: dict[str, float] = {}
-                merged_s: dict[str, float] = {}
-                for k in timings:
-                    if k in t2 and t2[k] < timings[k]:
-                        merged_t[k], merged_s[k] = t2[k], s2[k]
-                    else:
-                        merged_t[k], merged_s[k] = timings[k], spreads[k]
-                timings, spreads = merged_t, merged_s
+                # SHIP pass-1 medians as the comparable series (r12
+                # ADVICE: shipping the per-key min-of-two ratcheted the
+                # record low — a genuinely quieter future run then read
+                # 7-14% high against the biased baseline, manufacturing
+                # spurious out-of-band trips; the min could also hide a
+                # bimodal real regression one pass happened to dodge).
+                # The min-of-two survives only as (a) the quiet-machine
+                # ESTIMATE recorded under noise_band for readers, and
+                # (b) the triage DETECTOR below — a mover both passes
+                # reproduce is worth an isolated rerun, a single-pass
+                # spike is weather already explained by the band check.
+                min2 = {
+                    k: min(timings[k], t2[k]) if k in t2 else timings[k]
+                    for k in timings
+                }
+                noise_band["min2_queries"] = {
+                    k: round(v, 3) for k, v in min2.items()
+                }
                 noise_band["shared_total_min2"] = round(
-                    sum(timings[k] for k in shared), 3
+                    sum(min2[k] for k in shared), 3
                 )
+                triage_timings = min2
 
     # regression auto-triage (VERDICT r8 item 4): any shared query whose
     # median moved >1.3x AND >0.3s vs the last driver-recorded round
@@ -404,11 +460,12 @@ def main() -> None:
     # regressions (GC/JVM state) re-run at historical levels there,
     # real per-query regressions don't. r8's vec_ann_lsh slipped
     # through a manual triage that covered three other queries.
-    # DETECT here (on the post-band-check timings, so a second pass that
-    # already explained a mover as weather doesn't re-flag it); the
-    # subprocess reruns happen AFTER spark.stop() below so the parent
-    # JVM's heap isn't co-resident with the child's (a memory-squeezed
-    # child would read as a fake "real" regression).
+    # DETECT on triage_timings (pass-1, or min-of-two when a second
+    # pass ran — so a spike the second pass already explained as
+    # weather doesn't re-flag); the subprocess reruns happen AFTER
+    # spark.stop() below so the parent JVM's heap isn't co-resident
+    # with the child's (a memory-squeezed child would read as a fake
+    # "real" regression).
     isolated: dict[str, dict[str, float | None]] = {}
     flagged: list[str] = []
     if prior is not None:
@@ -416,7 +473,7 @@ def main() -> None:
         flagged = sorted(
             (
                 k
-                for k, v in timings.items()
+                for k, v in triage_timings.items()
                 if k in prior_q
                 and prior_q[k] > 0
                 and v > 1.3 * prior_q[k]
@@ -425,7 +482,7 @@ def main() -> None:
             # worst regression first — the [:6] cost bound must never
             # drop the biggest mover just because it sits late in
             # HEADLINE (the exact escape this block exists to prevent)
-            key=lambda k: timings[k] / prior_q[k],
+            key=lambda k: triage_timings[k] / prior_q[k],
             reverse=True,
         )
 
@@ -442,6 +499,11 @@ def main() -> None:
             "first_query_secs": round(first_query_secs, 3),
         },
     }
+    if builds:
+        # index builds are nightly jobs amortized over many searches —
+        # recorded first-class (single cold run each) but NOT summed
+        # into per-query suite seconds (r13, VERDICT r12 item 4)
+        out["index_builds"] = builds
     if noise_band is not None:
         out["noise_band"] = noise_band
     detail_path = os.environ.get(
@@ -524,6 +586,8 @@ def main() -> None:
         "max_run_spread": max(spreads.values()) if spreads else 0.0,
         "detail_file": os.path.basename(detail_path),
     }
+    if builds:
+        compact["index_builds"] = {k: round(v, 2) for k, v in builds.items()}
     if "sf1" in out:
         compact["sf1_ratio_vs_sf01"] = out["sf1"]["ratio_vs_sf01"]
     if noise_band is not None:

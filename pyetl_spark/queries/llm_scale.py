@@ -2255,14 +2255,22 @@ def vec_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     losslessly), so the SAME ``_ivfpq_oracle`` pins the persisted query
     path — the hash match proves the composed index survived the disk
     round-trip bit-exactly."""
+    base = ivfpq_bench_build(spark, sf_dir)
+    return ivfpq_bench_search(base)(spark, sf_dir)
+
+
+def ivfpq_bench_build(spark: SparkSession, sf_dir: str) -> str:
+    """The IVF-PQ NIGHTLY BUILD, persisted: coarse fit + residual-PQ fit
+    + encode, written as the three index artifacts. Returns the artifact
+    dir. Shared by vec_ann_ivfpq_persisted (which chains build + search
+    for the hash-verified lifecycle) and bench.py's build/search split
+    (r13, VERDICT r12 item 4: the build is measured ONCE per suite — the
+    nightly-job number — instead of being re-fit three times to measure
+    one sub-second search)."""
     import os
 
     from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
-    from pyetl_spark.operators.ivfpq import (
-        ivfpq_encode,
-        ivfpq_residuals,
-        ivfpq_topk,
-    )
+    from pyetl_spark.operators.ivfpq import ivfpq_encode, ivfpq_residuals
     from pyetl_spark.operators.pq import pq_fit_exact
 
     base = _scratch_index_dir("ivfpq_")
@@ -2286,30 +2294,55 @@ def vec_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes.write.partitionBy("cell").mode("overwrite").parquet(
         os.path.join(base, "codes")
     )
-    # query phase: cold read of the persisted index only
-    cents_idx = spark.read.parquet(os.path.join(base, "centroids"))
-    cb_idx = spark.read.parquet(os.path.join(base, "codebook"))
-    codes_idx = spark.read.parquet(os.path.join(base, "codes"))
-    probes = v.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
-    )
-    out = ivfpq_topk(
-        probes,
-        codes_idx,
-        cb_idx,
-        cents_idx,
-        m=8,
-        dim=64,
-        topk=5,
-        nprobe=2,
-        exclude_self=True,
-    )
-    return out.select(
-        "probe_id",
-        F.col("id").alias("neighbor_id"),
-        rnd(F.col("adc_dist"), 4).alias("adc_dist"),
-        "rank",
-    ).orderBy("probe_id", "rank")
+    return base
+
+
+def ivfpq_bench_search(base: str):
+    """(spark, sf_dir) -> DataFrame: the SERVING leg — cold read of the
+    persisted artifacts only, nprobe-pruned ADC search. This is the
+    query a retrieval service runs thousands of times per index build;
+    bench.py measures its median-of-3 separately from the build."""
+    import os
+
+    from pyetl_spark.operators.ivfpq import ivfpq_topk
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cents_idx = spark.read.parquet(os.path.join(base, "centroids"))
+        cb_idx = spark.read.parquet(os.path.join(base, "codebook"))
+        codes_idx = spark.read.parquet(os.path.join(base, "codes"))
+        e = load_tables(spark, sf_dir).embeddings
+        probes = (
+            e.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("e"),
+            )
+            .filter(F.col("vec_id") < 5)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("e").alias("probe_vec"),
+            )
+        )
+        out = ivfpq_topk(
+            probes,
+            codes_idx,
+            cb_idx,
+            cents_idx,
+            m=8,
+            dim=64,
+            topk=5,
+            nprobe=2,
+            exclude_self=True,
+        )
+        return out.select(
+            "probe_id",
+            F.col("id").alias("neighbor_id"),
+            rnd(F.col("adc_dist"), 4).alias("adc_dist"),
+            "rank",
+        ).orderBy("probe_id", "rank")
+
+    return fn
 
 
 @query(

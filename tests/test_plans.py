@@ -321,6 +321,10 @@ _NESTED_LOOP_OK = {
                            # (cell, sub, code) hash equi-join
     "vec_ann_ivfpq_persisted",  # same composed index, persisted-index
                            # lifecycle variant (same intended BNLJ)
+    "vec_ann_ivfpq_index_maintenance",  # same composed index; the
+                           # day-2 delta leg re-uses the identical
+                           # vectors × broadcast-centroid assignment
+                           # BNLJ (ivfpq_index_delta → ivf_assign)
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
     "text_bm25_search",    # 1-row (N, avgdl) corpus scalar crossJoined in
     "text_stopword_discovery",  # 1-row n_docs scalar crossJoined for the
@@ -740,11 +744,18 @@ def test_plan_lint_no_accidental_python_eval(spark, key):
 # their literal banks are already compiled, so a future jump there is a
 # real regression, not algorithm. Regenerate with
 # scripts/gen_build_cost.py if builds legitimately change.
+# r13: baseline file is build_cost_r13.jsonl — r12 rows carried over
+# verbatim except the three refreshed ivfpq-family keys (ivfpq_encode
+# refactor; 6410→6432 / 6490) and the NEW
+# vec_ann_ivfpq_index_maintenance (8240 — adjudicated eager-iteration
+# builder: vec_ann_ivfpq's fit jobs over the day-1 subset + the day-2
+# delta's assignment/encode plan construction; measured with
+# scripts/gen_build_cost.py --only, same loop as the lint).
 
 _BUILD_BASELINE: dict[str, int] = {}
 _BUILD_BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "build_cost_r12.jsonl",
+    "build_cost_r13.jsonl",
 )
 if os.path.exists(_BUILD_BASELINE_PATH):
     with open(_BUILD_BASELINE_PATH) as _fh:
