@@ -227,7 +227,22 @@ def paragraph_chunks(text: Column, width: int = 10) -> Column:
     the fixed-window "paragraph" unit for corpora without newline marks
     (the CCNet paragraph-hash unit). Pure JVM expression algebra; text
     must be non-null (split of '' yields one ''-chunk, consistent with
-    the DuckDB twin in queries/llm_text.dedup_paragraph_global)."""
+    the DuckDB twin in queries/llm_text.dedup_paragraph_global).
+
+    ALIGNMENT SENSITIVITY (r12 ADVICE): windows are anchored at each
+    document's OWN start, so identical boilerplate preceded by
+    different-length content in different docs chunks at different
+    offsets and never string-matches — unlike CCNet's newline-paragraph
+    hashing, which is alignment-free because the boundary comes from
+    the text itself. On a real crawl, split on the corpus's natural
+    boundaries when it has them (``F.split(text, r"\\n{2,}")`` for
+    paragraph marks, sentence splits otherwise) and fall back to fixed
+    windows only for boundary-free text like this repo's synthetic
+    corpus (verified: zero newlines or periods in documents.text at
+    every SF). The downstream operators (paragraph_boilerplate,
+    strip_boilerplate) are unit-agnostic — they consume whatever chunk
+    column this function yields, so the swap is local to this one
+    expression."""
     ts = F.split(text, " ")
     nch = F.ceil(F.size(ts) / F.lit(float(width))).cast("int")
     return F.transform(

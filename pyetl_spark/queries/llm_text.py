@@ -145,6 +145,18 @@ def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     case), one groupBy(doc_id) whose collect_list is bounded by the
     document's own chunk count. No window over the corpus, no driver
     materialization.
+
+    100 TB caveat (r12 ADVICE — alignment sensitivity): the fixed
+    window is anchored at each doc's start, so the same header/footer
+    preceded by different-length content in different pages chunks at
+    different offsets and is never counted as boilerplate. Fine here —
+    the synthetic corpus has NO newline or sentence marks (verified at
+    every SF), so no alignment-free unit exists — but on a real crawl
+    most repeated boilerplate WOULD be missed this way: swap the chunk
+    unit to the corpus's natural boundaries (split on blank lines /
+    sentences — CCNet's own unit) in operators/text.paragraph_chunks,
+    whose docstring carries the swap recipe; everything downstream of
+    the chunk column is unit-agnostic.
     """
     from pyetl_spark.operators.text import (
         paragraph_boilerplate,

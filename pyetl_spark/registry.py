@@ -114,7 +114,7 @@ ORACLE: dict[str, str] = {}
 #:       r3-evidence head fills (join_returned_revenue_top …
 #:       win_streak). Lands the r9 verdict's #1: after this window no
 #:       key's latest evidence predates r3.
-#:   r11 (this): zero r10 reds, so the draft below made concrete —
+#:   r11 (done, 50 green): zero r10 reds, so the draft made concrete —
 #:       5 changed + 1 NEW key first (pipeline_curation_full:
 #:       try/finally unpersist, r10 advisory; dedup_minhash_incremental
 #:       + dedup_minhash_lsh + pipeline_training_corpus_neardup: ride
@@ -129,7 +129,8 @@ ORACLE: dict[str, str] = {}
 #:       (scan_parquet_project … agg_pivot) — 50 total. Lands the r10
 #:       verdict's #2: after this window no key's evidence predates r4
 #:       and the rotation is steady-state (oldest ≤ 2 rounds back).
-#:   r12 (this): zero r11 reds, so the draft made concrete — the THREE
+#:   r12 (done, 50 green — 48 hash + 2 rows-only-by-design): zero
+#:       r11 reds, so the draft made concrete — the THREE
 #:       NEW keys first (dedup_paragraph_global: CCNet-style global
 #:       paragraph-hash boilerplate strip; vec_ann_ivfpq: coarse-cell +
 #:       residual-PQ ANN, the composed billion-scale index;
@@ -147,71 +148,83 @@ ORACLE: dict[str, str] = {}
 #:       Lands the r11 verdict's #1: after this window no key's
 #:       evidence predates r5 and the rotation self-sustains at
 #:       "oldest ≤ 2 rounds back".
-#:   r13 draft: (any r12 reds) + keys r13 changes + the remaining 40
-#:       r5-evidence keys (registration order) + r6-evidence head fills
+#:   r13 (this): zero r12 reds, so the draft made concrete — the NEW
+#:       key first (vec_ann_ivfpq_index_maintenance: the append leg of
+#:       the persisted IVF-PQ lifecycle — assign-to-existing + encode-
+#:       with-existing, stamp-guarded; gated at 3 SFs + determinism
+#:       before pinning), then the 2 keys riding this round's
+#:       ivfpq_encode refactor + exclude_self explicitization
+#:       (vec_ann_ivfpq, vec_ann_ivfpq_persisted — outputs unchanged,
+#:       re-slotted anyway because their builders changed;
+#:       canon_r13_ivfpq gates), then ALL 41 r5-evidence keys
+#:       (etl_freshness_lag … ts_interpolate_linear, registration
+#:       order), then 6 r6-evidence head fills (win_gaps_islands …
+#:       events_rollup_multi_grain) — 50 total. Lands the r12 verdict's
+#:       #3: after this window no key's driver evidence predates r6.
+#:   r14 draft: (any r13 reds) + keys r14 changes + the remaining 44
+#:       r6-evidence keys (registration order) + r7-evidence head fills
 #:       to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r12 window (see rotation history above): the THREE NEW keys
-    # (paragraph dedup, IVF-PQ, IVF-PQ persisted lifecycle) + 5 keys
-    # riding the minhash.py hardening, then the 34 remaining
-    # r4-evidence keys (registration order), then 8 r5-evidence head
-    # fills — 3 + 5 + 34 + 8 = 50 total.
-    "dedup_paragraph_global",  # NEW in r12 (no CORRECTNESS row yet)
-    "vec_ann_ivfpq",  # NEW in r12 (no CORRECTNESS row yet)
-    "vec_ann_ivfpq_persisted",  # NEW in r12 (no CORRECTNESS row yet)
-    "pipeline_curation_full",
-    "dedup_minhash_incremental",
-    "dedup_minhash_index_maintenance",
-    "dedup_minhash_lsh",
-    "pipeline_training_corpus_neardup",
-    # r4-evidence block (oldest driver rows in the registry after the
-    # r11 window retired the r3 block; none of these changed since r4)
-    "subq_exists_late_orders",
-    "subq_any_all",
-    "join_market_share",
-    "join_cust_order_distribution",
-    "subq_small_qty_revenue",
-    "join_disjunctive_pred",
-    "subq_cheapest_supplier",
-    "agg_ship_delay_buckets",
-    "subq_excess_shipments",
-    "join_waiting_orders",
-    "fn_bitwise",
-    "fn_hash",
-    "fn_string_parts",
-    "fn_trig",
-    "fn_printf",
-    "events_sliding_distinct_users",
-    "events_audience_overlap",
-    "text_ngram_novelty",
-    "events_new_vs_returning",
-    "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "text_stratified_cap",
-    "text_pack_sequences",
-    "text_mixture_sample",
-    "pipeline_training_corpus",
-    "text_tfidf_top_terms",
-    "dedup_sorted_neighborhood",
-    "graph_triangles",
-    "dedup_levenshtein",
-    "text_bigrams",
-    "text_source_divergence",
-    "text_decontaminate",
-    "text_repetition",
-    # r5-evidence head fills
-    "source_json_corrupt_records",
-    "source_csv_roundtrip_typed",
-    "source_json_variant",
-    "source_python_datasource",
-    "source_xml_parse",
-    "source_orc_roundtrip_typed",
-    "etl_cdc_compact",
-    "etl_fk_integrity",
+    # r13 window (see rotation history above): the NEW maintenance key
+    # + the 2 refactored ivfpq keys, then the 41 remaining r5-evidence
+    # keys (registration order), then 6 r6-evidence head fills —
+    # 1 + 2 + 41 + 6 = 50 total.
+    "vec_ann_ivfpq_index_maintenance",  # NEW in r13 (no CORRECTNESS row yet)
+    "vec_ann_ivfpq",  # ivfpq_encode refactor + exclude_self param
+    "vec_ann_ivfpq_persisted",  # same refactor, persisted lifecycle
+    # r5-evidence block (oldest driver rows after the r12 window
+    # retired the r4 block; none of these changed since r5)
+    "etl_freshness_lag",
+    "etl_k_anonymity",
+    "etl_dataset_fingerprint",
+    "etl_forget_propagation",
+    "etl_incremental_join_view",
+    "agg_collect_sorted",
+    "agg_bitmap_distinct",
+    "agg_salted_twophase",
+    "join_anti",
+    "join_null_safe",
+    "join_bloom_prefilter",
+    "join_asof_tolerance",
+    "win_topk_per_group",
+    "win_drawdown",
+    "win_cume_dist",
+    "set_except",
+    "join_local_supplier_volume",
+    "join_volume_shipping_pairs",
+    "agg_forecast_revenue",
+    "join_product_type_profit",
+    "agg_important_stock",
+    "fn_pipe_syntax",
+    "fn_sql_udf",
+    "fn_collation",
+    "fn_sql_params",
+    "fn_sql_scripting",
+    "agg_listagg_native",
+    "events_training_examples",
+    "basket_association_rules",
+    "orders_survival_km",
+    "events_bot_detection",
+    "events_stickiness_dau_mau",
+    "agg_rate_wilson_ci",
+    "events_time_to_convert",
+    "events_growth_accounting",
+    "agg_benford_digits",
+    "agg_skyline_2d",
+    "graph_label_propagation",
+    "graph_shortest_path_bounded",
+    "ts_resample_ohlc",
+    "ts_interpolate_linear",
+    # r6-evidence head fills
+    "win_gaps_islands",
+    "fn_group_by_all",
+    "agg_width_bucket",
+    "graph_neighbor_jaccard",
+    "sample_neyman_allocation",
+    "events_rollup_multi_grain",
 ]
 
 

@@ -3,6 +3,12 @@ approximate operators."""
 
 from __future__ import annotations
 
+import pytest
+
+# fast-lane member (pyproject [tool.pytest.ini_options] markers):
+# cross-query invariants — structural, no per-key fixture scans
+pytestmark = pytest.mark.fast
+
 from pyspark.sql import functions as F
 
 from pyetl_spark import registry

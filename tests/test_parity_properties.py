@@ -6,9 +6,13 @@ negatives, negative ties, huge/tiny magnitudes, and a seeded random sweep.
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 
+# fast-lane member (pyproject [tool.pytest.ini_options] markers):
+# parity helpers — structural, no per-key fixture scans
+pytestmark = pytest.mark.fast
+
+import numpy as np
 from pyspark.sql import functions as F
 
 from pyetl_spark.parity import FXP, R, fxp, rnd

@@ -4,6 +4,12 @@ extras registered ahead of SURVEY keys left 39 Tier-A keys unverified)."""
 
 from __future__ import annotations
 
+import pytest
+
+# fast-lane member (pyproject [tool.pytest.ini_options] markers):
+# registration/window pins — structural, no per-key fixture scans
+pytestmark = pytest.mark.fast
+
 import __spark_entry__ as entry
 from pyetl_spark import registry
 
