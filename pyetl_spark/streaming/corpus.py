@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -372,6 +374,155 @@ def run_boilerplate_strip(
 
     return (
         docs_stream.writeStream.foreachBatch(strip_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+VECS_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("ingest_ts", TimestampType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def read_vecs_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """JSON-lines embedding stream (file source ≙ Kafka topic of
+    vectors — same swap contract as ``read_docs_stream``)."""
+    reader = spark.readStream.schema(VECS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def encode_vectors_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    coarse_centroids: DataFrame,
+    codebook: DataFrame,
+    out_path: str,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+    codes: DataFrame | None = None,
+    mse_log_path: str | None = None,
+) -> None:
+    """IDEMPOTENT per-batch IVF-PQ encoder (module-level so tests can
+    crash-replay it, same pattern as ``assign_neardup_batch``): encodes
+    the batch against the STATIC index artifacts via
+    ``ivfpq_index_delta`` (assign-to-existing-centroids +
+    encode-with-existing-codebook — no refit inside the hot path) and
+    lands the code rows under their own ``batch_id=<id>`` partition
+    with dynamic partition overwrite, so a replay of batch N after a
+    failure between the sink write and the checkpoint commit REWRITES
+    batch N's codes instead of appending duplicates.
+
+    Unlike the MinHash path — whose ``minhash_index_delta`` append is
+    deliberately between-runs-only because its output is not
+    batch-keyed — the ANN delta is safe to land per batch: every code
+    row derives from the batch's own vectors alone (no dependence on
+    which earlier batch arrived first), so batch_id partitioning makes
+    the continuous append replay-idempotent. Searches run over
+    base_codes UNION the ingested partitions (drop the batch_id
+    column); compaction of old partitions into the base table is a
+    between-runs maintenance job, same cadence as a retrain.
+
+    ``mse_log_path``: when set, a 1-row drift record (batch_id, n,
+    batch residual-space MSE via ``ivfpq_batch_mse``) lands next to the
+    codes under the same batch_id-overwrite contract — the retrain
+    trigger (build-vs-batch MSE ratio) becomes an append-only log the
+    monitoring job tails, instead of a number someone has to remember
+    to compute."""
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_batch_mse,
+        ivfpq_index_delta,
+    )
+
+    batch = batch_df.select("vec_id", F.col("embedding").alias("e"))
+    delta = ivfpq_index_delta(
+        batch, coarse_centroids, codebook, m=m, dim=dim, k=k, codes=codes
+    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+    (
+        delta.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_path)
+    )
+    if mse_log_path is not None:
+        n = batch.count()
+        mse = (
+            ivfpq_batch_mse(
+                batch, coarse_centroids, codebook, m=m, dim=dim
+            )
+            if n
+            else None
+        )
+        rec = batch_df.sparkSession.createDataFrame(
+            [(int(batch_id), n, mse)],
+            "batch_id long, n_vectors long, batch_mse double",
+        )
+        (
+            rec.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(mse_log_path)
+        )
+
+
+def run_vector_ingest(
+    vec_stream: DataFrame,
+    coarse_centroids: DataFrame,
+    codebook: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+    codes: DataFrame | None = None,
+    mse_log_path: str | None = None,
+):
+    """Streaming ANN-index ingest — the streaming twin of
+    ``ivfpq_index_delta`` (north star: embeddings of freshly-curated
+    documents arrive continuously; each batch must become searchable
+    without retraining or corpus re-encoding). Per micro-batch via
+    foreachBatch: O(|batch| · coarse_k + |batch| · m · k) distance
+    evaluations, the static centroid/codebook artifacts broadcast —
+    never a corpus scan. A streaming-native formulation would buy
+    nothing: the per-vector code is complete within its own batch,
+    exactly the foreachBatch case.
+
+    Pass ``codes`` (the base code table, or any frame carrying its
+    stamped metadata) to fail fast when this ingest's (m, dim, k)
+    disagree with the index it feeds — a mismatched ingest would
+    otherwise write garbage codes that silently corrupt every search
+    over the mixed table (the stamp contract of ``ivfpq_encode``).
+
+    Drift: append-only maintenance degrades recall silently under
+    distribution shift; set ``mse_log_path`` to land a per-batch MSE
+    record and alert on the ratio vs the build-time value — when it
+    drifts past ~2x, retrain (rebuild centroids + codebook, re-encode,
+    compact) instead of appending further."""
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        encode_vectors_batch(
+            batch_df,
+            batch_id,
+            coarse_centroids,
+            codebook,
+            out_path,
+            m=m,
+            dim=dim,
+            k=k,
+            codes=codes,
+            mse_log_path=mse_log_path,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(encode_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -1124,3 +1124,140 @@ def test_stream_boilerplate_strip_matches_batch_and_replays(spark, scratch):
     assert got2 == {200: uniq(200)}
     # run 1's output unchanged by the refresh
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_vector_ingest_checkpoint_recovery_and_replay(spark, scratch):
+    """Streaming ANN ingest lifecycle (r13 — the vector twin of
+    test_stream_neardup_ingest_checkpoint_recovery): day-1 artifacts are
+    static; two stream runs on the SAME checkpoint encode only unseen
+    files; the union of base codes + ingested partitions makes the new
+    vectors searchable (verified against the BATCH delta on the union);
+    a crash-replay of a batch rewrites its own partition instead of
+    duplicating; the per-batch drift log lands; and a mismatched-param
+    ingest fails fast against the stamped base table."""
+    import math
+
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_index_delta,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit
+    from pyetl_spark.streaming.corpus import (
+        encode_vectors_batch,
+        read_vecs_stream,
+        run_vector_ingest,
+    )
+
+    M, K, DIM = 4, 8, 16
+
+    def vec(c: int, i: int) -> list:
+        return [
+            5.0 * ((c >> b) & 1) + 0.1 * math.cos(0.7 * (i + 1) * (b + 1))
+            for b in range(DIM)
+        ]
+
+    # day-1 build: 3 clusters (corners 3, 12, 48), 20 vectors each
+    corners = (3, 12, 48)
+    rows = [
+        (c_idx * 100 + i, vec(c, i))
+        for c_idx, c in enumerate(corners)
+        for i in range(20)
+    ]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    cents = kmeans_fit(base, k=3, iters=3)
+    res = ivfpq_residuals(ivf_assign(base, cents), cents)
+    cb = pq_fit(res, id_col="vec_id", vec_col="r", m=M, k=K, dim=DIM,
+                iters=3)
+    base_codes = ivfpq_encode(res, cb, m=M, dim=DIM, k=K)
+
+    src = os.path.join(scratch, "vec_src")
+    out = os.path.join(scratch, "vec_codes_out")
+    log = os.path.join(scratch, "vec_mse_log")
+    ck = os.path.join(scratch, "vec_ck")
+    # stream batch 1: 4 new cluster-48 vectors
+    b1 = [{"vec_id": 1000 + i, "embedding": vec(48, 50 + i)}
+          for i in range(4)]
+    _write_batch(src, "v1.json", b1)
+    q1 = run_vector_ingest(
+        read_vecs_stream(spark, src), cents, cb, out, ck,
+        m=M, dim=DIM, k=K, codes=base_codes, mse_log_path=log,
+    )
+    q1.awaitTermination(120)
+    q1.stop()
+    assert spark.read.parquet(out).count() == 4 * M
+
+    # restart same checkpoint with batch 2 present: only v2 processed
+    b2 = [{"vec_id": 2000 + i, "embedding": vec(48, 80 + i)}
+          for i in range(4)]
+    _write_batch(src, "v2.json", b2)
+    q2 = run_vector_ingest(
+        read_vecs_stream(spark, src), cents, cb, out, ck,
+        m=M, dim=DIM, k=K, codes=base_codes, mse_log_path=log,
+    )
+    q2.awaitTermination(120)
+    ingested = spark.read.parquet(out)
+    assert ingested.count() == 8 * M  # exactly once per vector
+    assert ingested.select("batch_id").distinct().count() == 2
+
+    # drift log: one record per batch, in-distribution MSE
+    drift = spark.read.parquet(log).orderBy("batch_id").collect()
+    assert [r["n_vectors"] for r in drift] == [4, 4]
+    assert all(r["batch_mse"] is not None for r in drift)
+
+    # the ingested partitions equal the BATCH delta on the union of
+    # both stream inputs (streaming/batch parity, restart invisible)
+    union = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in (*b1, *b2)],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").alias("e"))
+    batch_delta = ivfpq_index_delta(union, cents, cb, m=M, dim=DIM, k=K)
+    got = sorted(
+        (r["id"], r["cell"], r["sub"], r["code"])
+        for r in ingested.collect()
+    )
+    want = sorted(
+        (r["id"], r["cell"], r["sub"], r["code"])
+        for r in batch_delta.collect()
+    )
+    assert got == want
+
+    # crash-replay batch 0 → rewrites its partition, count unchanged
+    replay_df = spark.createDataFrame(
+        [(r["vec_id"], None, r["embedding"]) for r in b1],
+        "vec_id long, ingest_ts timestamp, embedding array<double>",
+    )
+    encode_vectors_batch(
+        replay_df, 0, cents, cb, out, m=M, dim=DIM, k=K,
+        codes=base_codes, mse_log_path=log,
+    )
+    assert spark.read.parquet(out).count() == 8 * M
+
+    # search over base ∪ ingested finds the streamed vectors (re-read:
+    # the replay rewrote partition 0's files, so the pre-replay frame's
+    # file listing is stale — exactly what a reader-after-maintenance
+    # does in production)
+    merged = base_codes.unionByName(
+        spark.read.parquet(out).drop("batch_id")
+    )
+    probes = union.filter(F.col("vec_id") == 1000).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    near = ivfpq_topk(
+        probes, merged, cb, cents, m=M, dim=DIM, topk=3, nprobe=1,
+        exclude_self=True,
+    ).collect()
+    assert len(near) == 3
+    # neighbors come from cluster 48's id ranges (base 200s or streamed)
+    assert all(200 <= r["id"] < 220 or r["id"] >= 1000 for r in near)
+
+    # mismatched ingest params fail fast against the stamped base table
+    with pytest.raises(ValueError, match="does not match the index"):
+        encode_vectors_batch(
+            replay_df, 9, cents, cb, out, m=M, dim=DIM, k=K + 8,
+            codes=base_codes,
+        )
