@@ -201,17 +201,23 @@ SF1_QUERIES = [
 ]
 
 
-def _latest_prior_bench() -> tuple[int, dict[str, float], float] | None:
-    """(round, per-query medians, recorded sf) from the newest
-    driver-recorded BENCH_r{N}.json — the comparison base for the
-    regression auto-triage. The sf ride-along lets the caller skip
+def _latest_prior_bench() -> (
+    tuple[int, dict[str, float], float, dict[str, float]] | None
+):
+    """(round, per-query medians, recorded sf, index-build timings) from
+    the newest driver-recorded BENCH_r{N}.json — the comparison base for
+    the regression auto-triage. The sf ride-along lets the caller skip
     triage when the current run uses a non-default SPARK_GRAFT_SF_DIR:
     comparing sf1 medians against sf0.1 priors would flag nearly every
-    query and burn the whole triage budget on meaningless reruns."""
+    query and burn the whole triage budget on meaningless reruns.
+    index_builds (r13, empty for pre-split records) feeds the BUILD
+    regression check — the split moved the composed IVF-PQ build out of
+    `queries`, and without this ride-along a build regression would
+    escape all automated detection."""
     import glob
     import re
 
-    best: tuple[int, dict[str, float], float] | None = None
+    best: tuple[int, dict[str, float], float, dict[str, float]] | None = None
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")):
         m = re.search(r"BENCH_r0*(\d+)\.json$", path)
@@ -231,6 +237,10 @@ def _latest_prior_bench() -> tuple[int, dict[str, float], float] | None:
                 n,
                 {k: float(v) for k, v in queries.items()},
                 float(parsed.get("sf", -1)),
+                {
+                    k: float(v)
+                    for k, v in (parsed.get("index_builds") or {}).items()
+                },
             )
     return best
 
@@ -260,8 +270,12 @@ def _isolated_rerun(key: str, timeout: float = 600.0) -> float | None:
             return None
         with open(detail) as fh:
             d = json.load(fh)
-        # the ivfpq build half lands under index_builds, not queries
-        return d["queries"].get(key) or d.get("index_builds", {}).get(key)
+        # the ivfpq build half lands under index_builds, not queries;
+        # explicit None check — `or` would misroute a legitimate 0.0
+        v = d["queries"].get(key)
+        if v is None:
+            v = d.get("index_builds", {}).get(key)
+        return v
     except Exception:
         return None
     finally:
@@ -429,8 +443,15 @@ def main() -> None:
                 "second_pass": rel > band,
             }
             if rel > band:
-                t2, s2, _b2 = _run_suite(spark, headline, sf_dir)
+                t2, s2, b2 = _run_suite(spark, headline, sf_dir)
                 noise_band["pass2_queries"] = dict(t2)
+                # pass-2 rebuilds the index from the same deterministic
+                # inputs — recording it (instead of discarding) gives a
+                # confirming second sample for the BUILD regression
+                # check below, the same min-of-two logic as queries
+                noise_band["pass2_builds"] = {
+                    k: round(v, 3) for k, v in b2.items()
+                }
                 # SHIP pass-1 medians as the comparable series (r12
                 # ADVICE: shipping the per-key min-of-two ratcheted the
                 # record low — a genuinely quieter future run then read
@@ -468,21 +489,36 @@ def main() -> None:
     # "real" regression).
     isolated: dict[str, dict[str, float | None]] = {}
     flagged: list[str] = []
+    prior_all: dict[str, float] = {}
+    candidates: dict[str, float] = {}
     if prior is not None:
-        prior_n, prior_q, _prior_sf = prior
+        prior_n, prior_q, _prior_sf, prior_builds = prior
+        # index builds face the same rule (r13: the build/search split
+        # moved the composed IVF-PQ build out of `queries`, and without
+        # this the repo's most expensive build had NO automated
+        # regression detection). Build timings are single-run per pass;
+        # when a second pass ran, the min of the two is the detector's
+        # input, mirroring the query series.
+        triage_builds = dict(builds)
+        if noise_band is not None and noise_band.get("second_pass"):
+            for k, v in noise_band.get("pass2_builds", {}).items():
+                if k in triage_builds:
+                    triage_builds[k] = min(triage_builds[k], v)
+        candidates = {**triage_timings, **triage_builds}
+        prior_all = {**prior_q, **prior_builds}
         flagged = sorted(
             (
                 k
-                for k, v in triage_timings.items()
-                if k in prior_q
-                and prior_q[k] > 0
-                and v > 1.3 * prior_q[k]
-                and v - prior_q[k] > 0.3
+                for k, v in candidates.items()
+                if k in prior_all
+                and prior_all[k] > 0
+                and v > 1.3 * prior_all[k]
+                and v - prior_all[k] > 0.3
             ),
             # worst regression first — the [:6] cost bound must never
             # drop the biggest mover just because it sits late in
             # HEADLINE (the exact escape this block exists to prevent)
-            key=lambda k: triage_timings[k] / prior_q[k],
+            key=lambda k: candidates[k] / prior_all[k],
             reverse=True,
         )
 
@@ -557,8 +593,9 @@ def main() -> None:
             break
         isolated[k] = {
             "prior_round": prior_n,
-            "prior": prior_q[k],
-            "suite": timings[k],
+            "prior": prior_all[k],
+            # a flagged key is either a query median or an index build
+            "suite": timings.get(k, builds.get(k)),
             # each child's timeout is the REMAINING budget, so one hung
             # child cannot stretch triage wall to 240s + its own 600s
             "isolated": _isolated_rerun(k, timeout=max(1.0, remaining)),

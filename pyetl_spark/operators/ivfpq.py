@@ -220,23 +220,24 @@ def _check_codes_stamp(
     codes: DataFrame, m: int, dim: int, k: int, caller: str
 ) -> None:
     """Raise if ``codes`` carries an (m, dim, k) stamp in its ``code``
-    field metadata that disagrees with the caller's parameters. Same
-    contract as minhash._check_index_stamp: a missing or partial stamp
-    (caller projected/re-aliased the frame) is uncheckable and passes —
-    all three keys or nothing."""
-    try:
-        meta = codes.schema["code"].metadata or {}
-    except KeyError:  # caller projected/renamed the codes frame
-        meta = {}
-    if all(key in meta for key in IVFPQ_STAMP_KEYS):
-        built = tuple(meta[key] for key in IVFPQ_STAMP_KEYS)
-        if built != (m, dim, k):
-            raise ValueError(
-                f"{caller}: (m, dim, k)={(m, dim, k)} does not match the "
-                f"index's build parameters {built}; appending codes "
-                "encoded under a different codebook layout silently "
-                "corrupts every future search over the mixed index"
-            )
+    field metadata that disagrees with the caller's parameters.
+    All-keys-or-nothing contract and the check itself live in
+    operators/stamps.check_stamp (shared with the MinHash band_hash
+    stamp, r13)."""
+    from pyetl_spark.operators.stamps import check_stamp
+
+    check_stamp(
+        codes,
+        field="code",
+        stamp_keys=IVFPQ_STAMP_KEYS,
+        label="(m, dim, k)",
+        expected=(m, dim, k),
+        caller=caller,
+        consequence=(
+            "appending codes encoded under a different codebook layout "
+            "silently corrupts every future search over the mixed index"
+        ),
+    )
 
 
 def ivfpq_index_delta(

@@ -442,23 +442,23 @@ def _check_index_stamp(
     parameters. Band hashes from different parameters never collide, so
     a mismatch silently yields zero candidates (every doc self-keeps)
     or, on append, a partially-dead index — exactly the corruption the
-    stamp exists to catch. A missing or partial stamp (caller projected
-    / re-aliased the index) is uncheckable and passes — all three keys
-    or nothing, so a partially-present stamp can't KeyError."""
-    try:
-        meta = index.schema["band_hash"].metadata or {}
-    except KeyError:  # caller projected/renamed the index — can't check
-        meta = {}
-    _stamp_keys = ("minhash.num_hashes", "minhash.bands", "minhash.seed")
-    if all(k in meta for k in _stamp_keys):
-        built = tuple(meta[k] for k in _stamp_keys)
-        if built != (num_hashes, bands, seed):
-            raise ValueError(
-                f"{caller}: (num_hashes, bands, seed)="
-                f"{(num_hashes, bands, seed)} does not match the index's "
-                f"build parameters {built}; a mismatch silently produces "
-                "empty band buckets (every doc would self-keep)"
-            )
+    stamp exists to catch. All-keys-or-nothing contract and the check
+    itself live in operators/stamps.check_stamp (shared with the
+    IVF-PQ codes stamp, r13)."""
+    from pyetl_spark.operators.stamps import check_stamp
+
+    check_stamp(
+        index,
+        field="band_hash",
+        stamp_keys=("minhash.num_hashes", "minhash.bands", "minhash.seed"),
+        label="(num_hashes, bands, seed)",
+        expected=(num_hashes, bands, seed),
+        caller=caller,
+        consequence=(
+            "a mismatch silently produces empty band buckets "
+            "(every doc would self-keep)"
+        ),
+    )
 
 
 def minhash_index_delta(

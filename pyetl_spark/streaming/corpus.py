@@ -432,21 +432,45 @@ def encode_vectors_batch(
     column); compaction of old partitions into the base table is a
     between-runs maintenance job, same cadence as a retrain.
 
-    ``mse_log_path``: when set, a 1-row drift record (batch_id, n,
-    batch residual-space MSE via ``ivfpq_batch_mse``) lands next to the
-    codes under the same batch_id-overwrite contract — the retrain
-    trigger (build-vs-batch MSE ratio) becomes an append-only log the
-    monitoring job tails, instead of a number someone has to remember
-    to compute."""
-    from pyetl_spark.operators.ivfpq import (
-        ivfpq_batch_mse,
-        ivfpq_index_delta,
-    )
+    PRECONDITION — vec_id unique across the ingest's lifetime: code
+    rows are keyed by batch_id, so a vector RE-EMITTED in a later
+    batch (a re-curated doc's updated embedding) leaves the stale
+    rows in the earlier partition too, and a naive union holds 2·m
+    rows for that id — ivfpq_topk's per-(probe, id) fold would then
+    sum both generations' table entries and silently mis-rank exactly
+    the updated vectors. Either guarantee unique ids upstream (the
+    usual contract — vector stores treat re-add as delete-then-add)
+    or read the ingested table through ``latest_codes`` below, which
+    keeps only each id's newest batch.
 
+    ``mse_log_path``: when set, a 1-row drift record (batch_id, n,
+    batch residual-space MSE) lands next to the codes under the same
+    batch_id-overwrite contract — the retrain trigger (build-vs-batch
+    MSE ratio) becomes an append-only log the monitoring job tails,
+    instead of a number someone has to remember to compute. The MSE
+    derives from the SAME residual frame the codes do (one centroid
+    assignment, one residual pass, pinned — not a recompute)."""
+    from pyetl_spark.operators.ivf import ivf_assign
+    from pyetl_spark.operators.ivfpq import (
+        _check_codes_stamp,
+        ivfpq_encode,
+        ivfpq_residuals,
+    )
+    from pyetl_spark.operators.pq import reconstruction_mse
+
+    if codes is not None:
+        _check_codes_stamp(codes, m, dim, k, "encode_vectors_batch")
     batch = batch_df.select("vec_id", F.col("embedding").alias("e"))
-    delta = ivfpq_index_delta(
-        batch, coarse_centroids, codebook, m=m, dim=dim, k=k, codes=codes
-    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+    res = ivfpq_residuals(
+        ivf_assign(batch, coarse_centroids), coarse_centroids
+    )
+    if mse_log_path is not None:
+        # two consumers (codes + drift MSE) and an n-count — pin the
+        # residual frame so the nearest-centroid pass runs once
+        res = res.localCheckpoint(eager=True)
+    delta = ivfpq_encode(res, codebook, m=m, dim=dim, k=k).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
     (
         delta.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -454,10 +478,10 @@ def encode_vectors_batch(
         .parquet(out_path)
     )
     if mse_log_path is not None:
-        n = batch.count()
+        n = res.count()
         mse = (
-            ivfpq_batch_mse(
-                batch, coarse_centroids, codebook, m=m, dim=dim
+            reconstruction_mse(
+                res, codebook, id_col="vec_id", vec_col="r", m=m, dim=dim
             )
             if n
             else None
@@ -472,6 +496,18 @@ def encode_vectors_batch(
             .partitionBy("batch_id")
             .parquet(mse_log_path)
         )
+
+
+def latest_codes(ingested: DataFrame) -> DataFrame:
+    """Newest-generation view of the ingested code table: for ids that
+    were re-emitted in a later batch (see the precondition on
+    ``encode_vectors_batch``), keep ONLY the highest-batch_id rows, so
+    the merged search index holds exactly m code rows per vector. One
+    aggregate + one equi-join on id — both on the ingested table only
+    (never the base corpus); readers that guarantee unique ids upstream
+    can skip this and ``drop("batch_id")`` directly."""
+    newest = ingested.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
+    return ingested.join(newest, ["id", "batch_id"]).drop("batch_id")
 
 
 def run_vector_ingest(

@@ -6,6 +6,12 @@ the docstrings make (codegen inlining, partition fan-out, lossless storage).
 
 from __future__ import annotations
 
+import pytest as _pytest
+
+# fast-lane member (pyproject [tool.pytest.ini_options] markers):
+# Spark-4 surface mechanism probes — ~30 s, no per-key fixture sweeps
+pytestmark = _pytest.mark.fast
+
 import contextlib
 import io
 

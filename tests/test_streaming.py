@@ -1261,3 +1261,22 @@ def test_stream_vector_ingest_checkpoint_recovery_and_replay(spark, scratch):
             replay_df, 9, cents, cb, out, m=M, dim=DIM, k=K + 8,
             codes=base_codes,
         )
+
+    # cross-batch RE-EMISSION of an id (updated embedding in a later
+    # batch): the raw table holds two generations (2·m rows for the
+    # id); latest_codes keeps only the newest batch's m rows
+    from pyetl_spark.streaming.corpus import latest_codes
+
+    reemit = spark.createDataFrame(
+        [(1000, None, vec(12, 7))],
+        "vec_id long, ingest_ts timestamp, embedding array<double>",
+    )
+    encode_vectors_batch(reemit, 5, cents, cb, out, m=M, dim=DIM, k=K)
+    raw = spark.read.parquet(out)
+    assert raw.filter(F.col("id") == 1000).count() == 2 * M
+    fresh = latest_codes(raw)
+    assert fresh.filter(F.col("id") == 1000).count() == M
+    # every id (8 distinct: 1000-1003, 2000-2003) has exactly m rows
+    # and batch_id is dropped
+    assert fresh.count() == 8 * M
+    assert "batch_id" not in fresh.columns
