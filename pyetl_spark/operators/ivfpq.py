@@ -129,7 +129,30 @@ def ivfpq_topk(
     True drops candidates whose id equals the probe id. Default False —
     same convention as pq.adc_topk: for external probes a numeric-id
     collision with a corpus vec_id must NOT silently drop a legitimate
-    neighbor (r12 ADVICE). Callers that self-query opt in explicitly."""
+    neighbor (r12 ADVICE). Callers that self-query opt in explicitly.
+
+    Probe-side stamp check (r13, mirroring
+    minhash_assign_incremental): when ``codes`` carries the complete
+    (m, dim, k) build stamp, a caller whose (m, dim) disagree fails
+    fast here — a mismatched search splits the probe residual on the
+    wrong boundaries and joins codes against the wrong ADC rows,
+    returning confidently wrong neighbors with no error anywhere. k is
+    not a search parameter (it lives in the codebook), so only the two
+    caller-supplied values are compared."""
+    try:
+        _meta = codes.schema["code"].metadata or {}
+    except KeyError:  # projected/renamed codes frame — can't check
+        _meta = {}
+    if all(key in _meta for key in IVFPQ_STAMP_KEYS):
+        built_m, built_dim = _meta["ivfpq.m"], _meta["ivfpq.dim"]
+        if (built_m, built_dim) != (m, dim):
+            raise ValueError(
+                f"ivfpq_topk: (m, dim)={(m, dim)} does not match the "
+                f"index's build parameters {(built_m, built_dim)}; a "
+                "mismatched search splits probe residuals on the wrong "
+                "subvector boundaries and returns wrong neighbors "
+                "without an error"
+            )
     cents = F.broadcast(coarse_centroids)
     pc = probes.crossJoin(cents).withColumn(
         "_d", _sq_dist(F.col(probe_vec), F.col("centroid"))

@@ -563,3 +563,37 @@ def run_vector_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ingested_codes(
+    spark: SparkSession,
+    base_codes_path: str,
+    ingested_path: str,
+    out_path: str,
+) -> None:
+    """Between-runs compaction of the streamed ANN ingest — the
+    maintenance job the ingest docstrings defer to: fold the
+    batch_id-partitioned ingested code rows into a fresh
+    cell-partitioned codes table at ``out_path`` (MUST be a new
+    directory, not either input — the inputs are read lazily while the
+    output writes, and a reader holding the old pointer must stay
+    consistent; publish the new path with a manifest/pointer swap, the
+    sink_manifest_atomic_publish pattern, then clear the ingested dir
+    and the stream checkpoint TOGETHER so the next run starts empty).
+
+    Semantics: newest generation wins everywhere — re-emitted ids keep
+    only their highest-batch_id rows (``latest_codes``), and an
+    ingested id that also exists in the BASE table replaces the base
+    rows (anti-join), so an updated embedding fully supersedes the one
+    the nightly build encoded. Cost: one aggregate + two joins keyed on
+    id over the two code tables — corpus-linear, no distance work, no
+    refit; cell partitioning is restored on write so nprobe directory
+    pruning keeps working. The (m, dim, k) stamp rides the base
+    table's schema (union takes the first child's metadata; the
+    ingested side carries the same stamp, enforced at encode time)."""
+    fresh = latest_codes(spark.read.parquet(ingested_path))
+    base = spark.read.parquet(base_codes_path)
+    merged = base.join(
+        fresh.select("id").distinct(), "id", "left_anti"
+    ).unionByName(fresh)
+    merged.write.partitionBy("cell").mode("errorifexists").parquet(out_path)

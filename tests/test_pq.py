@@ -306,3 +306,47 @@ def test_ivfpq_batch_mse_drift_signal(spark):
     assert mse_in < 2.0 * max(build_mse, 1e-9)
     assert mse_shift > 2.0 * max(build_mse, 1e-9)
     assert mse_shift > 5.0 * max(mse_in, 1e-9)
+
+
+def test_ivfpq_topk_probe_side_stamp_mismatch_raises(spark):
+    """Search-side fail-fast (r13, mirroring the MinHash probe-side
+    check): a search whose (m, dim) disagree with the stamped codes
+    table splits probe residuals on the wrong subvector boundaries and
+    returns confidently wrong neighbors — it must raise instead.
+    Unstamped codes (projected frame) stay accepted, and k is not
+    checked (not a search parameter)."""
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit
+
+    df = _clustered(spark, n_per=30)
+    v = df.select("vec_id", F.col("embedding").alias("e"))
+    cents = kmeans_fit(v, k=3, iters=2)
+    res = ivfpq_residuals(ivf_assign(v, cents), cents)
+    cb = pq_fit(res, id_col="vec_id", vec_col="r", m=M, k=K, dim=DIM,
+                iters=2)
+    codes = ivfpq_encode(res, cb, m=M, dim=DIM, k=K)
+    probes = v.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    with pytest.raises(ValueError, match="does not match the index"):
+        ivfpq_topk(probes, codes, cb, cents, m=M * 2, dim=DIM, topk=3)
+    # matching params search fine; a projected (stamp-stripped) frame
+    # is uncheckable and stays accepted — all-keys-or-nothing
+    assert (
+        ivfpq_topk(probes, codes, cb, cents, m=M, dim=DIM, topk=3).count()
+        == 6
+    )
+    stripped = codes.select(
+        "id", "cell", "sub", (F.col("code") + 0).alias("code")
+    )
+    assert (
+        ivfpq_topk(
+            probes, stripped, cb, cents, m=M, dim=DIM, topk=3
+        ).count()
+        == 6
+    )

@@ -1280,3 +1280,96 @@ def test_stream_vector_ingest_checkpoint_recovery_and_replay(spark, scratch):
     # and batch_id is dropped
     assert fresh.count() == 8 * M
     assert "batch_id" not in fresh.columns
+
+
+def test_compact_ingested_codes_newest_generation_wins(spark, scratch):
+    """Between-runs compaction (r13): the streamed batch partitions fold
+    into a fresh cell-partitioned codes table — re-emitted ids keep only
+    their newest batch's rows, ingested ids that also exist in the BASE
+    table supersede the base rows, untouched base ids survive verbatim,
+    the stamp rides the merged schema, and the output restores the
+    cell-partitioned layout."""
+    import math
+
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit
+    from pyetl_spark.operators.ivfpq import ivfpq_encode, ivfpq_residuals
+    from pyetl_spark.operators.pq import pq_fit
+    from pyetl_spark.streaming.corpus import (
+        compact_ingested_codes,
+        encode_vectors_batch,
+    )
+
+    M, K, DIM = 4, 8, 16
+
+    def vec(c: int, i: int) -> list:
+        return [
+            5.0 * ((c >> b) & 1) + 0.1 * math.cos(0.7 * (i + 1) * (b + 1))
+            for b in range(DIM)
+        ]
+
+    rows = [(ci * 100 + i, vec(c, i))
+            for ci, c in enumerate((3, 12, 48)) for i in range(10)]
+    base_v = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    cents = kmeans_fit(base_v, k=3, iters=3)
+    res = ivfpq_residuals(ivf_assign(base_v, cents), cents)
+    cb = pq_fit(res, id_col="vec_id", vec_col="r", m=M, k=K, dim=DIM,
+                iters=3)
+    base_path = os.path.join(scratch, "base_codes")
+    ivfpq_encode(res, cb, m=M, dim=DIM, k=K).write.partitionBy(
+        "cell"
+    ).parquet(base_path)
+
+    ing = os.path.join(scratch, "ingested")
+    # batch 0: one NEW id (500) + an UPDATE of base id 7 (moved cluster)
+    b0 = spark.createDataFrame(
+        [(500, None, vec(48, 99)), (7, None, vec(12, 3))],
+        "vec_id long, ingest_ts timestamp, embedding array<double>",
+    )
+    encode_vectors_batch(b0, 0, cents, cb, ing, m=M, dim=DIM, k=K)
+    # batch 1: re-emits id 500 with a different embedding
+    b1 = spark.createDataFrame(
+        [(500, None, vec(3, 42))],
+        "vec_id long, ingest_ts timestamp, embedding array<double>",
+    )
+    encode_vectors_batch(b1, 1, cents, cb, ing, m=M, dim=DIM, k=K)
+
+    out = os.path.join(scratch, "codes_v2")
+    compact_ingested_codes(spark, base_path, ing, out)
+    merged = spark.read.parquet(out)
+    # 30 base ids, id 7 superseded (still present once), +1 new id
+    assert merged.select("id").distinct().count() == 31
+    assert merged.count() == 31 * M
+    # newest generation won: id 500's codes equal batch 1's encoding
+    b1_codes = {
+        (r["sub"], r["code"])
+        for r in spark.read.parquet(ing)
+        .filter((F.col("id") == 500) & (F.col("batch_id") == 1))
+        .collect()
+    }
+    got_500 = {
+        (r["sub"], r["code"])
+        for r in merged.filter(F.col("id") == 500).collect()
+    }
+    assert got_500 == b1_codes
+    # base id 7 was superseded by the ingested update
+    upd_7 = {
+        (r["sub"], r["code"])
+        for r in spark.read.parquet(ing)
+        .filter(F.col("id") == 7)
+        .collect()
+    }
+    got_7 = {
+        (r["sub"], r["code"])
+        for r in merged.filter(F.col("id") == 7).collect()
+    }
+    assert got_7 == upd_7
+    # cell-partitioned layout restored; stamp survived the merge
+    assert any(
+        d.startswith("cell=") for d in os.listdir(out) if not d.startswith("_")
+    )
+    assert merged.schema["code"].metadata["ivfpq.m"] == M
+    # refuses to clobber an existing output (pointer-swap contract)
+    with pytest.raises(Exception):
+        compact_ingested_codes(spark, base_path, ing, out)
