@@ -2200,7 +2200,17 @@ def vec_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_ann_ivf, and persisting is a LAYOUT change only (parquet
     round-trips the centroid/corpus doubles losslessly), so the SAME
     ``_ivf_oracle`` pins the persisted query path — the hash match
-    proves the index survived the disk round-trip bit-exactly."""
+    proves the index survived the disk round-trip bit-exactly.
+
+    Maintenance (r13 note): the plain-IVF append needs no dedicated
+    operator — the inverted file stores FULL vectors, so a daily batch
+    is exactly ``ivf_assign(new, cents)`` appended to the
+    cell-partitioned corpus (parquet append lands inside the right
+    cell directories). The compressed path, where the append must
+    re-encode against existing fitted state, is the non-trivial case —
+    that lifecycle is ``ivfpq_index_delta`` /
+    vec_ann_ivfpq_index_maintenance, and its drift rule
+    (``ivfpq_batch_mse``) applies to this index's centroids equally."""
     import os
 
     from pyetl_spark.operators.ivf import (
