@@ -2442,6 +2442,118 @@ def vec_ann_ivfpq_index_maintenance(
 
 
 @query(
+    "vec_ann_ivfpq_compacted",
+    oracle=_ivfpq_oracle(
+        train_where="WHERE vec_id % 5 != 4",
+        delta_where="WHERE vec_id % 5 = 4",
+    ),
+)
+def vec_ann_ivfpq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL on-disk IVF-PQ lifecycle in one hash-verified key (r13):
+    nightly build persisted as the three artifacts → day-2 batch
+    encoded STREAM-STYLE (``encode_vectors_batch``, the foreachBatch
+    kernel, landed under its batch_id partition) → between-runs
+    COMPACTION (``compact_ingested_codes``: batch partitions folded
+    into a fresh cell-partitioned codes table, newest generation wins)
+    → search cold from the COMPACTED artifacts. Each stage is what a
+    production retrieval service actually runs; this key pins that the
+    chain is lossless end-to-end.
+
+    Tier A via the same oracle as vec_ann_ivfpq_index_maintenance:
+    ingest is the identical no-retrain encode (assign-to-existing +
+    encode-with-existing) and compaction is a LAYOUT-ONLY
+    reorganization (ids disjoint across days here, so newest-wins is a
+    no-op and the compacted rows equal the union exactly) — so the
+    search result must hash-match the in-memory maintenance replay. A
+    compaction that drops rows, duplicates a generation, loses the
+    cell column on re-partitioning, or corrupts codes through the
+    double disk round-trip moves the hash."""
+    import os
+
+    from pyetl_spark.operators.ivf import ivf_assign, kmeans_fit_exact
+    from pyetl_spark.operators.ivfpq import (
+        ivfpq_encode,
+        ivfpq_residuals,
+        ivfpq_topk,
+    )
+    from pyetl_spark.operators.pq import pq_fit_exact
+    from pyetl_spark.streaming.corpus import (
+        compact_ingested_codes,
+        encode_vectors_batch,
+    )
+
+    base = _scratch_index_dir("ivfpqc_")
+    e = load_tables(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    day1 = v.filter(F.col("vec_id") % 5 != 4)
+    # nightly build, persisted (same artifacts as vec_ann_ivfpq_persisted)
+    cents = kmeans_fit_exact(day1, k=8, iters=2)
+    res1 = ivfpq_residuals(ivf_assign(day1, cents), cents).localCheckpoint(
+        eager=True
+    )
+    cb = pq_fit_exact(
+        res1, id_col="vec_id", vec_col="r", m=8, k=16, dim=64, iters=2
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    cb.write.mode("overwrite").parquet(os.path.join(base, "codebook"))
+    ivfpq_encode(res1, cb, m=8, dim=64, k=16).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(os.path.join(base, "codes"))
+    # day-2 ingest: the streaming foreachBatch kernel, cold artifacts
+    cents_idx = spark.read.parquet(os.path.join(base, "centroids"))
+    cb_idx = spark.read.parquet(os.path.join(base, "codebook"))
+    codes_idx = spark.read.parquet(os.path.join(base, "codes"))
+    day2 = e.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    encode_vectors_batch(
+        day2,
+        0,
+        cents_idx,
+        cb_idx,
+        os.path.join(base, "ingested"),
+        m=8,
+        dim=64,
+        k=16,
+        codes=codes_idx,
+    )
+    # between-runs compaction into a fresh cell-partitioned table
+    compact_ingested_codes(
+        spark,
+        os.path.join(base, "codes"),
+        os.path.join(base, "ingested"),
+        os.path.join(base, "codes_v2"),
+    )
+    codes_v2 = spark.read.parquet(os.path.join(base, "codes_v2"))
+    probes = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("probe_vec")
+    )
+    out = ivfpq_topk(
+        probes,
+        codes_v2,
+        cb_idx,
+        cents_idx,
+        m=8,
+        dim=64,
+        topk=5,
+        nprobe=2,
+        exclude_self=True,
+    )
+    return out.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        rnd(F.col("adc_dist"), 4).alias("adc_dist"),
+        "rank",
+    ).orderBy("probe_id", "rank")
+
+
+@query(
     "dedup_incremental_bloom",
     oracle="""
     WITH hist AS (

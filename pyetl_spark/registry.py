@@ -158,9 +158,13 @@ ORACLE: dict[str, str] = {}
 #:       re-slotted anyway because their builders changed;
 #:       canon_r13_ivfpq gates), then ALL 41 r5-evidence keys
 #:       (etl_freshness_lag … ts_interpolate_linear, registration
-#:       order), then 6 r6-evidence head fills (win_gaps_islands …
-#:       events_rollup_multi_grain) — 50 total. Lands the r12 verdict's
-#:       #3: after this window no key's driver evidence predates r6.
+#:       order), then 5 r6-evidence head fills (win_gaps_islands …
+#:       sample_neyman_allocation) — 50 total (the second NEW key,
+#:       vec_ann_ivfpq_compacted — the full disk lifecycle: stream-
+#:       kernel ingest + compaction, same oracle as the maintenance
+#:       key — landed late in the round and took the last fill's
+#:       slot). Lands the r12 verdict's #3: after this window no
+#:       key's driver evidence predates r6.
 #:   r14 draft: (any r13 reds) + keys r14 changes + the remaining 44
 #:       r6-evidence keys (registration order) + r7-evidence head fills
 #:       to 50.
@@ -168,11 +172,13 @@ ORACLE: dict[str, str] = {}
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r13 window (see rotation history above): the NEW maintenance key
+    # r13 window (see rotation history above): the 2 NEW lifecycle keys
     # + the 2 refactored ivfpq keys, then the 41 remaining r5-evidence
-    # keys (registration order), then 6 r6-evidence head fills —
-    # 1 + 2 + 41 + 6 = 50 total.
+    # keys (registration order), then 5 r6-evidence head fills —
+    # 2 + 2 + 41 + 5 = 50 total.
     "vec_ann_ivfpq_index_maintenance",  # NEW in r13 (no CORRECTNESS row yet)
+    "vec_ann_ivfpq_compacted",  # NEW in r13 (full disk lifecycle:
+    #   stream-kernel ingest + compaction; no CORRECTNESS row yet)
     "vec_ann_ivfpq",  # ivfpq_encode refactor + exclude_self param
     "vec_ann_ivfpq_persisted",  # same refactor, persisted lifecycle
     # r5-evidence block (oldest driver rows after the r12 window
@@ -224,7 +230,6 @@ PRIORITY: list[str] = [
     "agg_width_bucket",
     "graph_neighbor_jaccard",
     "sample_neyman_allocation",
-    "events_rollup_multi_grain",
 ]
 
 

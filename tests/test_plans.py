@@ -325,6 +325,9 @@ _NESTED_LOOP_OK = {
                            # day-2 delta leg re-uses the identical
                            # vectors × broadcast-centroid assignment
                            # BNLJ (ivfpq_index_delta → ivf_assign)
+    "vec_ann_ivfpq_compacted",  # same composed index, full disk
+                           # lifecycle (ingest + compaction) — search
+                           # tail carries the same intended BNLJ
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
     "text_bm25_search",    # 1-row (N, avgdl) corpus scalar crossJoined in
     "text_stopword_discovery",  # 1-row n_docs scalar crossJoined for the
@@ -747,10 +750,12 @@ def test_plan_lint_no_accidental_python_eval(spark, key):
 # r13: baseline file is build_cost_r13.jsonl — r12 rows carried over
 # verbatim except the three refreshed ivfpq-family keys (ivfpq_encode
 # refactor; 6410→6432 / 6490) and the NEW
-# vec_ann_ivfpq_index_maintenance (8240 — adjudicated eager-iteration
-# builder: vec_ann_ivfpq's fit jobs over the day-1 subset + the day-2
-# delta's assignment/encode plan construction; measured with
-# scripts/gen_build_cost.py --only, same loop as the lint).
+# vec_ann_ivfpq_index_maintenance (8240) and vec_ann_ivfpq_compacted
+# (8374) — both adjudicated eager-iteration builders: the maintenance
+# fit jobs over the day-1 subset + the delta/ingest encode (and for the
+# compacted key the persist/compact write jobs, which are eager by
+# nature); measured with scripts/gen_build_cost.py --only, same loop
+# as the lint.
 
 _BUILD_BASELINE: dict[str, int] = {}
 _BUILD_BASELINE_PATH = os.path.join(
