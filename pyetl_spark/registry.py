@@ -158,13 +158,15 @@ ORACLE: dict[str, str] = {}
 #:       re-slotted anyway because their builders changed;
 #:       canon_r13_ivfpq gates), then ALL 41 r5-evidence keys
 #:       (etl_freshness_lag … ts_interpolate_linear, registration
-#:       order), then 5 r6-evidence head fills (win_gaps_islands …
-#:       sample_neyman_allocation) — 50 total (the second NEW key,
-#:       vec_ann_ivfpq_compacted — the full disk lifecycle: stream-
-#:       kernel ingest + compaction, same oracle as the maintenance
-#:       key — landed late in the round and took the last fill's
-#:       slot). Lands the r12 verdict's #3: after this window no
-#:       key's driver evidence predates r6.
+#:       order), then 4 r6-evidence head fills (win_gaps_islands …
+#:       graph_neighbor_jaccard) — 50 total (the second and third NEW
+#:       keys — vec_ann_ivfpq_compacted, the full disk lifecycle:
+#:       stream-kernel ingest + compaction, same oracle as the
+#:       maintenance key; and vec_ann_ivfpq_recall_eval, the
+#:       hash-verified recall@5 of the composed index — landed late in
+#:       the round and took the last two fills' slots). Lands the r12
+#:       verdict's #3: after this window no key's driver evidence
+#:       predates r6.
 #:   r14 draft: (any r13 reds) + keys r14 changes + the remaining 44
 #:       r6-evidence keys (registration order) + r7-evidence head fills
 #:       to 50.
@@ -172,13 +174,15 @@ ORACLE: dict[str, str] = {}
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r13 window (see rotation history above): the 2 NEW lifecycle keys
-    # + the 2 refactored ivfpq keys, then the 41 remaining r5-evidence
-    # keys (registration order), then 5 r6-evidence head fills —
-    # 2 + 2 + 41 + 5 = 50 total.
+    # r13 window (see rotation history above): the 3 NEW keys (two
+    # lifecycle + the recall eval) + the 2 refactored ivfpq keys, then
+    # the 41 remaining r5-evidence keys (registration order), then 4
+    # r6-evidence head fills — 3 + 2 + 41 + 4 = 50 total.
     "vec_ann_ivfpq_index_maintenance",  # NEW in r13 (no CORRECTNESS row yet)
     "vec_ann_ivfpq_compacted",  # NEW in r13 (full disk lifecycle:
     #   stream-kernel ingest + compaction; no CORRECTNESS row yet)
+    "vec_ann_ivfpq_recall_eval",  # NEW in r13 (hash-verified recall@5
+    #   of the composed index vs exact L2; no CORRECTNESS row yet)
     "vec_ann_ivfpq",  # ivfpq_encode refactor + exclude_self param
     "vec_ann_ivfpq_persisted",  # same refactor, persisted lifecycle
     # r5-evidence block (oldest driver rows after the r12 window
@@ -229,7 +233,6 @@ PRIORITY: list[str] = [
     "fn_group_by_all",
     "agg_width_bucket",
     "graph_neighbor_jaccard",
-    "sample_neyman_allocation",
 ]
 
 

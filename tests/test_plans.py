@@ -328,6 +328,9 @@ _NESTED_LOOP_OK = {
     "vec_ann_ivfpq_compacted",  # same composed index, full disk
                            # lifecycle (ingest + compaction) — search
                            # tail carries the same intended BNLJ
+    "vec_ann_ivfpq_recall_eval",  # same assignment BNLJ + the exact
+                           # ground truth's broadcast-probe pass (the
+                           # vec_ann_recall_eval shape)
     "text_source_divergence",  # 1-row corpus-total scalar crossJoined in
     "text_bm25_search",    # 1-row (N, avgdl) corpus scalar crossJoined in
     "text_stopword_discovery",  # 1-row n_docs scalar crossJoined for the
@@ -750,12 +753,14 @@ def test_plan_lint_no_accidental_python_eval(spark, key):
 # r13: baseline file is build_cost_r13.jsonl — r12 rows carried over
 # verbatim except the three refreshed ivfpq-family keys (ivfpq_encode
 # refactor; 6410→6432 / 6490) and the NEW
-# vec_ann_ivfpq_index_maintenance (8240) and vec_ann_ivfpq_compacted
-# (8374) — both adjudicated eager-iteration builders: the maintenance
-# fit jobs over the day-1 subset + the delta/ingest encode (and for the
-# compacted key the persist/compact write jobs, which are eager by
-# nature); measured with scripts/gen_build_cost.py --only, same loop
-# as the lint.
+# vec_ann_ivfpq_index_maintenance (8240), vec_ann_ivfpq_compacted
+# (8374), and vec_ann_ivfpq_recall_eval (6641) — all adjudicated
+# eager-iteration builders: the maintenance fit jobs over the day-1
+# subset + the delta/ingest encode (for the compacted key also the
+# persist/compact write jobs, eager by nature; for the recall eval the
+# same full-corpus fit as vec_ann_ivfpq plus the ground-truth plan);
+# measured with scripts/gen_build_cost.py --only, same loop as the
+# lint.
 
 _BUILD_BASELINE: dict[str, int] = {}
 _BUILD_BASELINE_PATH = os.path.join(
