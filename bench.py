@@ -353,6 +353,11 @@ def _run_suite(
             builds["vec_ann_ivfpq_build"] = round(
                 time.perf_counter() - start, 3
             )
+            if key == "vec_ann_ivfpq_build":
+                # build-only triage target (r13 ADVICE): an isolated
+                # rerun of the BUILD half must not pay the median-of-3
+                # search leg for a number it would discard
+                continue
             fn = ivfpq_bench_search(base)
             key = "vec_ann_ivfpq_search"
         else:

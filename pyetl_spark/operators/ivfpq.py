@@ -131,6 +131,16 @@ def ivfpq_topk(
     collision with a corpus vec_id must NOT silently drop a legitimate
     neighbor (r12 ADVICE). Callers that self-query opt in explicitly.
 
+    .. note:: **Changed in r13** — before r13 this function ALWAYS
+       filtered self-matches (there was no parameter). Callers written
+       against the pre-r13 signature that self-query now see the probe
+       itself as rank-1 with adc_dist ~0 unless they pass
+       ``exclude_self=True``. All in-repo callers were updated in the
+       same commit; the default was flipped (not kept) so the whole
+       operator library shares one convention — pq.adc_topk, ivf, LSH
+       and IVF-PQ all treat self-exclusion as opt-in (r13 ADVICE asked
+       for this notice).
+
     Probe-side stamp check (r13, mirroring
     minhash_assign_incremental): when ``codes`` carries the complete
     (m, dim, k) build stamp, a caller whose (m, dim) disagree fails
@@ -138,21 +148,25 @@ def ivfpq_topk(
     wrong boundaries and joins codes against the wrong ADC rows,
     returning confidently wrong neighbors with no error anywhere. k is
     not a search parameter (it lives in the codebook), so only the two
-    caller-supplied values are compared."""
-    try:
-        _meta = codes.schema["code"].metadata or {}
-    except KeyError:  # projected/renamed codes frame — can't check
-        _meta = {}
-    if all(key in _meta for key in IVFPQ_STAMP_KEYS):
-        built_m, built_dim = _meta["ivfpq.m"], _meta["ivfpq.dim"]
-        if (built_m, built_dim) != (m, dim):
-            raise ValueError(
-                f"ivfpq_topk: (m, dim)={(m, dim)} does not match the "
-                f"index's build parameters {(built_m, built_dim)}; a "
-                "mismatched search splits probe residuals on the wrong "
-                "subvector boundaries and returns wrong neighbors "
-                "without an error"
-            )
+    caller-supplied values are compared (``compare_keys`` — the check
+    itself is operators/stamps.check_stamp, shared with the append
+    side and the MinHash family; r13 ADVICE)."""
+    from pyetl_spark.operators.stamps import check_stamp
+
+    check_stamp(
+        codes,
+        field="code",
+        stamp_keys=IVFPQ_STAMP_KEYS,
+        label="(m, dim)",
+        expected=(m, dim),
+        caller="ivfpq_topk",
+        consequence=(
+            "a mismatched search splits probe residuals on the wrong "
+            "subvector boundaries and returns wrong neighbors without "
+            "an error"
+        ),
+        compare_keys=IVFPQ_STAMP_KEYS[:2],
+    )
     cents = F.broadcast(coarse_centroids)
     pc = probes.crossJoin(cents).withColumn(
         "_d", _sq_dist(F.col(probe_vec), F.col("centroid"))

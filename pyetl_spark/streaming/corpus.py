@@ -498,16 +498,27 @@ def encode_vectors_batch(
         )
 
 
-def latest_codes(ingested: DataFrame) -> DataFrame:
+def latest_codes(
+    ingested: DataFrame, id_col: str = "id", batch_col: str = "batch_id"
+) -> DataFrame:
     """Newest-generation view of the ingested code table: for ids that
     were re-emitted in a later batch (see the precondition on
-    ``encode_vectors_batch``), keep ONLY the highest-batch_id rows, so
+    ``encode_vectors_batch``), keep ONLY the highest-batch_col rows, so
     the merged search index holds exactly m code rows per vector. One
     aggregate + one equi-join on id — both on the ingested table only
     (never the base corpus); readers that guarantee unique ids upstream
-    can skip this and ``drop("batch_id")`` directly."""
-    newest = ingested.groupBy("id").agg(F.max("batch_id").alias("batch_id"))
-    return ingested.join(newest, ["id", "batch_id"]).drop("batch_id")
+    can skip this and ``drop(batch_col)`` directly.
+
+    ``id_col``/``batch_col`` default to the names
+    ``encode_vectors_batch`` writes (ivfpq_encode's ``id`` plus the
+    ``batch_id`` partition column) but are parameters for projected /
+    renamed frames — the same tolerance the stamp contract extends
+    (r13 ADVICE: these were hardcoded while the rest of the operator
+    library parameterizes id_col)."""
+    newest = ingested.groupBy(id_col).agg(
+        F.max(batch_col).alias(batch_col)
+    )
+    return ingested.join(newest, [id_col, batch_col]).drop(batch_col)
 
 
 def run_vector_ingest(
