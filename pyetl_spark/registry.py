@@ -167,72 +167,82 @@ ORACLE: dict[str, str] = {}
 #:       the round and took the last two fills' slots). Lands the r12
 #:       verdict's #3: after this window no key's driver evidence
 #:       predates r6.
-#:   r14 draft: (any r13 reds) + keys r14 changes + the remaining 44
-#:       r6-evidence keys (registration order) + r7-evidence head fills
+#:   r14 (this): zero r13 reds. The r14 code changes (r13 ADVICE
+#:       closures: ivfpq_topk stamp-check delegation to
+#:       stamps.check_stamp, latest_codes column parameters, bench
+#:       triage skip) are output-identical on keys that ALL carry
+#:       fresh r13 driver rows — re-verified hash-equal vs DuckDB from
+#:       a clean process on the changed tree (EVIDENCE_r14.md) — so,
+#:       unlike r12/r13 (which had free slots), no slot is spent
+#:       re-verifying them. ALL 50 slots go to staleness: the 46
+#:       remaining r6-evidence keys (registration order,
+#:       sample_neyman_allocation … vec_knn_classify) + 4 r7-evidence
+#:       head fills (win_ewma … vec_matryoshka_eval). Lands the r13
+#:       verdict's #2: after this window no key's driver evidence
+#:       predates r7 — the second full rotation cycle closes.
+#:   r15 draft: (any r14 reds) + keys r15 changes + the remaining 42
+#:       r7-evidence keys (registration order) + r8-evidence head fills
 #:       to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r13 window (see rotation history above): the 3 NEW keys (two
-    # lifecycle + the recall eval) + the 2 refactored ivfpq keys, then
-    # the 41 remaining r5-evidence keys (registration order), then 4
-    # r6-evidence head fills — 3 + 2 + 41 + 4 = 50 total.
-    "vec_ann_ivfpq_index_maintenance",  # NEW in r13 (no CORRECTNESS row yet)
-    "vec_ann_ivfpq_compacted",  # NEW in r13 (full disk lifecycle:
-    #   stream-kernel ingest + compaction; no CORRECTNESS row yet)
-    "vec_ann_ivfpq_recall_eval",  # NEW in r13 (hash-verified recall@5
-    #   of the composed index vs exact L2; no CORRECTNESS row yet)
-    "vec_ann_ivfpq",  # ivfpq_encode refactor + exclude_self param
-    "vec_ann_ivfpq_persisted",  # same refactor, persisted lifecycle
-    # r5-evidence block (oldest driver rows after the r12 window
-    # retired the r4 block; none of these changed since r5)
-    "etl_freshness_lag",
-    "etl_k_anonymity",
-    "etl_dataset_fingerprint",
-    "etl_forget_propagation",
-    "etl_incremental_join_view",
-    "agg_collect_sorted",
-    "agg_bitmap_distinct",
-    "agg_salted_twophase",
-    "join_anti",
-    "join_null_safe",
-    "join_bloom_prefilter",
-    "join_asof_tolerance",
-    "win_topk_per_group",
-    "win_drawdown",
-    "win_cume_dist",
-    "set_except",
-    "join_local_supplier_volume",
-    "join_volume_shipping_pairs",
-    "agg_forecast_revenue",
-    "join_product_type_profit",
-    "agg_important_stock",
-    "fn_pipe_syntax",
-    "fn_sql_udf",
-    "fn_collation",
-    "fn_sql_params",
-    "fn_sql_scripting",
-    "agg_listagg_native",
-    "events_training_examples",
-    "basket_association_rules",
-    "orders_survival_km",
-    "events_bot_detection",
-    "events_stickiness_dau_mau",
-    "agg_rate_wilson_ci",
-    "events_time_to_convert",
-    "events_growth_accounting",
-    "agg_benford_digits",
-    "agg_skyline_2d",
-    "graph_label_propagation",
-    "graph_shortest_path_bounded",
-    "ts_resample_ohlc",
-    "ts_interpolate_linear",
-    # r6-evidence head fills
-    "win_gaps_islands",
-    "fn_group_by_all",
-    "agg_width_bucket",
-    "graph_neighbor_jaccard",
+    # r14 window (see rotation history above): zero r13 reds and the
+    # r14 code changes are output-identical on already-r13-verified
+    # keys (see note above), so ALL 50 slots go to staleness — the
+    # 46 remaining r6-evidence keys (registration order) + 4
+    # r7-evidence head fills = 50 total. Lands the r13 verdict's
+    # #2: after this window no key's driver evidence predates r7.
+    "sample_neyman_allocation",
+    "events_rollup_multi_grain",
+    "join_interval_overlap",
+    "etl_merge_upsert",
+    "sample_hash_per_group",
+    "ts_seasonal_profile",
+    "ts_autocorr_lag1",
+    "sample_weighted_topk",
+    "ts_changepoint_cusum",
+    "ts_sma_crossover",
+    "ts_hampel_outliers",
+    "ts_backtest_naive_mae",
+    "ts_theil_sen",
+    "text_heavy_hitters",
+    "text_heavy_hitters_mg",
+    "text_chi_square",
+    "text_stopword_discovery",
+    "text_bm25_search",
+    "text_diversity_simpson",
+    "dedup_source_attribution",
+    "text_train_split",
+    "text_lang_id_trigram",
+    "text_lm_score",
+    "dedup_allpairs_prefix",
+    "text_chunk_overlap",
+    "text_pii_redact",
+    "text_global_shuffle",
+    "dedup_levenshtein_snm",
+    "text_winnowing_fingerprint",
+    "text_shard_assign",
+    "text_url_canonicalize",
+    "text_rake_keywords",
+    "text_boilerplate_strip",
+    "text_zipf_exponent",
+    "text_importance_sample_dsir",
+    "text_vocab_coverage",
+    "text_lang_id_confusion",
+    "dedup_containment",
+    "er_blocking_quality",
+    "er_fellegi_sunter",
+    "er_em_mu_estimate",
+    "text_gopher_rules",
+    "text_budget_select",
+    "dedup_embedding_cosine",
+    "dedup_embedding_quantized",
+    "vec_knn_classify",
+    "win_ewma",
+    "vec_hard_negatives",
+    "vec_covariance_matrix",
+    "vec_matryoshka_eval",
 ]
 
 
