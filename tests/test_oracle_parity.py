@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.medium
+
 from pyetl_spark import registry
 from tests.conftest import assert_parity
 

@@ -16,6 +16,8 @@ import re
 
 import pytest
 
+pytestmark = pytest.mark.medium
+
 from pyetl_spark import registry
 from tests.conftest import SF_ORACLE
 
