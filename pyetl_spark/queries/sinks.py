@@ -148,7 +148,18 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).orderBy("event_id")
 
 
-@query("sink_compact_small_files")  # Tier B
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT 'compacted' AS phase, 4 AS n_files,
+           count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    UNION ALL
+    SELECT 'fragmented', 64, count(*), CAST(sum(doc_id) AS BIGINT)
+    FROM documents
+    ORDER BY phase
+    """,
+)
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance job every long-lived
     lake table needs (streaming ingests and fine-grained partitions leave
@@ -157,9 +168,23 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 2 reads it back and rewrites sized-to-target via coalesce —
     coalesce, not repartition: compaction must not pay a shuffle, it
     only concatenates map-side. Output is the audit row per phase
-    (file count, rows, bytes) proving rows survived and files collapsed.
+    proving files collapsed AND content survived both rewrites.
     At 100 TB this runs per-partition with dynamic partition overwrite
-    (compact only partitions whose small-file count crosses a threshold)."""
+    (compact only partitions whose small-file count crosses a threshold).
+
+    Tier A (r14 conversion — the r8 ledger deferred it pending "an
+    audit-schema rethink around the coalesce file count"; this is that
+    rethink): the audit columns are now all oracle-statable —
+    ``n_files`` is deterministic because an explicit ``repartition(64)``
+    is round-robin over ≥64 rows (every partition non-empty → exactly
+    64 part files; AQE never coalesces a user-fixed partition count)
+    and ``coalesce(4)`` concatenates to exactly 4; ``n_rows`` +
+    ``sum_ids`` are the content fingerprint READ BACK from each phase's
+    files, so a row lost or duplicated by either rewrite breaks the
+    hash against the source-table oracle. The environment-dependent
+    ``n_bytes`` column (codec/layout noise, not replayable) was
+    dropped — byte-level sizing stays visible in SCALE.md's
+    maxPartitionBytes discussion, not in an oracle-checked audit."""
     import glob
 
     fragmented = _scratch("compact_fragmented")
@@ -173,13 +198,16 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(path: str, phase: str):
         files = glob.glob(os.path.join(path, "part-*"))
-        n_bytes = sum(os.path.getsize(f) for f in files)
-        n_rows = spark.read.parquet(path).count()
-        return (phase, len(files), n_rows, n_bytes)
+        n_rows, sum_ids = (
+            spark.read.parquet(path)
+            .agg(F.count("*"), F.sum("doc_id"))
+            .first()
+        )
+        return (phase, len(files), n_rows, sum_ids)
 
     rows = [stats(fragmented, "fragmented"), stats(compacted, "compacted")]
     return spark.createDataFrame(
-        rows, "phase string, n_files int, n_rows long, n_bytes long"
+        rows, "phase string, n_files int, n_rows long, sum_ids long"
     ).orderBy("phase")
 
 

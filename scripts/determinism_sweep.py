@@ -39,7 +39,10 @@ from pyetl_spark.canon import canon_frame, frame_rows  # noqa: E402
 ROWS_ONLY_INVARIANT = {
     # scratch-dir audits carry wall-clock-ish metadata (file counts ok,
     # but fingerprints span fresh write file splits)
-    "sink_compact_small_files": "audit rows include pre-compaction file counts, which depend on the writing parallelism under test",
+    # sink_compact_small_files left this set in r14: its audit is now
+    # (phase, n_files, n_rows, sum_ids) with n_files pinned by the
+    # explicit repartition(64)/coalesce(4) — invariant under shuffle
+    # settings, so it takes the strict value-hash check.
     "sink_zorder_layout": "layout audit reports per-file value ranges; file SPLITS differ across shuffle settings by design",
     "sink_parquet_partitioned": "read-back file layout differs with writer parallelism",
     "sink_parquet_zstd": "compressed-size audit varies with file splits",
