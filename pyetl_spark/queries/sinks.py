@@ -269,19 +269,72 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_zorder_layout")  # Tier B
-def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order clustering audit (plans/layout.py): events range-sorted
-    along the Morton curve of (user_id, epoch-day), then per output
-    partition the min/max of BOTH dimensions — the rectangles parquet
-    min/max file stats would expose to the scanner. The audit row shape
-    makes the data-skipping claim measurable: tight rectangles on both
-    axes ⇒ a predicate on EITHER column prunes most files (a plain sort
-    by user_id would give day ranges spanning the whole month in every
-    file). tests/test_layout.py quantifies the pruning win."""
-    from pyspark.sql.functions import spark_partition_id
+#: Morton-curve bits per dimension for the z-order audit. 16 covers
+#: user_id at every test SF AND sf1 (max 1,499 at sf0.1; the old
+#: bits=10 already truncated there) and keeps z in 32 bits.
+_ZORDER_BITS = 16
+_ZORDER_TILES = 16
 
-    from pyetl_spark.plans.layout import zorder_repartition
+
+def _zvalue_sql(ucol: str, dcol: str, bits: int = _ZORDER_BITS) -> str:
+    """DuckDB replay of plans/layout.zvalue(["u","d"], bits): column 0
+    (u) contributes bit i at position 2i, column 1 (d) at 2i+1 — the
+    identical shift/mask/sum arithmetic, compiled to one SQL expression
+    (same technique as dedup_simhash's 64-term bit-majority SQL)."""
+    terms = [f"((({ucol} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({dcol} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " + ".join(terms)
+
+
+@query(
+    "sink_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS u,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events
+    ), zt AS (
+      SELECT event_id, u, d, ({_zvalue_sql("u", "d")}) AS z FROM dims
+    ), rk AS (
+      SELECT u, d,
+             ROW_NUMBER() OVER (ORDER BY z, event_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM zt
+    )
+    SELECT CAST((r * {_ZORDER_TILES}) // n AS INT) AS tile,
+           count(*) AS n_rows,
+           min(u) AS min_user, max(u) AS max_user,
+           min(d) AS min_day, max(d) AS max_day
+    FROM rk GROUP BY tile ORDER BY tile
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit (plans/layout.py): events ordered along
+    the Morton curve of (user_id, epoch-day), tiled into equal-height
+    z-runs, then per tile the min/max of BOTH dimensions — the
+    rectangles parquet min/max file stats would expose to the scanner.
+    The audit row shape makes the data-skipping claim measurable: tight
+    rectangles on both axes ⇒ a predicate on EITHER column prunes most
+    files (a plain sort by user_id would give day ranges spanning the
+    whole month in every file). tests/test_layout.py quantifies the
+    pruning win on the zorder_repartition physical layout itself.
+
+    Tier A (r14 conversion): the audit tile used to be
+    ``spark_partition_id()`` after ``repartitionByRange`` — run-scoped
+    (range bounds come from a sample of the input splits), hence
+    rows-only. Tiles are now DETERMINISTIC equal-height z-runs:
+    ``tile = (global_rank(z, event_id) * 16) div n`` with the rank from
+    operators/global_rank.global_order_rank (the partitioned two-phase
+    rank — no single-partition window; same scale path PLANS.md
+    documents for every data-scale total order). Both the z arithmetic
+    (shift/mask interleave, pure JVM codegen) and the tiling are
+    replayed exactly by the DuckDB oracle, so the hash pins the whole
+    layout computation. The range-sampled physical write path stays
+    covered by tests/test_layout.py, where the pruning WIN — not the
+    sampled file boundaries — is the asserted contract."""
+    from pyetl_spark.operators.global_rank import global_order_rank
+    from pyetl_spark.plans.layout import zvalue
 
     ev = load_tables(spark, sf_dir).events
     dims = ev.select(
@@ -291,10 +344,18 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d"),
     )
-    zed = zorder_repartition(dims, ["u", "d"], num_partitions=16, bits=10)
+    zed = dims.withColumn("z", zvalue(["u", "d"], _ZORDER_BITS))
+    ranked = global_order_rank(
+        zed, ["z", "event_id"], out_col="r", num_partitions=_ZORDER_TILES
+    )
+    n = ranked.select(F.count("*").alias("n"))
     return (
-        zed.withColumn("pid", spark_partition_id())
-        .groupBy("pid")
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "tile",
+            F.expr(f"CAST((r * {_ZORDER_TILES}) DIV n AS INT)"),
+        )
+        .groupBy("tile")
         .agg(
             F.count("*").alias("n_rows"),
             F.min("u").alias("min_user"),
@@ -302,7 +363,7 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d").alias("min_day"),
             F.max("d").alias("max_day"),
         )
-        .orderBy("pid")
+        .orderBy("tile")
     )
 
 

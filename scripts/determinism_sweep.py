@@ -43,7 +43,9 @@ ROWS_ONLY_INVARIANT = {
     # (phase, n_files, n_rows, sum_ids) with n_files pinned by the
     # explicit repartition(64)/coalesce(4) — invariant under shuffle
     # settings, so it takes the strict value-hash check.
-    "sink_zorder_layout": "layout audit reports per-file value ranges; file SPLITS differ across shuffle settings by design",
+    # sink_zorder_layout left too (r14): tiles are deterministic
+    # equal-height z-runs via the two-phase global rank, not
+    # spark_partition_id over sampled range bounds.
     "sink_parquet_partitioned": "read-back file layout differs with writer parallelism",
     "sink_parquet_zstd": "compressed-size audit varies with file splits",
     "sink_orc": "file-layout audit (as parquet twin)",
