@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
-from pyetl_spark.parity import R, rnd
+from pyetl_spark.parity import FXP, R, rnd
 from pyetl_spark.registry import query
 from pyetl_spark.tables import load_tables
 
@@ -175,56 +175,117 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("grouped_map_applyInPandas")  # Tier B: float-chain too fragile to hash
+@query(
+    "grouped_map_applyInPandas",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(count(*) OVER w * {FXP("o_totalprice", 100)}
+                - sum({FXP("o_totalprice", 100)}) OVER w
+                AS BIGINT) AS price_dev_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    ORDER BY o_orderkey
+    """,
+)
 def grouped_map_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group DataFrame→DataFrame transform (SURVEY §2.11
-    `grouped_map_applyInPandas`): z-score normalize order totals within each
+    `grouped_map_applyInPandas`): center order totals within each
     priority class. Arrow both ways; each group must fit one executor —
-    partition keys at 100 TB need bounded group sizes."""
+    partition keys at 100 TB need bounded group sizes.
+
+    Tier A (r14 conversion — was "float-chain too fragile to hash"):
+    the fragility was the transform, not the API. The old z-score ran
+    pandas ``mean()``/``std()`` (pairwise summation) against DuckDB's
+    sequential aggregates — same math, different last bits. The
+    per-group computation is now EXACT integer arithmetic on the cent
+    grid: ``price_dev_cents = n·c − Σc`` (the group-size-scaled
+    deviation from the group mean — same centering signal, no
+    division, no sqrt), where ``c = round(o_totalprice·100)`` is
+    parity.fxp's grid and every term stays far inside int64 at sf1.
+    The pandas UDF reproduces fxp's sign/floor rounding bit-for-bit
+    (identical IEEE op sequence), so the oracle is the plain windowed
+    SQL twin and the hash pins the whole grouped-map round-trip —
+    grouping, Arrow transfer both ways, and the per-group vectorized
+    compute."""
+    import numpy as np
+
     o = load_tables(spark, sf_dir).orders
 
-    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["o_totalprice"].mean()
-        sd = pdf["o_totalprice"].std(ddof=1)
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["o_totalprice"].to_numpy()
+        # parity.fxp replayed in numpy: sign(x) * floor(|x|*100 + 0.5)
+        c = (np.sign(p) * np.floor(np.abs(p) * 100.0 + 0.5)).astype(
+            np.int64
+        )
+        n = np.int64(len(c))
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_orderpriority": pdf["o_orderpriority"],
-                "price_z": (pdf["o_totalprice"] - mu) / sd,
+                "price_dev_cents": n * c - c.sum(),
             }
         )
 
     return (
         o.groupBy("o_orderpriority")
         .applyInPandas(
-            zscore, "o_orderkey long, o_orderpriority string, price_z double"
+            demean,
+            "o_orderkey long, o_orderpriority string, price_dev_cents long",
         )
         .orderBy("o_orderkey")
     )
 
 
-@query("map_partitions_arrow")  # Tier B: iterator transform, rows-only
+@query(
+    "map_partitions_arrow",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {FXP("l_extendedprice * (1.0 - l_discount)", 10**4)}
+             AS revenue_fxp
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
 def map_partitions_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas iterator transform (SURVEY §2.11 `map_partitions_arrow`):
     the 100 TB escape hatch for custom per-partition logic — Arrow batches
-    stream through Python with constant memory; here a running per-batch
-    revenue accumulator tags each row with its batch-local rank."""
+    stream through Python with constant memory; here each batch computes
+    per-row discounted revenue.
+
+    Tier A (r14 conversion — the old rows-only label predated this
+    body: the output is per-ROW deterministic, nothing in it depends on
+    batch or partition boundaries). The revenue lands on parity.fxp's
+    4-dp fixed-point grid (price 2dp × discount 2dp), replayed in numpy
+    with the identical IEEE op sequence, so the oracle is the plain
+    projection twin and the hash pins the iterator round-trip — Arrow
+    batching in, Python compute, Arrow batching out — across every
+    batch boundary."""
+    import numpy as np
+
     li = load_tables(spark, sf_dir).lineitem
 
-    def batch_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def batch_revenue(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
+            rev = (
+                pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+            ).to_numpy()
+            # parity.fxp replayed in numpy on the 4-dp grid
+            fx = (
+                np.sign(rev) * np.floor(np.abs(rev) * 10000.0 + 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
                 {
                     "l_orderkey": pdf["l_orderkey"],
                     "l_linenumber": pdf["l_linenumber"],
-                    "revenue": pdf["l_extendedprice"]
-                    * (1.0 - pdf["l_discount"]),
+                    "revenue_fxp": fx,
                 }
             )
-            yield out
 
     return li.mapInPandas(
-        batch_rank, "l_orderkey long, l_linenumber int, revenue double"
+        batch_revenue,
+        "l_orderkey long, l_linenumber int, revenue_fxp long",
     ).orderBy("l_orderkey", "l_linenumber")
 
 

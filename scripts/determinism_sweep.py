@@ -55,7 +55,9 @@ ROWS_ONLY_INVARIANT = {
     "sink_bucketed_join": "bucket file counts track writer tasks",
     "sink_schema_evolution": "merged-schema audit over fresh write splits",
     "sink_dpp_partitioned_join": "partition file audit",
-    "map_partitions_arrow": "emits per-PARTITION batch statistics — the partition count IS the output",
+    # map_partitions_arrow left this set in r14: its body no longer
+    # emits batch statistics — per-row fixed-point revenue is
+    # partition-layout invariant, so it takes the strict value check.
     "etl_partition_skew_audit": "reports per-partition row counts — partition count is the subject",
     "text_shard_assign": "shard assignment round-robins over input splits",
     "sample_weighted_topk": "A-ES keys draw from xxhash of (row, partition-stable id) — stable per layout only",
