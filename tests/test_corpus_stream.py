@@ -147,3 +147,31 @@ def test_restart_resumes_without_duplicates(spark, tmp_path):
     # 1,2 from run 1; 3 from run 2; 4 dropped — its content already
     # admitted within the watermark state persisted in the checkpoint
     assert kept == [1, 2, 3]
+
+
+def test_latest_codes_parameterized_columns(spark):
+    """latest_codes id_col/batch_col parameters (r14, r13 ADVICE): a
+    projected/renamed ingest table resolves newest-generation rows
+    through the caller's names, and the defaults stay what
+    encode_vectors_batch writes."""
+    from pyspark.sql import functions as F
+
+    from pyetl_spark.streaming.corpus import latest_codes
+
+    renamed = spark.createDataFrame(
+        [(1, 0, 10), (1, 0, 11), (1, 1, 12), (2, 0, 13)],
+        "vid long, gen long, code long",
+    )
+    out = latest_codes(renamed, id_col="vid", batch_col="gen")
+    assert sorted((r["vid"], r["code"]) for r in out.collect()) == [
+        (1, 12),
+        (2, 13),
+    ]
+    assert "gen" not in out.columns
+    # defaults unchanged: the written schema's (id, batch_id)
+    default_named = renamed.select(
+        F.col("vid").alias("id"),
+        F.col("gen").alias("batch_id"),
+        "code",
+    )
+    assert latest_codes(default_named).count() == 2

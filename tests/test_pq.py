@@ -350,3 +350,36 @@ def test_ivfpq_topk_probe_side_stamp_mismatch_raises(spark):
         ).count()
         == 6
     )
+
+
+def test_check_stamp_compare_keys_subset(spark):
+    """stamps.check_stamp's compare_keys contract (r14, the r13-ADVICE
+    delegation ivfpq_topk rides): presence is judged on the FULL stamp
+    key set (all-or-nothing), the comparison on the subset — so a
+    search-side check can validate (m, dim) while ignoring k, and a
+    PARTIAL stamp stays uncheckable even when a compared key is
+    present and wrong."""
+    from pyetl_spark.operators.stamps import check_stamp
+
+    keys = ("ivfpq.m", "ivfpq.dim", "ivfpq.k")
+    full = spark.range(1).select(F.col("id").alias("code")).withMetadata(
+        "code", {"ivfpq.m": 8, "ivfpq.dim": 64, "ivfpq.k": 16}
+    )
+    # subset compare ignores the non-compared key entirely: (m, dim)
+    # match passes regardless of k's stamped value
+    check_stamp(full, "code", keys, "(m, dim)", (8, 64), "t",
+                "boom", compare_keys=keys[:2])
+    with pytest.raises(ValueError, match="does not match the index"):
+        check_stamp(full, "code", keys, "(m, dim)", (8, 128), "t",
+                    "boom", compare_keys=keys[:2])
+    # default compare_keys = the full stamp (pre-r14 behavior intact)
+    with pytest.raises(ValueError, match="does not match the index"):
+        check_stamp(full, "code", keys, "(m, dim, k)", (8, 64, 32), "t",
+                    "boom")
+    # PARTIAL stamp (k missing): uncheckable by the all-or-nothing
+    # presence rule, even though the compared dim value disagrees
+    partial = spark.range(1).select(
+        F.col("id").alias("code")
+    ).withMetadata("code", {"ivfpq.m": 8, "ivfpq.dim": 9999})
+    check_stamp(partial, "code", keys, "(m, dim)", (8, 64), "t",
+                "boom", compare_keys=keys[:2])
