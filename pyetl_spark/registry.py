@@ -180,9 +180,15 @@ ORACLE: dict[str, str] = {}
 #:       head fills (win_ewma … vec_matryoshka_eval). Lands the r13
 #:       verdict's #2: after this window no key's driver evidence
 #:       predates r7 — the second full rotation cycle closes.
-#:   r15 draft: (any r14 reds) + keys r15 changes + the remaining 42
-#:       r7-evidence keys (registration order) + r8-evidence head fills
-#:       to 50.
+#:   r15 draft: (any r14 reds) + the FOUR keys converted rows-only →
+#:       Tier-A late in r14 AFTER the window was pinned (their oracles
+#:       have no driver row yet — same precedent as the late-r7
+#:       conversions): sink_compact_small_files, sink_zorder_layout,
+#:       grouped_map_applyInPandas, map_partitions_arrow (own-sweep
+#:       gates: canon_sweep_r14_{compact,zorder,udfconv}_*.jsonl +
+#:       strict-value determinism) + keys r15 changes + the remaining
+#:       42 r7-evidence keys (registration order) + r8-evidence head
+#:       fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
