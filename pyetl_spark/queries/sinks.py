@@ -151,7 +151,7 @@ def sink_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_compact_small_files",
     oracle="""
-    SELECT 'compacted' AS phase, 4 AS n_files,
+    SELECT 'compacted' AS phase, 1 AS n_files,
            count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
     FROM documents
     UNION ALL
@@ -174,27 +174,41 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tier A (r14 conversion — the r8 ledger deferred it pending "an
     audit-schema rethink around the coalesce file count"; this is that
-    rethink): the audit columns are now all oracle-statable —
-    ``n_files`` is deterministic because an explicit ``repartition(64)``
-    is round-robin over ≥64 rows (every partition non-empty → exactly
-    64 part files; AQE never coalesces a user-fixed partition count)
-    and ``coalesce(4)`` concatenates to exactly 4; ``n_rows`` +
-    ``sum_ids`` are the content fingerprint READ BACK from each phase's
-    files, so a row lost or duplicated by either rewrite breaks the
-    hash against the source-table oracle. The environment-dependent
-    ``n_bytes`` column (codec/layout noise, not replayable) was
-    dropped — byte-level sizing stays visible in SCALE.md's
-    maxPartitionBytes discussion, not in an oracle-checked audit."""
+    rethink): the audit columns are now all oracle-statable, with both
+    file counts pinned STRUCTURALLY, not by machine shape (the r14
+    review caught both hazards):
+    - fragmented = 64: round-robin ``repartition(64)`` fills every
+      target only when each INPUT partition carries ≥64 rows (each
+      input partition cycles the targets from its own offset — a
+      multi-file fixture of small splits would leave gaps), so the
+      simulation collapses the scan to ONE partition first
+      (``coalesce(1)``; ≥64 rows at every SF) — fixture construction,
+      not the production path.
+    - compacted = 1: ``coalesce(k)`` can only LOWER the partition
+      count, and how many read partitions 64 tiny files plan depends
+      on driver cores via maxSplitBytes binning (a 2-core machine bins
+      them into 2) — so the only coalesce target that is
+      environment-independent is 1, which is also the classic
+      compaction demo. At 100 TB the real job compacts per PARTITION
+      of the table (each to one file), exactly this shape.
+    ``n_rows`` + ``sum_ids`` are the content fingerprint READ BACK
+    from each phase's files, so a row lost or duplicated by either
+    rewrite breaks the hash against the source-table oracle. The
+    environment-dependent ``n_bytes`` column (codec/layout noise, not
+    replayable) was dropped — byte-level sizing stays visible in
+    SCALE.md's maxPartitionBytes discussion, not in an oracle-checked
+    audit."""
     import glob
 
     fragmented = _scratch("compact_fragmented")
     compacted = _scratch("compact_done")
     docs = load_tables(spark, sf_dir).documents
-    docs.repartition(64).write.mode("overwrite").parquet(fragmented)
+    docs.coalesce(1).repartition(64).write.mode("overwrite").parquet(
+        fragmented
+    )
 
     back = spark.read.parquet(fragmented)
-    target_files = 4
-    back.coalesce(target_files).write.mode("overwrite").parquet(compacted)
+    back.coalesce(1).write.mode("overwrite").parquet(compacted)
 
     def stats(path: str, phase: str):
         files = glob.glob(os.path.join(path, "part-*"))
@@ -298,12 +312,10 @@ def _zvalue_sql(ucol: str, dcol: str, bits: int = _ZORDER_BITS) -> str:
       SELECT event_id, u, d, ({_zvalue_sql("u", "d")}) AS z FROM dims
     ), rk AS (
       SELECT u, d,
-             ROW_NUMBER() OVER (ORDER BY z, event_id) - 1 AS r,
-             COUNT(*) OVER () AS n
+             ntile({_ZORDER_TILES}) OVER (ORDER BY z, event_id) AS tile
       FROM zt
     )
-    SELECT CAST((r * {_ZORDER_TILES}) // n AS INT) AS tile,
-           count(*) AS n_rows,
+    SELECT tile, count(*) AS n_rows,
            min(u) AS min_user, max(u) AS max_user,
            min(d) AS min_day, max(d) AS max_day
     FROM rk GROUP BY tile ORDER BY tile
@@ -323,17 +335,22 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tier A (r14 conversion): the audit tile used to be
     ``spark_partition_id()`` after ``repartitionByRange`` — run-scoped
     (range bounds come from a sample of the input splits), hence
-    rows-only. Tiles are now DETERMINISTIC equal-height z-runs:
-    ``tile = (global_rank(z, event_id) * 16) div n`` with the rank from
-    operators/global_rank.global_order_rank (the partitioned two-phase
-    rank — no single-partition window; same scale path PLANS.md
-    documents for every data-scale total order). Both the z arithmetic
-    (shift/mask interleave, pure JVM codegen) and the tiling are
-    replayed exactly by the DuckDB oracle, so the hash pins the whole
-    layout computation. The range-sampled physical write path stays
-    covered by tests/test_layout.py, where the pruning WIN — not the
-    sampled file boundaries — is the asserted contract."""
-    from pyetl_spark.operators.global_rank import global_order_rank
+    rows-only. Tiles are now DETERMINISTIC equal-height z-runs — the
+    exact ANSI ``ntile(16)`` over (z, event_id), computed as
+    operators/global_rank's established pair
+    (``global_order_rank`` two-phase rank + ``ntile_from_rank``, the
+    same composition agg_equidepth_histogram and customer_rfm ride —
+    no single-partition window, no hand-rolled tiling formula). Both
+    the z arithmetic (shift/mask interleave, pure JVM codegen) and the
+    native-ntile bucketing are replayed exactly by the DuckDB oracle,
+    so the hash pins the whole layout computation. The range-sampled
+    physical write path stays covered by tests/test_layout.py, where
+    the pruning WIN — not the sampled file boundaries — is the
+    asserted contract."""
+    from pyetl_spark.operators.global_rank import (
+        global_order_rank,
+        ntile_from_rank,
+    )
     from pyetl_spark.plans.layout import zvalue
 
     ev = load_tables(spark, sf_dir).events
@@ -345,15 +362,13 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d"),
     )
     zed = dims.withColumn("z", zvalue(["u", "d"], _ZORDER_BITS))
+    n = zed.count()
     ranked = global_order_rank(
         zed, ["z", "event_id"], out_col="r", num_partitions=_ZORDER_TILES
     )
-    n = ranked.select(F.count("*").alias("n"))
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
-            "tile",
-            F.expr(f"CAST((r * {_ZORDER_TILES}) DIV n AS INT)"),
+        ranked.withColumn(
+            "tile", ntile_from_rank(F.col("r"), n, _ZORDER_TILES)
         )
         .groupBy("tile")
         .agg(

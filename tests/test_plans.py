@@ -362,9 +362,6 @@ _NESTED_LOOP_OK = {
                            # the vocab ratio table
     "text_vocab_coverage",  # 3-row k-list × 1-row totals crossJoin
     "win_pct_rank_twophase",  # 1-row N scalar crossJoined in
-    "sink_zorder_layout",  # 1-row n scalar crossJoined onto the ranked
-                           # rows for the deterministic equal-height
-                           # tile split (r14 Tier-A conversion)
     "etl_partition_skew_audit",  # 1-row totals scalar crossJoined in
     "events_funnel_windowed",  # 1-row stage counts crossJoined to one row
     "agg_percentile_exact_twophase",  # 1-row n scalar crossJoined onto
