@@ -209,7 +209,13 @@ def grouped_map_applyInPandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute."""
     import numpy as np
 
-    o = load_tables(spark, sf_dir).orders
+    # project BEFORE the Python boundary: applyInPandas ships every
+    # input column through Arrow (no pruning past FlatMapGroupsInPandas
+    # — the captured plan showed all 6 orders columns crossing for a
+    # 3-column transform)
+    o = load_tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         p = pdf["o_totalprice"].to_numpy()
@@ -262,7 +268,12 @@ def map_partitions_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch boundary."""
     import numpy as np
 
-    li = load_tables(spark, sf_dir).lineitem
+    # project BEFORE the Python boundary: mapInPandas ships every input
+    # column through Arrow (an 11-column lineitem crossing for a 4-column
+    # transform, per the captured plan)
+    li = load_tables(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
 
     def batch_revenue(
         batches: Iterator[pd.DataFrame],

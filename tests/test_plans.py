@@ -60,6 +60,21 @@ def test_projection_prunes_read_schema(spark):
     assert "o_orderdate" not in read_schema
 
 
+def test_pandas_boundaries_project_before_arrow(spark):
+    """applyInPandas / mapInPandas ship EVERY input column through
+    Arrow — Catalyst cannot prune past the Python boundary, so the
+    query must project first (r14: both keys were crossing the full
+    source row for a 3/4-column transform)."""
+    plan = plan_of(spark, "grouped_map_applyInPandas")
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_totalprice" in rs
+    assert "o_custkey" not in rs and "o_orderdate" not in rs
+    plan = plan_of(spark, "map_partitions_arrow")
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_discount" in rs
+    assert "l_partkey" not in rs and "l_shipdate" not in rs
+
+
 def test_q1_aggregate_is_partial_final(spark):
     plan = plan_of(spark, "agg_groupby_pricing")
     # map-side combine: two HashAggregate nodes around one exchange
