@@ -116,3 +116,154 @@ def fit_quality_model(
     X = np.array([[r[f] for f in FEATURES] for r in rows], dtype=np.float64)
     y = np.array([float(r[label_col]) for r in rows])
     return train_logreg(X, y, iters=iters)
+
+
+# --------------------------------------------------------------------------
+# Replay-parity variant (r15): the registry key's trainer.
+#
+# The NumPy trainer above is the at-scale default, but its float summation
+# order (BLAS reductions) can't be replayed bit-exactly by a SQL engine, so
+# ``text_quality_classifier`` stayed rows-only for 14 rounds. This variant
+# makes every cross-engine hazard deterministic, turning the learned scorer
+# into a Tier-A key (the same move that converted text_semdedup's k-means):
+#
+#   - features are rounded half-away-from-zero to a 1e-5 grid (absorbs the
+#     last-ulp libm differences between Spark's Math.log1p, DuckDB's ln,
+#     and Python's math.log)
+#   - moments use exact integer-grid sums (order-free; DuckDB promotes
+#     BIGINT sums to HUGEINT, Python ints are unbounded — both exact)
+#   - each iteration quantizes the sigmoid to 7dp BEFORE the gradient, and
+#     the per-row gradient contributions to a 1e9 integer grid, so the
+#     gradient sum is an exact integer on both engines
+#   - weights re-quantize to 9dp per iteration — any representation drift
+#     dies within one step instead of compounding over 30
+#   - z folds left-associatively (b + w1·s1) + w2·s2 ... — IEEE ops on
+#     identical inputs are bit-identical; only summation ORDER varies
+#     between engines, and here the order is pinned by the expression tree
+#
+# Everything else about the operator's scale posture is unchanged: training
+# sees a constant-count sample, scoring is one JVM expression.
+# --------------------------------------------------------------------------
+
+import math
+
+#: replay-trainer constants — mirrored literally in the DuckDB oracle
+#: (queries/llm_text.py _quality_classifier_oracle); change them together.
+PARITY_ITERS = 30
+PARITY_LR = 0.5
+PARITY_CLAMP = 100.0  # standardized-feature clamp (bounds the 1e9 grid)
+PARITY_FEAT_DP = 5  # feature grid
+PARITY_P_DP = 7  # in-training sigmoid grid
+PARITY_W_DP = 9  # per-iteration weight grid
+PARITY_OUT_DP = 6  # final probability grid
+
+
+def _pysgn(x: float) -> float:
+    return 0.0 if x == 0 else (1.0 if x > 0 else -1.0)
+
+
+def _pyrnd(x: float, dp: int) -> float:
+    """Python twin of parity.rnd / parity.R — same op order."""
+    p = float(10**dp)
+    return (_pysgn(x) * math.floor(abs(x) * p + 0.5)) / p
+
+
+def _pyfxp(x: float, scale: int) -> int:
+    """Python twin of parity.fxp / parity.FXP."""
+    return int(_pysgn(x) * math.floor(abs(x) * float(scale) + 0.5))
+
+
+def parity_feature_cols(text: Column) -> list[Column]:
+    """The replay featurizer: same FEATURES family as ``feature_cols`` but
+    on the 1e-5 grid, with mean_word_len clamped to 64 so the squared
+    integer-grid moment sums stay inside int64 on the Spark side."""
+    from pyetl_spark.parity import rnd
+
+    n_chars = F.length(text).cast("double")
+    safe = F.greatest(n_chars, F.lit(1.0))
+    n_toks = F.greatest(
+        F.size(F.split(text, " ")).cast("double"), F.lit(1.0)
+    )
+    digits = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    caps = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("double")
+    return [
+        rnd(F.log1p(n_chars), PARITY_FEAT_DP).alias("log_len"),
+        rnd(F.least(safe / n_toks, F.lit(64.0)), PARITY_FEAT_DP).alias(
+            "mean_word_len"
+        ),
+        rnd(digits / safe, PARITY_FEAT_DP).alias("digit_ratio"),
+        rnd(caps / safe, PARITY_FEAT_DP).alias("caps_ratio"),
+    ]
+
+
+def train_logreg_replay(
+    rows: list[tuple[float, float, float, float, float]],
+    iters: int = PARITY_ITERS,
+    lr: float = PARITY_LR,
+) -> tuple[list[float], float, list[float], list[float]]:
+    """Pure-Python deterministic trainer over (x1..x4, y) tuples whose
+    features already sit on the 1e-5 grid. Returns (w, b, mu, sd) in the
+    STANDARDIZED space — scoring recomputes (x-mu)/sd, it does not fold.
+
+    Every arithmetic step is either an exact integer-grid sum or a pinned
+    sequence of IEEE double ops, so a SQL engine replaying the same spec
+    reproduces the weights bit-for-bit (pinned by the Tier-A oracle of
+    ``text_quality_classifier`` at three SFs)."""
+    n = len(rows)
+    if n == 0:
+        raise ValueError("empty training sample")
+    g5, g9 = 10**PARITY_FEAT_DP, 10**PARITY_W_DP
+    mu, sd = [], []
+    for j in range(4):
+        s1 = sum(_pyfxp(r[j], g5) for r in rows)
+        sq = sum(_pyfxp(r[j], g5) * _pyfxp(r[j], g5) for r in rows)
+        m = (float(s1) / n) / 1e5
+        ex2 = (float(sq) / n) / 1e10
+        v = ex2 - m * m
+        mu.append(m)
+        sd.append(1.0 if v < 1e-12 else math.sqrt(v))
+    c = PARITY_CLAMP
+    samp = [
+        (
+            [min(max((r[j] - mu[j]) / sd[j], -c), c) for j in range(4)],
+            r[4],
+        )
+        for r in rows
+    ]
+    w = [0.0, 0.0, 0.0, 0.0]
+    b = 0.0
+    for _ in range(iters):
+        acc = [0, 0, 0, 0, 0]
+        for s, y in samp:
+            z = (
+                (((b + w[0] * s[0]) + w[1] * s[1]) + w[2] * s[2])
+                + w[3] * s[3]
+            )
+            p = _pyrnd(1.0 / (1.0 + math.exp(-z)), PARITY_P_DP)
+            g = p - y
+            for j in range(4):
+                acc[j] += _pyfxp(g * s[j], g9)
+            acc[4] += _pyfxp(g, g9)
+        for j in range(4):
+            grad = (float(acc[j]) / n) / 1e9
+            w[j] = _pyrnd(w[j] - lr * grad, PARITY_W_DP)
+        grad_b = (float(acc[4]) / n) / 1e9
+        b = _pyrnd(b - lr * grad_b, PARITY_W_DP)
+    return w, b, mu, sd
+
+
+def parity_score_expr(
+    w: list[float], b: float, mu: list[float], sd: list[float]
+) -> Column:
+    """6dp-rounded sigmoid over the standardized FEATURES columns — still
+    one whole-stage-codegen'd JVM expression (the scale contract of
+    ``score_expr``), with the fold order pinned to match the oracle."""
+    from pyetl_spark.parity import rnd
+
+    c = PARITY_CLAMP
+    z: Column = F.lit(b)
+    for name, wj, mj, sj in zip(FEATURES, w, mu, sd):
+        s = (F.col(name) - F.lit(mj)) / F.lit(sj)
+        s = F.least(F.greatest(s, F.lit(-c)), F.lit(c))
+        z = z + F.lit(wj) * s
+    return rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), PARITY_OUT_DP)

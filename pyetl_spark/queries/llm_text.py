@@ -2721,42 +2721,186 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_quality_classifier")  # Tier B — learned scorer, rows-only
+def _quality_classifier_oracle() -> str:
+    """DuckDB replay of text_quality_classifier's replay-parity trainer
+    (operators/quality_model.py, r15 conversion — the learned-scorer
+    sibling of _semdedup_oracle's k-means replay): 5dp-grid features,
+    phash60-ordered constant-count sample, integer-grid moments, then
+    PARITY_ITERS textually-unrolled gradient steps — per step the sigmoid
+    quantizes to 7dp, gradient contributions sum on a 1e9 integer grid,
+    and weights re-quantize to 9dp, so both engines walk the identical
+    weight sequence. Every iteration CTE is MATERIALIZED: without it
+    DuckDB inlines it{t-1} into both of its two consumers and the plan
+    blows up 2^30."""
+    from pyetl_spark.operators.quality_model import (
+        PARITY_CLAMP,
+        PARITY_ITERS,
+        PARITY_LR,
+        TRAIN_SAMPLE_CAP,
+    )
+    from pyetl_spark.parity import PHASH60
+
+    safe = "greatest(CAST(length(text) AS DOUBLE), 1.0)"
+    ntoks = "greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)"
+    digits = (
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    )
+    caps = "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)"
+    x1 = R("ln(1.0 + CAST(length(text) AS DOUBLE))", 5)
+    x2 = R(f"least({safe} / {ntoks}, 64.0)", 5)
+    x3 = R(f"{digits} / {safe}", 5)
+    x4 = R(f"{caps} / {safe}", 5)
+    feats = f"""feats AS MATERIALIZED (
+      SELECT doc_id, {x1} AS x1, {x2} AS x2, {x3} AS x3, {x4} AS x4,
+             (CASE WHEN length(text) > 120 AND {x3} < 0.2
+                   THEN 1.0 ELSE 0.0 END) AS y
+      FROM documents)"""
+    rs = (
+        f"rs AS MATERIALIZED (SELECT * FROM feats ORDER BY "
+        f"{PHASH60('doc_id')}, doc_id LIMIT {TRAIN_SAMPLE_CAP})"
+    )
+    mom_terms = []
+    for j in (1, 2, 3, 4):
+        f5 = FXP(f"x{j}", 10**5)
+        mom_terms.append(
+            f"((CAST(sum({f5}) AS DOUBLE) / count(*)) / 100000.0) AS mu{j}"
+        )
+        mom_terms.append(
+            f"((CAST(sum(({f5}) * ({f5})) AS DOUBLE) / count(*))"
+            f" / 10000000000.0) AS ex{j}"
+        )
+    mom = (
+        "mom AS MATERIALIZED (SELECT "
+        + ", ".join(mom_terms)
+        + " FROM rs)"
+    )
+    sd_terms = ", ".join(
+        f"mu{j}, (CASE WHEN (ex{j} - mu{j} * mu{j}) < 1e-12 THEN 1.0 "
+        f"ELSE sqrt(ex{j} - mu{j} * mu{j}) END) AS sd{j}"
+        for j in (1, 2, 3, 4)
+    )
+    sdv = f"sdv AS MATERIALIZED (SELECT {sd_terms} FROM mom)"
+
+    def std(j: int) -> str:
+        return (
+            f"least(greatest((r.x{j} - m.mu{j}) / m.sd{j}, "
+            f"-{PARITY_CLAMP:.1f}), {PARITY_CLAMP:.1f})"
+        )
+
+    samp = (
+        "samp AS MATERIALIZED (SELECT "
+        + ", ".join(f"{std(j)} AS s{j}" for j in (1, 2, 3, 4))
+        + ", r.y FROM rs r, sdv m)"
+    )
+    it0 = (
+        "it0 AS MATERIALIZED (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, "
+        "0.0 AS w4, 0.0 AS b)"
+    )
+    zfold = (
+        "((((w.b + w.w1 * s.s1) + w.w2 * s.s2) + w.w3 * s.s3)"
+        " + w.w4 * s.s4)"
+    )
+    its = []
+    for t in range(1, PARITY_ITERS + 1):
+        p = R("1.0 / (1.0 + exp(-z))", 7)
+        inner = (
+            f"SELECT ({p}) - y AS g, s1, s2, s3, s4 FROM "
+            f"(SELECT {zfold} AS z, s.y, s.s1, s.s2, s.s3, s.s4 "
+            f"FROM samp s, it{t - 1} w)"
+        )
+        cs = ", ".join(
+            f"{FXP(f'g * s{j}', 10**9)} AS c{j}" for j in (1, 2, 3, 4)
+        )
+        gsel = ", ".join(
+            f"((CAST(sum(c{j}) AS DOUBLE) / count(*)) / 1000000000.0)"
+            f" AS g{j}"
+            for j in (1, 2, 3, 4)
+        )
+        its.append(
+            f"gr{t} AS MATERIALIZED (SELECT {gsel}, "
+            f"((CAST(sum(cb) AS DOUBLE) / count(*)) / 1000000000.0) AS gb "
+            f"FROM (SELECT {cs}, {FXP('g', 10**9)} AS cb FROM ({inner})))"
+        )
+        upd = ", ".join(
+            f"{R(f'w.w{j} - {PARITY_LR} * g.g{j}', 9)} AS w{j}"
+            for j in (1, 2, 3, 4)
+        )
+        its.append(
+            f"it{t} AS MATERIALIZED (SELECT {upd}, "
+            f"{R(f'w.b - {PARITY_LR} * g.gb', 9)} AS b "
+            f"FROM it{t - 1} w, gr{t} g)"
+        )
+    zfold_f = (
+        "((((w.b + w.w1 * f.s1) + w.w2 * f.s2) + w.w3 * f.s3)"
+        " + w.w4 * f.s4)"
+    )
+    final = (
+        f"SELECT doc_id, quality_prob, quality_prob > 0.5 AS accept FROM "
+        f"(SELECT zq.doc_id, {R('1.0 / (1.0 + exp(-z))', 6)}"
+        f" AS quality_prob FROM (SELECT f.doc_id, {zfold_f} AS z "
+        f"FROM (SELECT r.doc_id, "
+        + ", ".join(f"{std(j)} AS s{j}" for j in (1, 2, 3, 4))
+        + f" FROM feats r, sdv m) f, it{PARITY_ITERS} w) zq) sq "
+        f"ORDER BY doc_id"
+    )
+    ctes = [feats, rs, mom, sdv, samp, it0] + its
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@query("text_quality_classifier", oracle=_quality_classifier_oracle())
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-offline / score-at-scale quality filter
     (operators/quality_model.py): a deterministic CONSTANT-COUNT labeled
     sample (hash-ordered limit → TakeOrderedAndProject, O(cap) driver
-    memory at any corpus size; labels from the rule-based
-    text_quality_score heuristic — standing in for human labels) trains
-    a NumPy logistic regression driver-side; the learned weights fold
-    back into ONE sigmoid(w·x+b) column expression, so the corpus-wide
-    scoring pass is pure whole-stage-codegen arithmetic — no Python, no
-    shuffle. Output: doc_id, quality_prob, accept flag. Model
-    determinism, rule-agreement, and the training-collect cap are pinned
-    in tests/test_quality_model.py."""
+    memory at any corpus size; labels from the rule-based heuristic —
+    standing in for human labels) trains a logistic regression
+    driver-side; the learned weights fold back into ONE sigmoid column
+    expression, so the corpus-wide scoring pass is pure
+    whole-stage-codegen arithmetic — no Python, no shuffle. Output:
+    doc_id, quality_prob, accept flag.
+
+    Tier A (r15 conversion, closing the last learned-scorer rows-only
+    key): rides the replay-parity trainer ``train_logreg_replay`` —
+    5dp-grid features, phash60 sample ordering (the cross-engine hash;
+    xxhash64 stays the at-scale default in ``sample_for_training``),
+    integer-grid moments and gradients, per-iteration weight
+    quantization — so ``_quality_classifier_oracle``'s unrolled 30-step
+    CTE chain reproduces the weights bit-for-bit and the 6dp
+    quality_prob hash-matches at every SF. Model determinism,
+    rule-agreement, and the training-collect cap are pinned in
+    tests/test_quality_model.py."""
     from pyetl_spark.operators.quality_model import (
-        featurize,
-        fit_quality_model,
-        sample_for_training,
-        score_expr,
+        TRAIN_SAMPLE_CAP,
+        parity_feature_cols,
+        parity_score_expr,
+        train_logreg_replay,
     )
+    from pyetl_spark.parity import phash60
 
     d = load_tables(spark, sf_dir).documents
-    feats = featurize(d)
-    # deterministic pseudo-label: the rule the model must recover
+    feats = d.select("doc_id", F.length("text").alias("_len"),
+                     *parity_feature_cols(F.col("text")))
     labeled = feats.withColumn(
         "label",
         (
-            (F.col("n_chars") > 120)
-            & (F.col("digit_ratio") < 0.2)
+            (F.col("_len") > 120) & (F.col("digit_ratio") < 0.2)
         ).cast("double"),
     )
-    sample = sample_for_training(labeled)
-    w, b = fit_quality_model(sample)
+    sample = labeled.orderBy(phash60(F.col("doc_id")), "doc_id").limit(
+        TRAIN_SAMPLE_CAP
+    )
+    rows = [
+        (r.log_len, r.mean_word_len, r.digit_ratio, r.caps_ratio, r.label)
+        for r in sample.select(
+            "log_len", "mean_word_len", "digit_ratio", "caps_ratio", "label"
+        ).collect()
+    ]
+    w, b, mu, sd = train_logreg_replay(rows)
+    prob = parity_score_expr(w, b, mu, sd)
     return feats.select(
         "doc_id",
-        F.round(score_expr(w, b), 6).alias("quality_prob"),
-        (score_expr(w, b) > 0.5).alias("accept"),
+        prob.alias("quality_prob"),
+        (prob > 0.5).alias("accept"),
     ).orderBy("doc_id")
 
 

@@ -180,75 +180,92 @@ ORACLE: dict[str, str] = {}
 #:       head fills (win_ewma … vec_matryoshka_eval). Lands the r13
 #:       verdict's #2: after this window no key's driver evidence
 #:       predates r7 — the second full rotation cycle closes.
-#:   r15 draft: (any r14 reds) + the FOUR keys converted rows-only →
-#:       Tier-A late in r14 AFTER the window was pinned (their oracles
-#:       have no driver row yet — same precedent as the late-r7
-#:       conversions): sink_compact_small_files, sink_zorder_layout,
-#:       grouped_map_applyInPandas, map_partitions_arrow (own-sweep
-#:       gates: canon_sweep_r14_{compact,zorder,udfconv}_*.jsonl +
-#:       strict-value determinism) + keys r15 changes + the remaining
-#:       42 r7-evidence keys (registration order) + r8-evidence head
-#:       fills to 50.
+#:   r15 (this): zero r14 reds (CORRECTNESS_r14 50/50). The FOUR keys
+#:       converted rows-only → Tier-A late in r14 AFTER the window was
+#:       pinned (their oracles have no driver row yet — same precedent
+#:       as the late-r7 conversions): sink_compact_small_files,
+#:       sink_zorder_layout, grouped_map_applyInPandas,
+#:       map_partitions_arrow (own-sweep gates:
+#:       canon_sweep_r14_{compact,zorder,udfconv}_*.jsonl +
+#:       strict-value determinism) + text_quality_classifier
+#:       (converted IN r15: replay-parity logistic trainer, the last
+#:       learned-scorer rows-only key — canon-gated at 3 SFs + strict
+#:       determinism) + the remaining 42 r7-evidence keys
+#:       (registration order, text_count_min_freq … geo_grid_density)
+#:       + 3 r8-evidence head fills (filter_like_regex …
+#:       etl_type_cast). Lands the r14 verdict's #1: after this window
+#:       every hash-verifiable key's driver evidence is r8+ and all
+#:       five conversions carry CORRECTNESS rows.
+#:   r16 draft: (any r15 reds) + keys r15 changes touch + the 33
+#:       remaining r8-evidence keys (registration order) + r9-evidence
+#:       head fills to 50.
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r14 window (see rotation history above): zero r13 reds and the
-    # r14 code changes are output-identical on already-r13-verified
-    # keys (see note above), so ALL 50 slots go to staleness — the
-    # 46 remaining r6-evidence keys (registration order) + 4
-    # r7-evidence head fills = 50 total. Lands the r13 verdict's
-    # #2: after this window no key's driver evidence predates r7.
-    "sample_neyman_allocation",
-    "events_rollup_multi_grain",
-    "join_interval_overlap",
-    "etl_merge_upsert",
-    "sample_hash_per_group",
-    "ts_seasonal_profile",
-    "ts_autocorr_lag1",
-    "sample_weighted_topk",
-    "ts_changepoint_cusum",
-    "ts_sma_crossover",
-    "ts_hampel_outliers",
-    "ts_backtest_naive_mae",
-    "ts_theil_sen",
-    "text_heavy_hitters",
-    "text_heavy_hitters_mg",
-    "text_chi_square",
-    "text_stopword_discovery",
-    "text_bm25_search",
-    "text_diversity_simpson",
-    "dedup_source_attribution",
-    "text_train_split",
-    "text_lang_id_trigram",
-    "text_lm_score",
-    "dedup_allpairs_prefix",
-    "text_chunk_overlap",
-    "text_pii_redact",
-    "text_global_shuffle",
-    "dedup_levenshtein_snm",
-    "text_winnowing_fingerprint",
-    "text_shard_assign",
-    "text_url_canonicalize",
-    "text_rake_keywords",
-    "text_boilerplate_strip",
-    "text_zipf_exponent",
-    "text_importance_sample_dsir",
-    "text_vocab_coverage",
-    "text_lang_id_confusion",
-    "dedup_containment",
-    "er_blocking_quality",
-    "er_fellegi_sunter",
-    "er_em_mu_estimate",
-    "text_gopher_rules",
-    "text_budget_select",
-    "dedup_embedding_cosine",
-    "dedup_embedding_quantized",
-    "vec_knn_classify",
-    "win_ewma",
-    "vec_hard_negatives",
-    "vec_covariance_matrix",
-    "vec_matryoshka_eval",
+    # r15 window (see rotation history above): zero r14 reds
+    # (CORRECTNESS_r14 50/50). Slots 1-4 go to the four r14
+    # rows-only → Tier-A conversions — new oracles with 3-SF canon
+    # gates but no driver hash row yet (the r14 verdict's item 1).
+    # Slot 5: the r15 in-round conversion (see below). Slots 6-47:
+    # all 42 remaining r7-evidence keys in registration order.
+    # Slots 48-50: r8-evidence head fills. After this window lands,
+    # every hash-verifiable key's driver evidence is r8+ and all
+    # five conversions carry CORRECTNESS rows.
+    "sink_compact_small_files",
+    "sink_zorder_layout",
+    "grouped_map_applyInPandas",
+    "map_partitions_arrow",
+    # slot 5: text_quality_classifier converted rows-only → Tier-A IN
+    # r15 (replay-parity logistic trainer; canon-gated at 3 SFs) — a
+    # new oracle with no driver row outranks staleness, so it takes
+    # the slot the 4th r8-evidence head fill would have used.
+    "text_quality_classifier",
+    "text_count_min_freq",
+    "text_semdedup",
+    "dedup_incremental_bloom",
+    "dedup_minhash_recall_eval",
+    "multimodal_manifest_stats",
+    "win_udaf_pandas",
+    "agg_approx_percentile",
+    "text_pack_greedy",
+    "udtf_table_arg",
+    "udf_arrow_scalar",
+    "udtf_arrow",
+    "sink_orc",
+    "sink_parquet_zstd",
+    "sink_parquet_variant",
+    "agg_ks_statistic",
+    "agg_hhi_concentration",
+    "agg_cramers_v",
+    "agg_ab_test_ztest",
+    "etl_snapshot_reconcile_hash",
+    "join_skew_salted",
+    "agg_cuped_adjusted",
+    "etl_dq_scorecard",
+    "win_pct_rank_twophase",
+    "etl_partition_skew_audit",
+    "events_funnel_windowed",
+    "agg_mann_whitney_u",
+    "agg_welch_ttest",
+    "agg_percentile_exact_twophase",
+    "agg_psi_drift",
+    "agg_ols_two_feature",
+    "pipeline_experiment_readout",
+    "agg_ab_srm_check",
+    "agg_kmv_distinct",
+    "agg_kmv_overlap",
+    "join_cardinality_estimate",
+    "agg_bootstrap_ci",
+    "hierarchy_rollup_transitive",
+    "hierarchy_path_depth",
+    "hierarchy_recursive_cte_native",
+    "geo_radius_join_bucketed",
+    "geo_point_in_polygon",
+    "geo_grid_density",
+    "filter_like_regex",
+    "etl_field_cleanup",
+    "etl_type_cast",
 ]
 
 

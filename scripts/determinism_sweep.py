@@ -41,8 +41,9 @@ ROWS_ONLY_INVARIANT = {
     # but fingerprints span fresh write file splits)
     # sink_compact_small_files left this set in r14: its audit is now
     # (phase, n_files, n_rows, sum_ids) with n_files pinned by the
-    # explicit repartition(64)/coalesce(4) — invariant under shuffle
-    # settings, so it takes the strict value-hash check.
+    # explicit repartition(64) small-files phase and coalesce(1)
+    # compaction (n_files=1) — invariant under shuffle settings, so it
+    # takes the strict value-hash check.
     # sink_zorder_layout left too (r14): tiles are deterministic
     # equal-height z-runs via the two-phase global rank, not
     # spark_partition_id over sampled range bounds.

@@ -126,3 +126,64 @@ def test_classifier_query_agrees_with_rule(spark):
     out2 = registry.QUERIES["text_quality_classifier"](spark, SF_ORACLE)
     p2 = [r["quality_prob"] for r in out2.orderBy("doc_id").collect()]
     assert p1 == p2
+
+
+def test_replay_trainer_deterministic_and_learns():
+    """The r15 replay-parity trainer (the registry key's trainer) must be
+    bit-deterministic and still recover a separable rule — quantized
+    gradients are not allowed to break learning."""
+    import random
+
+    from pyetl_spark.operators.quality_model import (
+        _pyrnd,
+        train_logreg_replay,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(1500):
+        x = [_pyrnd(rng.gauss(0, 1), 5) for _ in range(4)]
+        y = 1.0 if x[1] > 0.2 else 0.0
+        rows.append((x[0], x[1], x[2], x[3], y))
+    w1, b1, mu1, sd1 = train_logreg_replay(rows)
+    w2, b2, mu2, sd2 = train_logreg_replay(list(rows))
+    assert (w1, b1, mu1, sd1) == (w2, b2, mu2, sd2)
+    import math
+
+    acc = 0
+    for r in rows:
+        z = b1
+        for j in range(4):
+            z += w1[j] * min(max((r[j] - mu1[j]) / sd1[j], -100.0), 100.0)
+        p = 1.0 / (1.0 + math.exp(-z))
+        acc += (p > 0.5) == (r[4] == 1.0)
+    assert acc / len(rows) > 0.9, acc / len(rows)
+
+
+def test_parity_scoring_is_pure_jvm_expression(spark):
+    """The replay variant's scoring pass must keep the scale contract of
+    score_expr: one Project over the scan, no Python, no shuffle."""
+    import contextlib
+    import io
+
+    from pyetl_spark.operators.quality_model import (
+        parity_feature_cols,
+        parity_score_expr,
+    )
+
+    d = load_tables(spark, SF_ORACLE).documents
+    feats = d.select("doc_id", *parity_feature_cols(F.col("text")))
+    out = feats.select(
+        "doc_id",
+        parity_score_expr(
+            [0.1, 0.2, -0.3, 0.4], -1.0,
+            [5.0, 5.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0],
+        ).alias("quality_prob"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
