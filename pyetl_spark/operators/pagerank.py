@@ -136,29 +136,59 @@ def pagerank_exact(
         .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), "deg")
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rq", F.lit(init_q).cast("long"))
-    for _ in range(iters):
-        contrib = (
-            deg_edges.join(ranks, deg_edges["_src"] == ranks.node)
-            .select(
+    # r15 loop shape: `ranks` holds only nodes WITH in-edges — a node
+    # that is never a _dst has rq = base_q at every iteration ≥ 1 (and
+    # init_q at iteration 0), a CONSTANT, so carrying it through the
+    # loop via the old per-iteration nodes-left-join bought nothing and
+    # cost one extra join + a full-node checkpoint per round. Instead
+    # the constant is supplied where it is read: as the left-join
+    # default when edges pull their source's rank (iteration 1 needs no
+    # join at all — every source holds init_q), and as the final
+    # coalesce when the full node set is restored. Integer arithmetic
+    # is unchanged (base_q + (num·0) DIV den == base_q), so ranks are
+    # bit-identical to the old form; per iteration this is 1 join
+    # instead of 2 and the checkpointed frame shrinks to the in-edge
+    # node set.
+    ranks = None
+    for i in range(iters):
+        if ranks is None:
+            contrib = deg_edges.select(
                 F.col("_dst").alias("node"),
-                F.expr("rq DIV deg").alias("cq"),
+                F.expr(f"CAST({init_q} AS BIGINT) DIV deg").alias("cq"),
             )
-        )
+        else:
+            contrib = deg_edges.join(
+                ranks, deg_edges["_src"] == ranks.node, "left"
+            ).select(
+                F.col("_dst").alias("node"),
+                F.expr(
+                    f"coalesce(rq, CAST({base_q} AS BIGINT)) DIV deg"
+                ).alias("cq"),
+            )
         summed = contrib.groupBy("node").agg(F.sum("cq").alias("inq"))
         ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
+            summed.select(
                 "node",
                 F.expr(
                     f"CAST({base_q} AS BIGINT) + "
-                    f"({damping_num} * coalesce(inq, CAST(0 AS BIGINT)))"
-                    f" DIV {damping_den}"
+                    f"({damping_num} * inq) DIV {damping_den}"
                 ).alias("rq"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select(
+    if ranks is None:  # iters == 0: every node still holds init_q
+        return nodes.select(
+            "node",
+            (F.lit(init_q).cast("double") / F.lit(float(scale))).alias(
+                "rank"
+            ),
+        )
+    return nodes.join(ranks, "node", "left").select(
         "node",
-        (F.col("rq").cast("double") / F.lit(float(scale))).alias("rank"),
+        (
+            F.coalesce(F.col("rq"), F.lit(base_q).cast("long")).cast(
+                "double"
+            )
+            / F.lit(float(scale))
+        ).alias("rank"),
     )

@@ -809,6 +809,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     union = F.size(F.array_union(F.col("a.t"), F.col("b.t"))).cast("double")
+    # PIN the verified pair list (r15): pagerank_exact materializes
+    # `nodes` and `deg_edges` in separate eager checkpoints, and the
+    # unionAll doubles every read — unpinned, this lang-blocked
+    # quadratic Jaccard join re-executed up to 6× before the first
+    # iteration ran (measured: 6.15 s → 4.8 s isolated median with the
+    # pin + the loop-shape fix in pagerank_exact). Same lineage-
+    # truncation rule as components.py's `one`.
     pairs = (
         a.join(
             b,
@@ -817,6 +824,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(inter / union >= 0.85)
         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .localCheckpoint(eager=True)
     )
     edges = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ranks = pagerank_exact(edges, iters=PR_ITERS)

@@ -98,6 +98,56 @@ def test_minhash_signature_sql_equals_column_form(spark, docs_tokens):
         assert sql_form == col_form
 
 
+def test_banded_factored_signature_equals_column_form(spark, docs_tokens):
+    """`_banded` (r15: base token-hash array factored into its own
+    projection so xxhash64 runs once per token, not once per minhash)
+    must emit exactly the band hashes the public Column-form signature
+    implies — same family, same fold order, same band slicing."""
+    from pyetl_spark.operators.minhash import _banded, minhash_signature
+
+    num_hashes, bands, seed = 32, 8, 42
+    rows = num_hashes // bands
+    sig = docs_tokens.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature(F.col("tokens"), num_hashes, seed=seed).alias(
+            "_sig"
+        ),
+    )
+    ref = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(i), F.slice(F.col("_sig"), i * rows + 1, rows)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    got = _banded(docs_tokens, "doc_id", "tokens", num_hashes, bands, seed)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
+def test_banded_single_base_hash_pass(spark, docs_tokens):
+    """Plan pin for the r15 factoring: the optimized `_banded` plan must
+    evaluate the string-hash lambda (`xxhash64(lambda t...)`) exactly
+    ONCE — CollapseProject must NOT inline the `_h` alias back into the
+    32 affine folds (higher-order functions are interpreted, so an
+    inline would re-hash every token 32×, the regression this pin
+    guards). The band-key xxhash64 calls are literal/slice-based, not
+    lambda-wrapped, so the needle is specific to the base pass."""
+    from pyetl_spark.operators.minhash import _banded
+
+    b = _banded(docs_tokens, "doc_id", "tokens", 32, 8, 42)
+    plan = b._sc._jvm.PythonSQLUtils.explainString(
+        b._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("xxhash64(lambda") == 1
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs_tokens, exact_pairs):
     """LSH with 32 hashes / 8 bands must recover >= 90% of true >=0.8
     pairs (S-curve: J=0.8, r=4, b=8 → P(candidate) ≈ 1-(1-0.41)^8 ≈ 0.985)
