@@ -2321,12 +2321,14 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines bit-identical."""
     k, w = 3, 4
     d = load_tables(spark, sf_dir).documents
-    toks = TX.tokens(F.col("text"))
-    # materialize the gram-hash array as its own projection: referenced
-    # from inside the window lambda it would be RE-COMPUTED per window
-    # element (O(m²) md5 calls per doc); as a column it hashes once per
-    # row (plan shows a single md5 transform)
-    base = d.filter(F.size(toks) >= k + w - 1).select(
+    # materialize the TOKEN array, then the gram-hash array, each as its
+    # own projection: referenced from inside a lambda either would be
+    # RE-COMPUTED per element (O(m²) splits / md5 calls per doc); as
+    # bound columns each computes once per row (plan shows a single
+    # split and a single md5 transform)
+    toked = d.select("doc_id", TX.tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    base = toked.filter(F.size(toks) >= k + w - 1).select(
         "doc_id", TX.winnow_grams(toks, k).alias("_grams")
     )
     return base.select(
