@@ -293,11 +293,18 @@ def paragraph_chunks(text: Column, width: int = 10) -> Column:
     strip_boilerplate) are unit-agnostic — they consume whatever chunk
     column this function yields, so the swap is local to this one
     expression."""
-    ts = F.split(text, " ")
-    nch = F.ceil(F.size(ts) / F.lit(float(width))).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), nch - 1),
-        lambda i: F.array_join(F.slice(ts, i * width + 1, width), " "),
+    # bind the split ONCE via _let (r15): referenced from inside the
+    # chunk lambda the split expression re-ran per chunk — O(tokens²/w)
+    # character work per doc
+    return _let(
+        F.split(text, " "),
+        lambda ts: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(ts) / F.lit(float(width))).cast("int") - 1,
+            ),
+            lambda i: F.array_join(F.slice(ts, i * width + 1, width), " "),
+        ),
     )
 
 

@@ -362,7 +362,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_near_jaccard) calls reordered docs identical; shingles don't.
     Same lang-blocked pair join; MinHash banding is the scale path."""
     d = load_tables(spark, sf_dir).documents
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array as its own projection (r15): the
+    # element_at(toks, ...) calls inside the shingle lambda referenced
+    # the split EXPRESSION, re-splitting the text ~3× per shingle
+    # position; as a bound column the split runs once per row
+    toked = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     # total function: for sub-3-token docs Spark's sequence(1, n-2) goes
     # DESCENDING through 0 (element_at(0) throws) while the oracle's
     # generate_series returns [] — guard to the oracle's semantics
@@ -377,7 +384,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ))
-    sh = d.filter(F.size(toks) >= 3).select(
+    sh = toked.filter(F.size(toks) >= 3).select(
         "doc_id", "lang", shingles.alias("s")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -1226,7 +1233,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe sets beyond memory, swap to a bloom-filter pre-pass then
     exact join."""
     d = load_tables(spark, sf_dir).documents
-    toks = F.split(F.col("text"), " ")
+    # token array as its own projection (r15, same fix as
+    # dedup_ngram_jaccard): element_at over the split EXPRESSION inside
+    # the lambda re-split the text ~5× per shingle position
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    toks = F.col("_toks")
     # total function (same guard as the 3-gram site): sub-5-token docs
     # must yield [] like the oracle's generate_series, not a descending
     # sequence through element_at(0)
@@ -1245,7 +1256,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ))
-    sh = d.filter(F.size(toks) >= 5).select(
+    sh = toked.filter(F.size(toks) >= 5).select(
         "doc_id", shingles.alias("s")
     )
     probes = (
