@@ -83,6 +83,13 @@ def _nearest_cell(vec_df: DataFrame, centroids: DataFrame, vec_col: str):
         centroids.select("cell", "centroid").collect(),
         key=lambda r: r["cell"],
     )
+    return _nearest_cell_rows(vec_df, rows, vec_col)
+
+
+def _nearest_cell_rows(vec_df: DataFrame, rows, vec_col: str):
+    """``_nearest_cell`` body over already-collected centroid rows
+    (sorted by cell) — lets callers that need the rows anyway (e.g. the
+    Lloyd loop, which reads the dimension off them) collect once."""
     if not rows:
         # Fail loudly: an untyped F.lit([]) / np.stack([]) downstream would
         # crash with an opaque error instead (ADVICE r5 low item).
@@ -402,7 +409,7 @@ def kmeans_fit_exact(
     compositions differ from the xxhash64 variant — callers that need
     driver-hash evidence use THIS form; xxhash64 stays the default at
     scale."""
-    from pyetl_spark.parity import fxp, phash60
+    from pyetl_spark.parity import phash60
 
     h = phash60(F.col(id_col))
     best = F.min(
@@ -419,26 +426,37 @@ def kmeans_fit_exact(
         (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
         "centroid",
     )
+    # r15 mean update (guide §2.3/§2.4): the old posexplode form shuffled
+    # corpus×dim (cell, pos, fxp-partial) rows through groupBy(cell, pos)
+    # and then RE-shuffled the means through a groupBy(cell)
+    # collect_list/array_sort reassembly. All dim means are instead
+    # computed as flat per-dimension aggregates in ONE groupBy(cell) —
+    # map-side partial aggregation reduces each task to k rows of
+    # (dim longs + count), one exchange total, no reassembly. One
+    # compiled SQL string for all dim aggregates keeps driver-side
+    # plan-build round-trips flat (the _signature_sql pattern). Values
+    # are bit-identical for the uniform-dimension corpora this operator
+    # serves: the per-(cell,pos) integer fxp sums are order-free, and
+    # count(1) per cell equals the old per-(cell,pos) count when every
+    # vector carries all dim positions (pinned by the vec_ann_* /
+    # text_semdedup oracle hashes at 3 SFs).
+    quoted = "`" + vec_col.replace("`", "``") + "`"
     for _ in range(iters):
-        assigned = _nearest_cell(
-            corpus.select(id_col, vec_col), cents, vec_col
+        rows = sorted(
+            cents.select("cell", "centroid").collect(),
+            key=lambda r: r["cell"],
         )
-        exploded = assigned.select(
-            "cell", F.posexplode(vec_col).alias("pos", "x")
+        assigned = _nearest_cell_rows(
+            corpus.select(id_col, vec_col), rows, vec_col
         )
-        means = exploded.groupBy("cell", "pos").agg(
-            (
-                (
-                    F.sum(fxp(F.col("x"), scale)).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                )
-                / F.lit(float(scale))
-            ).alias("m")
+        dim = len(rows[0]["centroid"])
+        terms = ", ".join(
+            f"(cast(sum(cast(signum({quoted}[{j}]) * "
+            f"floor(abs({quoted}[{j}]) * {float(scale)}D + 0.5D) as bigint))"
+            f" as double) / cast(count(1) as double)) / {float(scale)}D"
+            for j in range(dim)
         )
-        cents = means.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.getField("m"),
-            ).alias("centroid")
+        cents = assigned.groupBy("cell").agg(
+            F.expr(f"array({terms})").alias("centroid")
         )
     return cents

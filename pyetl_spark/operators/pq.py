@@ -239,7 +239,7 @@ def pq_fit_exact(
     argmin assignment's min-struct (already order-free). Codebooks are
     quantized to ``scale`` between iterations — immaterial at 1e-4 of
     the data range, decisive for hash verifiability."""
-    from pyetl_spark.parity import fxp, phash60_seeded
+    from pyetl_spark.parity import phash60_seeded
 
     sub_df = split_subvectors(corpus, id_col, vec_col, m, dim)
     h = phash60_seeded(F.col("sub"), F.col("id"))
@@ -257,30 +257,27 @@ def pq_fit_exact(
         (F.row_number().over(w) - 1).alias("cell"),
         "centroid",
     )
+    # r15 mean update (same move as ivf.kmeans_fit_exact): all d_sub
+    # means as flat per-dimension aggregates in ONE groupBy(sub, cell) —
+    # the posexplode form shuffled corpus×m×d_sub (sub, cell, pos)
+    # partial rows and then re-shuffled the means through a collect_list/
+    # array_sort reassembly. One compiled SQL string for the d_sub
+    # aggregates; integer fxp sums are order-free and subvectors all
+    # carry d_sub positions, so codebooks are bit-identical (pinned by
+    # the vec_ann_ivfpq* oracle hashes at 3 SFs).
+    d_sub = dim // m
+    terms = ", ".join(
+        f"(cast(sum(cast(signum(v[{j}]) * "
+        f"floor(abs(v[{j}]) * {float(scale)}D + 0.5D) as bigint))"
+        f" as double) / cast(count(1) as double)) / {float(scale)}D"
+        for j in range(d_sub)
+    )
     for _ in range(iters):
         assigned = _assign(sub_df, codebook)
-        means = (
-            assigned.select(
-                "sub",
-                F.col("code").alias("cell"),
-                F.posexplode("v").alias("pos", "x"),
-            )
-            .groupBy("sub", "cell", "pos")
-            .agg(
-                (
-                    (
-                        F.sum(fxp(F.col("x"), scale)).cast("double")
-                        / F.count(F.lit(1)).cast("double")
-                    )
-                    / F.lit(float(scale))
-                ).alias("mval")
-            )
-        )
-        codebook = means.groupBy("sub", "cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                lambda st: st.getField("mval"),
-            ).alias("centroid")
+        codebook = (
+            assigned.select("sub", F.col("code").alias("cell"), "v")
+            .groupBy("sub", "cell")
+            .agg(F.expr(f"array({terms})").alias("centroid"))
         )
         codebook = codebook.localCheckpoint(eager=True)
     return codebook
