@@ -125,10 +125,17 @@ def hamming_band_pairs(
 
     One explode to 4 band rows/row, one shuffle on (band_idx, band_val),
     in-bucket join + exact popcount verify.
+
+    The (id, hash) frame is localCheckpointed before banding: the
+    self-join otherwise plans the ENTIRE upstream fingerprint pipeline
+    (scan -> tokenize -> explode -> 65-aggregate groupBy for simhash;
+    the Arrow ahash pass for media) once PER JOIN SIDE — guide §3.3,
+    materialize to truncate duplicated subtrees. The checkpoint holds
+    16 bytes/doc (id + one bigint), corpus-linear and payload-free.
     """
     sh = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_sh")
-    )
+    ).localCheckpoint(eager=True)
     bands = sh.select(
         "_id",
         "_sh",
@@ -165,8 +172,12 @@ def hamming_band_pairs(
             "id_b",
             hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: hamming is a pure function of the
+        # row, so filter/distinct commute — and the distinct's exchange
+        # then carries only the (rare) near-dup pairs, not every
+        # same-band collision (guide §2.3, shuffle fewer bytes).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
