@@ -2873,24 +2873,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    # r15: majority-with-min-tie-break in ONE aggregate — `mode(lbl,
+    # deterministic=true)` returns the most frequent value and the
+    # LOWEST on frequency ties, which is exactly the count-then-
+    # max(struct(c, -lbl)) argmax this loop used to spell as two
+    # groupBys. One exchange + one (object-hash, partial-merging)
+    # aggregate per round instead of two of each (guide §2.4); labels
+    # are never null and every joined node has >= 1 neighbor row, so
+    # mode's null/empty cases are unreachable. Same-session A/B:
+    # equal output, round loop 1.65 -> 1.34 s median at sf0.1.
     for _ in range(3):
         nbr = edges.join(
             labels, edges["v"] == labels["node"]
         ).select(edges["u"], labels["lbl"])
-        cnt = nbr.groupBy("u", "lbl").agg(F.count(F.lit(1)).alias("c"))
         labels = (
-            cnt.groupBy("u")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c"), (-F.col("lbl")).alias("neg_lbl")
-                    )
-                ).alias("m")
-            )
-            .select(
-                F.col("u").alias("node"),
-                (-F.col("m.neg_lbl")).alias("lbl"),
-            )
+            nbr.groupBy("u")
+            .agg(F.expr("mode(lbl, true)").alias("lbl"))
+            .select(F.col("u").alias("node"), "lbl")
             .localCheckpoint(eager=True)
         )
     return labels.select(
