@@ -104,44 +104,31 @@ def _banded(
     # names containing backticks/spaces survive the parser (same rule as
     # operators/knn.py `_dot_sql`)
     quoted = "`" + tokens_col.replace("`", "``") + "`"
-    # r15 (second pass; supersedes the factored-projection form): explode
-    # to (doc, token_hash) rows and compute the k minima as FLAT min()
-    # aggregates — the same shape simhash_df already uses. The k
-    # array_min(transform(...)) folds, even over a pre-hashed array, are
-    # interpreted higher-order calls (CodegenFallback, ~k·|tokens| boxed
-    # lambda evals per doc); the explode form runs the string hash once
-    # per token and the k affine maps as whole-stage-codegen'd aggregate
-    # expressions with map-side partial aggregation, so the groupBy
-    # shuffle carries one (id, k longs) row per doc — signature
-    # metadata, never corpus bytes. Signatures are bit-identical: min is
-    # order-free and the integer ops are unchanged (pinned by
-    # test_banded_factored_signature_equals_column_form). Measured:
-    # banded pass 0.90 → 0.66 s isolated noop at sf0.1;
-    # dedup_minhash_lsh end-to-end 6.22 → 5.31 s isolated A/B.
-    #
-    # Degenerate docs (null/empty token arrays) emit NO band rows here
-    # (explode yields nothing), where the fold form emitted all-null
-    # signatures. Every shipping consumer already excludes them before
-    # banding (minhash_dedup_assign, minhash_index) or cannot match
-    # them (the incremental probe joins an index that holds no
-    # degenerates), and an all-null-signature bucket only ever matched
-    # other degenerates, which the 0/0 Jaccard verify then dropped.
+    # r15: materialize the base token-hash array as its OWN projection
+    # before the k affine folds. `_signature_sql` textually repeats
+    # `transform(tokens, t -> xxhash64(t))` inside every one of the k
+    # array_min terms, and higher-order functions are interpreted
+    # (CodegenFallback) — no subexpression elimination — so each token
+    # was xxhash64'd k times. Two stacked Projects survive the
+    # optimizer (CollapseProject declines to inline a non-cheap alias
+    # referenced k times; pinned by test_banded_single_base_hash_pass),
+    # so the string hashing now runs ONCE per token and only the cheap
+    # integer affine maps run k times. Same hash family, same fold
+    # order — signatures are bit-identical (the _signature_sql parity
+    # test is unchanged). Measured: dedup_minhash_lsh 5.35 → 3.6 s
+    # isolated median at sf0.1.
     hashed = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.expr(f"transform({quoted}, t -> xxhash64(t))")
-        ).alias("_h"),
+        F.expr(f"transform({quoted}, t -> xxhash64(t))").alias("_h"),
     )
-    # one compiled SQL string for all k aggregates — per-literal Column
-    # ops cost ~100 extra Py4J round-trips per plan build, and _banded
-    # runs on every minhash entry point (plan-build budget pinned by
-    # test_plan_lint_build_py4j_calls_bounded)
     mins = ", ".join(
-        f"min(((abs(_h) % {_MERSENNE_P}L) * {a}L + {b}L) % {_MERSENNE_P}L)"
+        f"array_min(transform(_h, "
+        f"h -> ((abs(h) % {_MERSENNE_P}L) * {a}L + {b}L) % {_MERSENNE_P}L))"
         for a, b in _hash_params(num_hashes, seed)
     )
-    return hashed.groupBy("_id").agg(
-        F.expr(f"array({mins})").alias("_sig")
+    sig = F.expr(f"array({mins})")
+    return hashed.select(
+        "_id", sig.alias("_sig")
     ).select(
         "_id",
         F.posexplode(

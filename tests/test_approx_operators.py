@@ -132,13 +132,12 @@ def test_banded_factored_signature_equals_column_form(spark, docs_tokens):
 
 
 def test_banded_single_base_hash_pass(spark, docs_tokens):
-    """Plan pin for the r15 explode+flat-aggregate `_banded`: the plan
-    must evaluate the string-hash lambda (`xxhash64(lambda t...)`)
-    exactly ONCE — inside the explode's transform — and never inside
-    the k per-signature expressions (a regression back to the fold form
-    would re-hash every token k×; higher-order functions are
-    interpreted, so that costs k·|tokens| boxed lambda evals per doc).
-    The band-key xxhash64 calls are literal/slice-based, not
+    """Plan pin for the r15 factoring: the optimized `_banded` plan must
+    evaluate the string-hash lambda (`xxhash64(lambda t...)`) exactly
+    ONCE — CollapseProject must NOT inline the `_h` alias back into the
+    32 affine folds (higher-order functions are interpreted, so an
+    inline would re-hash every token 32×, the regression this pin
+    guards). The band-key xxhash64 calls are literal/slice-based, not
     lambda-wrapped, so the needle is specific to the base pass."""
     from pyetl_spark.operators.minhash import _banded
 
@@ -147,34 +146,6 @@ def test_banded_single_base_hash_pass(spark, docs_tokens):
         b._jdf.queryExecution(), "formatted"
     )
     assert plan.count("xxhash64(lambda") == 1
-
-
-def test_banded_drops_degenerate_docs_assign_self_keeps(spark):
-    """Contract of the r15 explode-form `_banded`: null/empty token
-    arrays emit NO band rows (explode yields nothing — the fold form
-    emitted all-null signatures whose buckets only matched other
-    degenerates and never survived the 0/0 Jaccard verify), and
-    `minhash_dedup_assign` still returns a self-keep row for every such
-    doc via its left-join fallback."""
-    from pyetl_spark.operators.minhash import _banded, minhash_dedup_assign
-
-    docs = spark.createDataFrame(
-        [
-            (1, ["a", "b", "c"]),
-            (2, []),
-            (3, None),
-            (4, ["a", "b", "c"]),
-        ],
-        "doc_id long, tokens array<string>",
-    )
-    banded = _banded(docs, "doc_id", "tokens", 32, 8, 42)
-    assert banded.filter(F.col("_id").isin(2, 3)).count() == 0
-    assign = {
-        r["doc_id"]: r["keeper_id"]
-        for r in minhash_dedup_assign(docs, threshold=0.8).collect()
-    }
-    assert assign[2] == 2 and assign[3] == 3
-    assert assign[1] == 1 and assign[4] == 1
 
 
 def test_minhash_lsh_recall_vs_exact(spark, docs_tokens, exact_pairs):
