@@ -148,6 +148,31 @@ def test_banded_single_base_hash_pass(spark, docs_tokens):
     assert plan.count("xxhash64(lambda") == 1
 
 
+def test_minhash_assign_self_keeps_degenerate_docs(spark):
+    """Contract (form-agnostic, r15): null/empty token arrays can never
+    pass the 0/0 Jaccard verify, and `minhash_dedup_assign` filters them
+    out of banding entirely (F.size > 0) — they must fall through the
+    final left join and keep themselves, whatever signature form
+    `_banded` uses internally."""
+    from pyetl_spark.operators.minhash import minhash_dedup_assign
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, []),
+            (3, None),
+            (4, ["a", "b", "c"]),
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    assign = {
+        r["doc_id"]: r["keeper_id"]
+        for r in minhash_dedup_assign(docs, threshold=0.8).collect()
+    }
+    assert assign[2] == 2 and assign[3] == 3
+    assert assign[1] == 1 and assign[4] == 1
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs_tokens, exact_pairs):
     """LSH with 32 hashes / 8 bands must recover >= 90% of true >=0.8
     pairs (S-curve: J=0.8, r=4, b=8 → P(candidate) ≈ 1-(1-0.41)^8 ≈ 0.985)
