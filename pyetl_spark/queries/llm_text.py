@@ -3229,26 +3229,38 @@ def text_importance_sample_dsir(
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    cr = toks.groupBy("tok").agg(F.count("*").alias("c_r"))
-    ct = (
-        toks.filter(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count("*").alias("c_t"))
+    # r15 (guide §2.4): the raw-count and target-count tables were two
+    # separate token aggregates, and each was re-derived by BOTH of its
+    # consumers (the totals row and the ratio join) — five corpus-wide
+    # scan+explode passes in the plan. Fuse them into ONE aggregate
+    # (count_if(lang='en') over all tokens == the old en-filtered count
+    # left-joined back with coalesce(c_t, 0): a token with no en
+    # occurrences gets 0 either way) and pin the vocab-bounded result,
+    # so the corpus is tokenized exactly twice: once for the counts,
+    # once for the scoring join. Values are identical doubles — same
+    # integer counts into the same expressions.
+    g = (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("c_r"),
+            F.count_if(F.col("lang") == "en").alias("c_t"),
+        )
+        .localCheckpoint(eager=True)
     )
-    scal = cr.agg(
-        F.sum("c_r").alias("r_tot"), F.count("*").alias("v")
-    ).crossJoin(F.broadcast(ct.agg(F.sum("c_t").alias("t_tot"))))
+    scal = g.agg(
+        F.sum("c_r").alias("r_tot"),
+        F.count("*").alias("v"),
+        F.sum("c_t").alias("t_tot"),
+    )
     lr_val = F.log(
-        (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + 1.0)
+        (F.col("c_t").cast("double") + 1.0)
         / (F.col("t_tot").cast("double") + F.col("v").cast("double"))
     ) - F.log(
         (F.col("c_r").cast("double") + 1.0)
         / (F.col("r_tot").cast("double") + F.col("v").cast("double"))
     )
-    lr = (
-        cr.join(ct, "tok", "left")
-        .crossJoin(F.broadcast(scal))
-        .select("tok", fxp(lr_val, 10**9).alias("lr_c"))
+    lr = g.crossJoin(F.broadcast(scal)).select(
+        "tok", fxp(lr_val, 10**9).alias("lr_c")
     )
     return (
         toks.join(lr, "tok")

@@ -91,9 +91,15 @@ def agg_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").alias("c1"), F.sum(1 - F.col("g1")).alias("c2")
     )
     cum = global_order_cumsum(counts, ["v"], ["c1", "c2"])
-    tot = s.agg(
-        F.sum("g1").cast("long").alias("n1"),
-        F.sum(1 - F.col("g1")).cast("long").alias("n2"),
+    # r15 (guide §2.4): n1/n2 used to be a SECOND full scan of orders
+    # (s.agg over the raw rows). The inclusive prefix sums already end
+    # at the group totals — c1/c2 are non-negative, so max(cum_*) IS
+    # sum(c*) — and `cum` is the pinned, distinct-value-bounded frame
+    # global_order_cumsum materialized anyway: the totals become a
+    # k-row aggregate over that pin instead of a corpus pass.
+    tot = cum.agg(
+        F.max("cum_c1").cast("long").alias("n1"),
+        F.max("cum_c2").cast("long").alias("n2"),
     )
     dnum = F.max(
         F.abs(
