@@ -1779,12 +1779,25 @@ def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = d.select(
         F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    exact = tokens.groupBy("token").agg(F.count("*").alias("exact_count"))
+    # r15 (guide §2.4): the exact (token, count) aggregate fed the
+    # sketch build, the probe TakeOrdered, AND the probe re-join — three
+    # corpus tokenize+groupBy passes. Pin the vocab-bounded aggregate
+    # once (same class as the dsir ratio pin); the 40-row probe set is
+    # pinned too so its TakeOrdered runs once, not per consumer.
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
     sketch = cms_build(
         exact, weight_col="exact_count", depth=4, width=4096,
         seeded_hash=phash60_seeded,
     )
-    probes = exact.orderBy(F.desc("exact_count"), "token").limit(40)
+    probes = (
+        exact.orderBy(F.desc("exact_count"), "token")
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
     est = cms_estimate(
         probes.select("token"), sketch, depth=4, width=4096,
         seeded_hash=phash60_seeded,

@@ -906,15 +906,30 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    cand = None
-    for i in (1, 2, 3):
-        part = led.filter(F.col(f"id{i}").isNotNull()).select(
+    # r15 (guide §2.4): the old per-offset union re-planned the scan AND
+    # the window sort once per window slot (3 corpus passes). One
+    # explode over the 3 (neighbor-id, neighbor-tokens) structs emits
+    # the identical candidate rows from a single pass; the isNotNull
+    # filter matches the old per-slot filter.
+    cand = (
+        led.select(
             F.col("doc_id").alias("a"),
-            F.col(f"id{i}").alias("b"),
-            F.col("t"),
-            F.col(f"t{i}").alias("tb"),
+            "t",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"id{i}").alias("b"),
+                            F.col(f"t{i}").alias("tb"),
+                        )
+                        for i in (1, 2, 3)
+                    ]
+                )
+            ).alias("nb"),
         )
-        cand = part if cand is None else cand.unionAll(part)
+        .filter(F.col("nb.b").isNotNull())
+        .select("a", F.col("nb.b").alias("b"), "t", F.col("nb.tb").alias("tb"))
+    )
     jac = F.size(F.array_intersect("t", "tb")).cast("double") / F.size(
         F.array_union("t", "tb")
     ).cast("double")
