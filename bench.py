@@ -650,11 +650,23 @@ def main() -> None:
         compact["isolated_reruns"] = {
             k: v["isolated"] for k, v in isolated.items()
         }
+    print(compact_stdout_line(compact))
+
+
+def compact_stdout_line(compact: dict) -> str:
+    # stay inside the driver's ~2 KB stdout tail window — but NEVER by
+    # dropping "queries": the driver contract requires the per-query
+    # map on the stdout line (r15 fix: the old overflow branch popped
+    # "queries" itself, and the round's first run with isolated_reruns
+    # + noise_band + sf1 ratios actually tripped it). Optional sections
+    # go first, oldest-value last; everything stays in the detail file.
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's tail window
-        compact.pop("queries", None)
+    for optional in ("isolated_reruns", "sf1_ratio_vs_sf01", "noise_band"):
+        if len(line) <= 1900:
+            break
+        compact.pop(optional, None)
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
