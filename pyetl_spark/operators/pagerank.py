@@ -149,6 +149,14 @@ def pagerank_exact(
     # bit-identical to the old form; per iteration this is 1 join
     # instead of 2 and the checkpointed frame shrinks to the in-edge
     # node set.
+    # r15: checkpoint every SECOND iteration (and the last), not every
+    # one. The checkpoint exists only to truncate the iterative lineage
+    # (§5 of the optimization guide) — the integer arithmetic is
+    # untouched by its placement, so ranks stay bit-identical — and each
+    # eager checkpoint is a full Spark job, so 10 fixed iterations cost
+    # 10 scheduled jobs. Letting the plan carry two join+agg rounds
+    # between pins halves the job count; two rounds of lineage is far
+    # below any replanning hazard.
     ranks = None
     for i in range(iters):
         if ranks is None:
@@ -166,16 +174,15 @@ def pagerank_exact(
                 ).alias("cq"),
             )
         summed = contrib.groupBy("node").agg(F.sum("cq").alias("inq"))
-        ranks = (
-            summed.select(
-                "node",
-                F.expr(
-                    f"CAST({base_q} AS BIGINT) + "
-                    f"({damping_num} * inq) DIV {damping_den}"
-                ).alias("rq"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = summed.select(
+            "node",
+            F.expr(
+                f"CAST({base_q} AS BIGINT) + "
+                f"({damping_num} * inq) DIV {damping_den}"
+            ).alias("rq"),
         )
+        if i % 2 == 1 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     if ranks is None:  # iters == 0: every node still holds init_q
         return nodes.select(
             "node",
