@@ -96,8 +96,18 @@ def _banded(
     num_hashes: int,
     bands: int,
     seed: int,
+    include_exact_set_band: bool = False,
 ) -> DataFrame:
-    """(_id, band_idx, band_hash) — one row per doc per band."""
+    """(_id, band_idx, band_hash) — one row per doc per band.
+
+    With ``include_exact_set_band`` the J=1.0 guarantee band (bucket key
+    ``xxhash64(sort_array(array_distinct(tokens)))``, band_idx =
+    ``bands``) is emitted from the SAME pass as the minhash bands —
+    ``posexplode`` over a bands+1 array — instead of a separate
+    scan+tokenize pipeline union'd on afterwards (r15, guide §2.4: the
+    union form planned the whole upstream docs pipeline twice). Rows are
+    identical to the old ``unionByName(exact_band)`` by construction:
+    same band_idx, same bucket key, one row per bandable doc."""
     rows = num_hashes // bands
     # the token column name is interpolated into SQL text (the compiled
     # `_signature_sql` path) — backtick-quote it the way F.col would, so
@@ -117,9 +127,19 @@ def _banded(
     # order — signatures are bit-identical (the _signature_sql parity
     # test is unchanged). Measured: dedup_minhash_lsh 5.35 → 3.6 s
     # isolated median at sf0.1.
+    extra = (
+        [
+            F.xxhash64(
+                F.sort_array(F.array_distinct(F.col(tokens_col)))
+            ).alias("_xk")
+        ]
+        if include_exact_set_band
+        else []
+    )
     hashed = docs.select(
         F.col(id_col).alias("_id"),
         F.expr(f"transform({quoted}, t -> xxhash64(t))").alias("_h"),
+        *extra,
     )
     mins = ", ".join(
         f"array_min(transform(_h, "
@@ -127,20 +147,21 @@ def _banded(
         for a, b in _hash_params(num_hashes, seed)
     )
     sig = F.expr(f"array({mins})")
+    band_keys = [
+        F.xxhash64(F.lit(i), F.slice(F.col("_sig"), i * rows + 1, rows))
+        for i in range(bands)
+    ]
+    if include_exact_set_band:
+        # posexplode position = band_idx, so appending the exact-set key
+        # lands it at band_idx == bands — disjoint from every minhash
+        # band's buckets (the bucket key is the PAIR), exactly the old
+        # separate-frame contract
+        band_keys.append(F.col("_xk"))
     return hashed.select(
-        "_id", sig.alias("_sig")
+        "_id", sig.alias("_sig"), *([F.col("_xk")] if include_exact_set_band else [])
     ).select(
         "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(i), F.slice(F.col("_sig"), i * rows + 1, rows)
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
     )
 
 
@@ -359,22 +380,23 @@ def minhash_dedup_assign(
         F.col(id_col).alias(id_col), F.col(tokens_col).alias(tokens_col)
     )
 
-    banded = _banded(bandable, id_col, tokens_col, num_hashes, bands, seed)
-    # the exact-set band: band_idx = bands keeps its buckets disjoint
-    # from every minhash band's (the bucket key is the PAIR)
-    # key the band on the token SET (array_distinct), not the raw array:
-    # the operator's similarity is set-Jaccard (verify uses
-    # array_intersect/array_union), so same-set/different-multiplicity
-    # inputs — legal when a caller skips its own array_distinct — must
-    # land in one bucket for the J=1.0 guarantee to hold
-    exact_band = bandable.select(
-        F.col(id_col).alias("_id"),
-        F.lit(bands).alias("band_idx"),
-        F.xxhash64(
-            F.sort_array(F.array_distinct(F.col(tokens_col)))
-        ).alias("band_hash"),
+    # the exact-set band (band_idx = bands, bucket key =
+    # xxhash64(sort_array(array_distinct(tokens))) — the token SET, not
+    # the raw array: the operator's similarity is set-Jaccard, so
+    # same-set/different-multiplicity inputs must share a bucket for the
+    # J=1.0 guarantee to hold) is emitted by `_banded` itself from the
+    # same pass as the minhash bands (r15 — was a second scan+tokenize
+    # pipeline union'd on afterwards)
+    banded = _banded(
+        bandable,
+        id_col,
+        tokens_col,
+        num_hashes,
+        bands,
+        seed,
+        include_exact_set_band=True,
     )
-    star = _candidate_edges(banded.unionByName(exact_band))
+    star = _candidate_edges(banded)
     tok = bandable.select(
         F.col(id_col).alias("_tid"), F.col(tokens_col).alias("_t")
     )

@@ -2080,23 +2080,23 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     Audit counting is DROP-STAGE LABELING, not one action per stage
     (r10): the pre-r10 form counted each surviving frame separately —
     at 100 TB that is four full corpus passes (plus three corpus-scale
-    persists) just to fill a 5-row table. Instead both dedup ranks are
-    stacked as window columns in ONE lineage — the exact-content rank
-    orders url-keepers FIRST inside each md5(text) partition, so
-    "min-id url-survivor of this text" is a flag, not a second pass —
-    and the raw/url/exact counts come from ONE aggregate over that
-    frame. The near-dup/quality counts come from one aggregate over
-    the survivor frame (the gate score is a broadcast-weights
-    expression, so acceptance is a flag too). Corpus-wide work: one
-    counting pass + one materialization of the exact-survivor frame
-    (pinned once — it feeds the MinHash assign, the featurizer, and
-    the tail aggregate), plus the MinHash/CC machinery itself.
-    Measured (cold isolated process, sf0.1, interleaved): 7.22 s →
-    6.56 s median, with 3 corpus-scale persists reduced to 1 and 4
-    corpus-wide count actions reduced to 2 one-pass aggregates — the
-    pass-count reduction is the 100 TB argument; wall at this SF is
-    scheduling-bound (sf1 runs in the same ~6.5 s). Audit values
-    bit-identical at sf0.001/0.01/0.1.
+    persists) just to fill a 5-row table. Both dedup ranks are stacked
+    as window columns in ONE lineage — the exact-content rank orders
+    url-keepers FIRST inside each md5(text) partition, so "min-id
+    url-survivor of this text" is a flag, not a second pass — and the
+    raw/url/exact counts come from ONE aggregate over that frame. The
+    near-dup/quality counts come from one aggregate over the survivor
+    frame (the gate score is a broadcast-weights expression, so
+    acceptance is a flag too).
+
+    r15 (guide §8): the rank windows run over a PROXY frame of
+    (doc_id, url_key, md5(text)) — the document payload never enters a
+    window shuffle; survivors are re-attached by ONE id join (broadcast
+    at fixture scale, SMJ/bloom at 100 TB). Corpus-wide work: one
+    narrow counting pass + one materialization of the exact-survivor
+    frame (pinned once — it feeds the MinHash assign, the featurizer,
+    and the tail aggregate), plus the MinHash/CC machinery itself.
+    Audit values bit-identical at sf0.001/0.01/0.1 (old-vs-new).
     """
     from pyspark.sql import Window
 
@@ -2128,70 +2128,88 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 5).cast("string"),
         )
     )
-    w_url = Window.partitionBy(url_key).orderBy("doc_id")
-    w_txt = Window.partitionBy(F.md5("text")).orderBy("_r_url", "doc_id")
-    # the ONE corpus-scale pin of the funnel (the pre-r10 form pinned
-    # THREE progressively-filtered corpus-scale frames): every consumer
-    # below — the head aggregate, the MinHash assign's banding + both
-    # verify sides, the featurizer, the tail aggregate — reads the
-    # ranked frame from cache instead of replaying the two window
-    # shuffles per consumer
-    base = (
-        d.withColumn("_r_url", F.row_number().over(w_url))
+    # r15 (guide §8 — decide with small rows, move big rows once): both
+    # dedup ranks are computed over a PROXY frame of (doc_id, url_key,
+    # md5(text)) — ~80 bytes/row — so the two window shuffles never
+    # carry the document payload; the pre-r15 form ranked the full
+    # corpus rows, shuffling every text twice to compare two hashes.
+    # The payload moves exactly once: the survivor-id join below (at
+    # fixture scale the id set broadcasts, so the scan isn't shuffled
+    # at all; at 100 TB it is one SMJ/bloom-prefiltered pass — §3.2).
+    # Rank semantics are unchanged: same keys, same orders, row_number
+    # over a unique-ordered window is deterministic, so the survivor
+    # SET — and every count below — is bit-identical to the ranked-
+    # payload form (verified old-vs-new at 3 SFs).
+    w_url = Window.partitionBy("_uk").orderBy("doc_id")
+    w_txt = Window.partitionBy("_tk").orderBy("_r_url", "doc_id")
+    flags = (
+        d.select("doc_id", url_key.alias("_uk"), F.md5("text").alias("_tk"))
+        .withColumn("_r_url", F.row_number().over(w_url))
         .withColumn("_r_txt", F.row_number().over(w_txt))
         .persist()
     )
     url_keep = F.col("_r_url") == 1
     exact_keep = url_keep & (F.col("_r_txt") == 1)
 
-    # Everything that touches the pinned frame runs under try/finally:
+    # Everything that touches the pinned frames runs under try/finally:
     # any failed action in between (e.g. fit_quality_model's over-cap
-    # refusal) must not leak the corpus-scale persist for the session.
+    # refusal) must not leak a persist for the session.
     try:
         # head counts: raw / url survivors / exact survivors — ONE pass
-        head = base.agg(
+        # over the proxy flags (no payload column is needed to count)
+        head = flags.agg(
             F.count(F.lit(1)).alias("raw"),
             F.count_if(url_keep).alias("url"),
             F.count_if(exact_keep).alias("exact"),
         ).collect()[0]
 
-        exact = base.filter(exact_keep).drop("_r_url", "_r_txt")
+        # the one corpus-scale pin of the funnel: the exact-survivor
+        # frame with its payload, read by the MinHash assign's banding
+        # + both verify sides, the keeper join, and the tail aggregate
+        exact = d.join(
+            flags.filter(exact_keep).select("doc_id"), "doc_id"
+        ).persist()
 
-        # 3. near-dup cluster drop (keepers only)
-        toks = exact.select(
-            "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
-        )
-        assign = minhash_dedup_assign(toks, threshold=0.8)
-        keepers = exact.join(
-            assign.filter(F.col("doc_id") == F.col("keeper_id")).select(
-                "doc_id"
-            ),
-            "doc_id",
-        )
+        try:
+            # 3. near-dup cluster drop (keepers only)
+            toks = exact.select(
+                "doc_id",
+                F.array_distinct(F.split("text", " ")).alias("tokens"),
+            )
+            assign = minhash_dedup_assign(toks, threshold=0.8)
+            keepers = exact.join(
+                assign.filter(F.col("doc_id") == F.col("keeper_id")).select(
+                    "doc_id"
+                ),
+                "doc_id",
+            )
 
-        # 4. learned quality gate — train on a CONSTANT-count
-        # hash-ordered sample of the survivors (TakeOrderedAndProject,
-        # O(cap) driver memory at any corpus size; the enforcement
-        # lives in fit_quality_model, which refuses over-cap inputs)
-        feats = featurize(keepers)
-        labeled = feats.withColumn(
-            "label",
-            ((F.col("n_chars") > 120) & (F.col("digit_ratio") < 0.2)).cast(
-                "double"
-            ),
-        )
-        sample = sample_for_training(labeled)
-        wts, b = fit_quality_model(sample)
-        # tail counts: near-dup survivors / gate acceptances — ONE pass
-        # over the survivor frame (the gate is a broadcast-weights
-        # scalar expression, so acceptance is a flag, not a filtered
-        # re-count)
-        tail = feats.agg(
-            F.count(F.lit(1)).alias("near"),
-            F.count_if(score_expr(wts, b) > 0.5).alias("quality"),
-        ).collect()[0]
+            # 4. learned quality gate — train on a CONSTANT-count
+            # hash-ordered sample of the survivors
+            # (TakeOrderedAndProject, O(cap) driver memory at any corpus
+            # size; the enforcement lives in fit_quality_model, which
+            # refuses over-cap inputs)
+            feats = featurize(keepers)
+            labeled = feats.withColumn(
+                "label",
+                (
+                    (F.col("n_chars") > 120) & (F.col("digit_ratio") < 0.2)
+                ).cast("double"),
+            )
+            sample = sample_for_training(labeled)
+            wts, b = fit_quality_model(sample)
+            # tail counts: near-dup survivors / gate acceptances — ONE
+            # pass over the survivor frame (the gate is a
+            # broadcast-weights scalar expression, so acceptance is a
+            # flag, not a filtered re-count)
+            tail = feats.agg(
+                F.count(F.lit(1)).alias("near"),
+                F.count_if(score_expr(wts, b) > 0.5).alias("quality"),
+            ).collect()[0]
+        finally:
+            exact.unpersist()
     finally:
-        base.unpersist()
+        flags.unpersist()
 
     stages = [
         ("raw", head["raw"]),

@@ -1385,10 +1385,28 @@ def test_minhash_exact_set_band_alone_guarantees_identity_merge(
 
     real_banded = MH._banded
 
-    def no_minhash_bands(docs, id_col, tokens_col, num_hashes, bands, seed):
+    def no_minhash_bands(
+        docs,
+        id_col,
+        tokens_col,
+        num_hashes,
+        bands,
+        seed,
+        include_exact_set_band=False,
+    ):
+        # keep ONLY the exact-set band (band_idx == bands); since the
+        # r15 fold it is emitted by _banded itself, so "suppress the
+        # minhash bands" means dropping band_idx < bands rather than
+        # emptying the whole frame
         return real_banded(
-            docs, id_col, tokens_col, num_hashes, bands, seed
-        ).filter(F.lit(False))
+            docs,
+            id_col,
+            tokens_col,
+            num_hashes,
+            bands,
+            seed,
+            include_exact_set_band=include_exact_set_band,
+        ).filter(F.col("band_idx") == bands)
 
     monkeypatch.setattr(MH, "_banded", no_minhash_bands)
     df = spark.createDataFrame(
