@@ -417,59 +417,63 @@ def etl_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, date sanity window) emitted as (check_name, n_violations) —
     the contract a pipeline asserts before promoting a batch; a clean
     feed returns all zeros (and does on the fixtures, which is the
-    assertion: the checks run, find nothing, and say so). Each check is
-    an independent aggregate over the same scan; Spark computes the
-    non-join checks as ONE pass of conditional counts and the integrity
-    check as a broadcast anti-join count."""
+    assertion: the checks run, find nothing, and say so).
+
+    r15 (guide §2.4): TWO orders passes, not six. The pre-r15 form
+    union'd the scalar-check aggregate in four times — each union
+    branch replans its subtree, so the one conditional-count pass ran
+    once per check name (4 redundant full scans; the before-plan shows
+    orders scanned 6×). Now the scalar checks ride the dup-check's
+    groupBy(o_orderkey) as per-group conditional counts summed in the
+    second-level aggregate (integer counts — exact under any grouping),
+    and the single fused result row is unpivoted with ``stack`` instead
+    of four self-unions. The remaining passes are irreducible: the
+    anti-join integrity check and the keyed dup/scalar aggregate."""
     t = load_tables(spark, sf_dir)
     o, c = t.orders, t.customer
     orphans = o.join(
         c, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
     ).agg(F.count("*").alias("n"))
-    dups = (
-        o.groupBy("o_orderkey")
-        .agg(F.count("*").alias("k"))
-        .filter(F.col("k") > 1)
-        .agg(F.count("*").alias("n"))
-    )
-    scalar = o.agg(
+    per_key = o.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("k"),
         F.count_if(
             F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()
-        ).alias("null_keys"),
-        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
-        F.count_if(
-            ~F.col("o_orderstatus").isin("F", "O", "P")
-        ).alias("bad_status"),
+        ).alias("nk"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("np"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bs"),
         F.count_if(
             (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
             | (
                 F.col("o_orderdate")
                 >= F.lit("2005-01-01").cast("timestamp")
             )
-        ).alias("date_out_of_range"),
+        ).alias("dr"),
     )
-
-    def named(df, name):
-        return df.select(
-            F.lit(name).alias("check_name"), F.col("n").alias("n_violations")
-        )
-
-    out = named(orphans, "orphan_orders").unionAll(
-        named(dups, "dup_orderkeys")
+    zero = F.lit(0).cast("long")
+    fused = per_key.agg(
+        F.count_if(F.col("k") > 1).alias("dup_orderkeys"),
+        F.coalesce(F.sum("nk"), zero).alias("null_keys"),
+        F.coalesce(F.sum("np"), zero).alias("nonpositive_price"),
+        F.coalesce(F.sum("bs"), zero).alias("bad_status"),
+        F.coalesce(F.sum("dr"), zero).alias("date_out_of_range"),
     )
-    for name in (
-        "null_keys",
-        "nonpositive_price",
-        "bad_status",
-        "date_out_of_range",
-    ):
-        out = out.unionAll(
-            scalar.select(
-                F.lit(name).alias("check_name"),
-                F.col(name).alias("n_violations"),
+    out = orphans.select(
+        F.lit("orphan_orders").alias("check_name"),
+        F.col("n").alias("n_violations"),
+    )
+    return out.unionAll(
+        fused.select(
+            F.expr(
+                "stack(5, "
+                "'dup_orderkeys', dup_orderkeys, "
+                "'null_keys', null_keys, "
+                "'nonpositive_price', nonpositive_price, "
+                "'bad_status', bad_status, "
+                "'date_out_of_range', date_out_of_range"
+                ") AS (check_name, n_violations)"
             )
         )
-    return out
+    )
 
 
 @query(
