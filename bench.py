@@ -31,16 +31,21 @@ BENCH diff needs:
 
 The first rule is ENFORCED here, not just documented (r12, VERDICT r11
 item 2 — the r10→r11 drift investigation cost a round because a single
-suite pass cannot see inter-run JVM drift): when the pass-1 suite total
-over the keys shared with the last driver record differs from that
-record by more than the measured 14 % band, the whole suite runs a
-SECOND pass in the same session. The SHIPPED per-key numbers are always
-the pass-1 medians (r13, ADVICE r12: shipping the min-of-two ratcheted
-the comparable series low, so every later quiet run read spuriously
-high against it); the min-of-two survives as the quiet-machine estimate
-under "noise_band" in the detail file and as the triage detector's
-input. An in-band run ships single-pass, with the band check itself
-still recorded.
+suite pass cannot see inter-run JVM drift): in full-suite mode the
+suite ALWAYS runs a second pass in the same session, and the SHIPPED
+per-key numbers are the per-key MIN of the two passes (r16, VERDICT
+r15 item 1: machine contention only ever ADDS time, and the r15 driver
+record could not distinguish 19 noise "regressions" on untouched code
+from real ones — the min-of-two is the closest single-session estimate
+of the quiet-machine truth). The r13 ratchet concern (ADVICE r12: a
+min-of-two series reads low to a later single-pass run) is moot once
+EVERY run ships min-of-two — the series is again like-for-like. Both
+raw passes are preserved under "two_pass" in the detail file, and the
+band check against the last driver record is still computed and
+recorded under "noise_band". Subset runs (SPARK_GRAFT_ONLY — the
+isolated-triage path) stay single-pass: their medians are only ever
+compared to other isolated runs. SPARK_GRAFT_SINGLE_PASS=1 forces the
+old single-pass behavior for quick local iteration.
 """
 
 from __future__ import annotations
@@ -413,29 +418,48 @@ def main() -> None:
         prior = None
 
     timings, spreads, builds = _run_suite(spark, headline, sf_dir)
-    # the series the triage detector reads: pass-1 medians unless an
-    # out-of-band check earns a second pass, in which case the per-key
-    # min-of-two (a mover BOTH passes reproduce is worth a rerun)
+
+    # r16 (VERDICT r15 item 1): the second pass is UNCONDITIONAL in
+    # full-suite mode and the SHIPPED per-key numbers are the per-key
+    # min of the two passes — contention only ever adds time, so the
+    # min is the best single-session estimate of the quiet-machine
+    # truth, and a one-pass cold/loaded sample can no longer print 19
+    # spurious sub-second "regressions" on untouched code (the r15
+    # scoreboard). Both raw passes are preserved in the detail record.
+    two_pass: dict | None = None
+    if only is None and not os.environ.get("SPARK_GRAFT_SINGLE_PASS"):
+        t2, s2, b2 = _run_suite(spark, headline, sf_dir)
+        two_pass = {
+            "pass1_queries": dict(timings),
+            "pass2_queries": dict(t2),
+            "pass1_builds": dict(builds),
+            "pass2_builds": dict(b2),
+            "pass1_spreads": dict(spreads),
+            "pass2_spreads": dict(s2),
+        }
+        timings = merge_min_of_two(timings, t2)
+        # pass-2 rebuilds the index from the same deterministic inputs —
+        # the BUILD series ships min-of-two under the same argument
+        builds = merge_min_of_two(builds, b2)
+        # spreads are diagnostics; ship the conservative (max) view
+        spreads = {k: max(v, s2.get(k, v)) for k, v in spreads.items()}
+    # the series the triage detector reads is exactly the shipped one
     triage_timings = timings
 
-    # inter-run noise band check (VERDICT r11 item 2): a single suite
-    # pass cannot distinguish JVM/machine weather from a real drift —
-    # the measured band between identical-tree runs is 14 % (NOISE_BAND).
-    # Out-of-band in EITHER direction earns a confirming second pass in
-    # the same session; the SHIPPED numbers stay pass-1 (comparable
-    # series), the per-key min-of-two lands under noise_band as the
-    # quiet-machine estimate (contention only ever adds time) and
-    # feeds the triage detector. Both passes land in the detail record.
+    # inter-run noise band check (VERDICT r11 item 2): recorded so a
+    # reader can still see how the pass-1 total sat against the last
+    # driver record (the band no longer gates the second pass — that is
+    # unconditional now — but the drift diagnostic keeps its value).
     noise_band: dict | None = None
-    # SPARK_GRAFT_NOISE_BAND overrides the measured band — 0 forces the
-    # confirming second pass (how the branch is exercised end-to-end
-    # without waiting for real drift), a large value forces single-pass
     band = float(os.environ.get("SPARK_GRAFT_NOISE_BAND", NOISE_BAND))
     if prior is not None:
         prior_q = prior[1]
-        shared = [k for k in timings if k in prior_q and prior_q[k] > 0]
+        pass1_q = (
+            two_pass["pass1_queries"] if two_pass is not None else timings
+        )
+        shared = [k for k in pass1_q if k in prior_q and prior_q[k] > 0]
         pri_total = sum(prior_q[k] for k in shared)
-        cur_total = sum(timings[k] for k in shared)
+        cur_total = sum(pass1_q[k] for k in shared)
         if shared and pri_total > 0:
             rel = abs(cur_total - pri_total) / pri_total
             noise_band = {
@@ -445,40 +469,12 @@ def main() -> None:
                 "shared_total_prior": round(pri_total, 3),
                 "shared_total_pass1": round(cur_total, 3),
                 "rel_diff_pass1": round(rel, 3),
-                "second_pass": rel > band,
+                "second_pass": two_pass is not None,
             }
-            if rel > band:
-                t2, s2, b2 = _run_suite(spark, headline, sf_dir)
-                noise_band["pass2_queries"] = dict(t2)
-                # pass-2 rebuilds the index from the same deterministic
-                # inputs — recording it (instead of discarding) gives a
-                # confirming second sample for the BUILD regression
-                # check below, the same min-of-two logic as queries
-                noise_band["pass2_builds"] = {
-                    k: round(v, 3) for k, v in b2.items()
-                }
-                # SHIP pass-1 medians as the comparable series (r12
-                # ADVICE: shipping the per-key min-of-two ratcheted the
-                # record low — a genuinely quieter future run then read
-                # 7-14% high against the biased baseline, manufacturing
-                # spurious out-of-band trips; the min could also hide a
-                # bimodal real regression one pass happened to dodge).
-                # The min-of-two survives only as (a) the quiet-machine
-                # ESTIMATE recorded under noise_band for readers, and
-                # (b) the triage DETECTOR below — a mover both passes
-                # reproduce is worth an isolated rerun, a single-pass
-                # spike is weather already explained by the band check.
-                min2 = {
-                    k: min(timings[k], t2[k]) if k in t2 else timings[k]
-                    for k in timings
-                }
-                noise_band["min2_queries"] = {
-                    k: round(v, 3) for k, v in min2.items()
-                }
+            if two_pass is not None:
                 noise_band["shared_total_min2"] = round(
-                    sum(min2[k] for k in shared), 3
+                    sum(timings[k] for k in shared if k in timings), 3
                 )
-                triage_timings = min2
 
     # regression auto-triage (VERDICT r8 item 4): any shared query whose
     # median moved >1.3x AND >0.3s vs the last driver-recorded round
@@ -501,15 +497,9 @@ def main() -> None:
         # index builds face the same rule (r13: the build/search split
         # moved the composed IVF-PQ build out of `queries`, and without
         # this the repo's most expensive build had NO automated
-        # regression detection). Build timings are single-run per pass;
-        # when a second pass ran, the min of the two is the detector's
-        # input, mirroring the query series.
-        triage_builds = dict(builds)
-        if noise_band is not None and noise_band.get("second_pass"):
-            for k, v in noise_band.get("pass2_builds", {}).items():
-                if k in triage_builds:
-                    triage_builds[k] = min(triage_builds[k], v)
-        candidates = {**triage_timings, **triage_builds}
+        # regression detection). `builds` is already the shipped
+        # min-of-two series in full-suite mode, mirroring the queries.
+        candidates = {**triage_timings, **builds}
         prior_all = {**prior_q, **prior_builds}
         flagged = sorted(
             (
@@ -542,9 +532,12 @@ def main() -> None:
     }
     if builds:
         # index builds are nightly jobs amortized over many searches —
-        # recorded first-class (single cold run each) but NOT summed
-        # into per-query suite seconds (r13, VERDICT r12 item 4)
+        # recorded first-class (single cold run each per pass, shipped
+        # as min-of-two) but NOT summed into per-query suite seconds
+        # (r13, VERDICT r12 item 4)
         out["index_builds"] = builds
+    if two_pass is not None:
+        out["two_pass"] = two_pass
     if noise_band is not None:
         out["noise_band"] = noise_band
     detail_path = os.environ.get(
@@ -651,6 +644,20 @@ def main() -> None:
             k: v["isolated"] for k, v in isolated.items()
         }
     print(compact_stdout_line(compact))
+
+
+def merge_min_of_two(
+    pass1: dict[str, float], pass2: dict[str, float]
+) -> dict[str, float]:
+    """Per-key min of two timing maps (keys come from pass1; a key the
+    second pass somehow lacks keeps its pass-1 value). Contention only
+    ever ADDS time, so the min is the best single-session estimate of
+    the quiet-machine number — the shipped series since r16 (VERDICT
+    r15 item 1)."""
+    return {
+        k: round(min(v, pass2[k]) if k in pass2 else v, 3)
+        for k, v in pass1.items()
+    }
 
 
 def compact_stdout_line(compact: dict) -> str:

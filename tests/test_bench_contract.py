@@ -68,3 +68,20 @@ def test_queries_survive_even_if_line_cannot_fit():
     parsed = json.loads(line)
     assert len(parsed["queries"]) == 200
     assert "isolated_reruns" not in parsed
+
+
+def test_merge_min_of_two_takes_per_key_min():
+    # r16 (VERDICT r15 item 1): the shipped per-query series is the
+    # per-key min of the two unconditional suite passes — contention
+    # only ever adds time, so the min estimates the quiet machine.
+    p1 = {"a": 1.0, "b": 2.0, "c": 0.30}
+    p2 = {"a": 0.5, "b": 3.0, "c": 0.30}
+    merged = bench.merge_min_of_two(p1, p2)
+    assert merged == {"a": 0.5, "b": 2.0, "c": 0.30}
+
+
+def test_merge_min_of_two_keeps_pass1_keys_missing_from_pass2():
+    # never drop a key (the driver contract forbids removals); a key
+    # the second pass lacks keeps its pass-1 value
+    merged = bench.merge_min_of_two({"a": 1.234}, {})
+    assert merged == {"a": 1.234}
