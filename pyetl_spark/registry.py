@@ -196,76 +196,76 @@ ORACLE: dict[str, str] = {}
 #:       etl_type_cast). Lands the r14 verdict's #1: after this window
 #:       every hash-verifiable key's driver evidence is r8+ and all
 #:       five conversions carry CORRECTNESS rows.
-#:   r16 draft: (any r15 reds) + keys r15 changes touch + the 33
-#:       remaining r8-evidence keys (registration order) + r9-evidence
-#:       head fills to 50.
+#:   r16 (this): zero r15 reds (CORRECTNESS_r15 50/50). The r15 window
+#:       was pinned BEFORE the r15 optimizations landed (VERDICT r15
+#:       item 4), so slots 1-36 are every key the r15+r16 optimization
+#:       work touches — the whole minhash/simhash/winnowing/kmeans/
+#:       graph/curation operator families plus the r16 re-touched
+#:       text_count_min_freq and text_semdedup — in the verdict's own
+#:       order. Slots 37-50: the oldest-evidence (r8) keys in
+#:       registration order, continuing the rotation (8 of the 35
+#:       r8-evidence keys already sit in the touched set).
 #: Mechanically: PRIORITY = (reds/vacuous from last round) + (oracle keys
 #: with no CORRECTNESS row, registration order) + (rows-only keys with no
 #: row) + (stale/oldest-evidence keys), truncated to 50.
 PRIORITY: list[str] = [
-    # r15 window (see rotation history above): zero r14 reds
-    # (CORRECTNESS_r14 50/50). Slots 1-4 go to the four r14
-    # rows-only → Tier-A conversions — new oracles with 3-SF canon
-    # gates but no driver hash row yet (the r14 verdict's item 1).
-    # Slot 5: the r15 in-round conversion (see below). Slots 6-47:
-    # all 42 remaining r7-evidence keys in registration order.
-    # Slots 48-50: r8-evidence head fills. After this window lands,
-    # every hash-verifiable key's driver evidence is r8+ and all
-    # five conversions carry CORRECTNESS rows.
-    "sink_compact_small_files",
-    "sink_zorder_layout",
-    "grouped_map_applyInPandas",
-    "map_partitions_arrow",
-    # slot 5: text_quality_classifier converted rows-only → Tier-A IN
-    # r15 (replay-parity logistic trainer; canon-gated at 3 SFs) — a
-    # new oracle with no driver row outranks staleness, so it takes
-    # the slot the 4th r8-evidence head fill would have used.
-    "text_quality_classifier",
-    "text_count_min_freq",
-    "text_semdedup",
-    "dedup_incremental_bloom",
+    # r16 window (see rotation history above): slots 1-36 are the
+    # r15+r16-touched operator families — VERDICT r15 item 4 requires
+    # driver correctness rows for every key the optimization rounds
+    # touched (the r15 window predated the r15 changes). Order follows
+    # the verdict's own list, then the remaining touched consumers.
+    "dedup_allpairs_prefix",
+    "etl_quality_checks",
+    "graph_pagerank",
+    "graph_label_propagation",
+    "pipeline_curation_full",
+    "dedup_minhash_lsh",
+    "pipeline_training_corpus_neardup",
+    "dedup_minhash_incremental",
+    "dedup_minhash_index_maintenance",
     "dedup_minhash_recall_eval",
-    "multimodal_manifest_stats",
-    "win_udaf_pandas",
-    "agg_approx_percentile",
-    "text_pack_greedy",
-    "udtf_table_arg",
-    "udf_arrow_scalar",
-    "udtf_arrow",
-    "sink_orc",
-    "sink_parquet_zstd",
-    "sink_parquet_variant",
-    "agg_ks_statistic",
-    "agg_hhi_concentration",
-    "agg_cramers_v",
-    "agg_ab_test_ztest",
-    "etl_snapshot_reconcile_hash",
-    "join_skew_salted",
-    "agg_cuped_adjusted",
-    "etl_dq_scorecard",
-    "win_pct_rank_twophase",
-    "etl_partition_skew_audit",
-    "events_funnel_windowed",
-    "agg_mann_whitney_u",
-    "agg_welch_ttest",
-    "agg_percentile_exact_twophase",
-    "agg_psi_drift",
-    "agg_ols_two_feature",
-    "pipeline_experiment_readout",
-    "agg_ab_srm_check",
-    "agg_kmv_distinct",
-    "agg_kmv_overlap",
-    "join_cardinality_estimate",
-    "agg_bootstrap_ci",
-    "hierarchy_rollup_transitive",
-    "hierarchy_path_depth",
-    "hierarchy_recursive_cte_native",
-    "geo_radius_join_bucketed",
-    "geo_point_in_polygon",
-    "geo_grid_density",
-    "filter_like_regex",
-    "etl_field_cleanup",
-    "etl_type_cast",
+    "dedup_simhash",
+    "multimodal_ahash_dedup",
+    "dedup_sorted_neighborhood",
+    "text_importance_sample_dsir",
+    "vec_ann_ivf",
+    "vec_ann_ivf_persisted",
+    "vec_pq_adc_topk",
+    "vec_ann_ivfpq",
+    "vec_ann_ivfpq_persisted",
+    "vec_ann_ivfpq_index_maintenance",
+    "vec_ann_ivfpq_recall_eval",
+    "vec_ann_ivfpq_compacted",
+    "vec_ann_recall_eval",
+    "text_semdedup",
+    "multimodal_features",
+    "multimodal_cdc_chunks",
+    "dedup_winnowing_corpus",
+    "dedup_winnowing",
+    "text_winnowing_fingerprint",
+    "dedup_ngram_jaccard",
+    "text_decontaminate",
+    "text_count_min_freq",
+    "graph_shortest_path_bounded",
+    "graph_neighbor_jaccard",
+    "basket_part_pairs",
+    "graph_triangles",
+    # slots 37-50: oldest-evidence (r8) keys, registration order —
+    # the staleness rotation continues under the touched-first rule
+    "etl_enrich_partition_cols",
+    "etl_latest_per_key",
+    "etl_snapshot_diff",
+    "etl_profile",
+    "agg_groupby_pricing",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_conditional",
+    "agg_stats",
+    "agg_percentile",
+    "agg_equidepth_histogram",
+    "subq_scalar",
 ]
 
 
