@@ -48,6 +48,58 @@ def _dot(a, b):
     )
 
 
+def localize_rows(spark, rows, schema) -> DataFrame:
+    """Rebuild already-collected rows of a BOUNDED frame (index state:
+    centroids, codebooks — never corpus-scale) as a SQL ``VALUES``
+    literal, i.e. a true LocalRelation.
+
+    Why not ``createDataFrame(rows)``: PySpark parallelizes that into an
+    RDD, so every downstream collect/broadcast still schedules a (tiny)
+    job per consumer. A VALUES LocalRelation is driver-resident — a
+    collect over it is ``executeCollect`` with NO job, and a broadcast
+    builds straight from the local rows. Values are bit-identical:
+    doubles round-trip through Python ``repr`` (shortest form) and
+    Spark's correctly-rounded literal parser; the final SELECT casts
+    every column back to ``schema``.
+
+    Supports the types index state uses (int/long, double, arrays of
+    them, None); raises on anything else rather than silently coercing.
+    ``rows`` items may be Rows, tuples, or anything that iterates its
+    column values in ``schema`` field order.
+    """
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            raise TypeError("localize_rows: bool column unsupported")
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            return repr(v) + "D"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
+        raise TypeError(f"localize_rows: unsupported cell {type(v)}")
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    vals = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    cols = ", ".join(
+        f"CAST(col{i + 1} AS {f.dataType.simpleString()}) AS "
+        f"`{f.name.replace('`', '``')}`"
+        for i, f in enumerate(schema.fields)
+    )
+    return spark.sql(f"SELECT {cols} FROM VALUES {vals}")
+
+
+def localize_bounded(df: DataFrame) -> DataFrame:
+    """Collect a BOUNDED frame and rebuild it as a VALUES LocalRelation
+    (see ``localize_rows`` for the why and the exactness argument)."""
+    return localize_rows(df.sparkSession, df.collect(), df.schema)
+
+
 #: Above this k, nearest-centroid assignment switches from the inlined
 #: JVM expression to the Arrow kernel: higher-order array functions
 #: evaluate their lambda per ELEMENT (interpreted, boxed), so the
@@ -422,10 +474,23 @@ def kmeans_fit_exact(
         .agg(best.alias("b"))
         .select("bucket", F.col("b.v").alias("centroid"))
     )
-    cents = per_bucket.select(
-        (F.row_number().over(Window.orderBy("bucket")) - 1).alias("cell"),
-        "centroid",
-    )
+    # r16: the dense cell relabel runs DRIVER-SIDE over the collected
+    # ≤k seed rows instead of a `row_number() OVER (ORDER BY bucket)`
+    # window — that window was the bench tail's "No Partition Defined"
+    # WindowExec warning source (VERDICT r15 item 9; 21 warnings per
+    # vec_ann_ivf bench key, one per fit execution) and forced a
+    # single-partition exchange per fit for a frame that is bounded by
+    # construction. Numbering is identical: sorted-by-bucket index ==
+    # row_number in bucket order (buckets are distinct post-groupBy).
+    # The collect also seeds the Lloyd loop below, which previously
+    # collected the same frame again on its first iteration — one job
+    # saved per fit.
+    rows = [
+        {"cell": i, "centroid": r["centroid"]}
+        for i, r in enumerate(
+            sorted(per_bucket.collect(), key=lambda r: r["bucket"])
+        )
+    ]
     # r15 mean update (guide §2.3/§2.4): the old posexplode form shuffled
     # corpus×dim (cell, pos, fxp-partial) rows through groupBy(cell, pos)
     # and then RE-shuffled the means through a groupBy(cell)
@@ -442,10 +507,6 @@ def kmeans_fit_exact(
     # text_semdedup oracle hashes at 3 SFs).
     quoted = "`" + vec_col.replace("`", "``") + "`"
     for _ in range(iters):
-        rows = sorted(
-            cents.select("cell", "centroid").collect(),
-            key=lambda r: r["cell"],
-        )
         assigned = _nearest_cell_rows(
             corpus.select(id_col, vec_col), rows, vec_col
         )
@@ -459,4 +520,35 @@ def kmeans_fit_exact(
         cents = assigned.groupBy("cell").agg(
             F.expr(f"array({terms})").alias("centroid")
         )
-    return cents
+        rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    # r16: LOCALIZE the final centroids (k rows of dim doubles — the
+    # bounded state an IVF index IS, by design). Every consumer
+    # re-executed the final Lloyd aggregate otherwise: ivf_assign
+    # collects it, ivf_topk and ivfpq_residuals/ivfpq_topk each
+    # broadcast it — the vec_ann_ivfpq build ran the corpus scan +
+    # assignment + aggregate three times for one fit. The loop above
+    # already collected the final iteration's rows (executing the
+    # aggregate exactly once); the VALUES LocalRelation makes every
+    # downstream collect driver-local (no job) and every broadcast
+    # job-free (an eager localCheckpoint was A/B'd first and LOST on
+    # single-consumer fits — text_semdedup +0.5 s, 3/3 pairs — because
+    # the pin job is pure overhead there; localization adds none).
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    return localize_rows(
+        corpus.sparkSession,
+        [(int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows],
+        schema,
+    )

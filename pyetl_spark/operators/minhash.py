@@ -136,6 +136,9 @@ def _banded(
         if include_exact_set_band
         else []
     )
+    # one carried-column list shared by both selects below (r15 ADVICE:
+    # the second select rebuilt the conditional inline)
+    extra_cols = [F.col("_xk")] if include_exact_set_band else []
     hashed = docs.select(
         F.col(id_col).alias("_id"),
         F.expr(f"transform({quoted}, t -> xxhash64(t))").alias("_h"),
@@ -158,7 +161,7 @@ def _banded(
         # separate-frame contract
         band_keys.append(F.col("_xk"))
     return hashed.select(
-        "_id", sig.alias("_sig"), *([F.col("_xk")] if include_exact_set_band else [])
+        "_id", sig.alias("_sig"), *extra_cols
     ).select(
         "_id",
         F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),

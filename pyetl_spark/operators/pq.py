@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyetl_spark.operators.ivf import localize_bounded
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -279,5 +281,14 @@ def pq_fit_exact(
             .groupBy("sub", "cell")
             .agg(F.expr(f"array({terms})").alias("centroid"))
         )
-        codebook = codebook.localCheckpoint(eager=True)
+        # r16: LOCALIZE instead of localCheckpoint (m·k rows of d_sub
+        # doubles — bounded index state). The collect executes the
+        # iteration's aggregate exactly once, same as the old eager
+        # checkpoint, but the VALUES LocalRelation it returns makes the
+        # next iteration's `_assign` broadcast (and the final
+        # encode/topk broadcasts) job-free instead of re-scanning a
+        # checkpointed RDD per consumer. Values bit-identical (IEEE
+        # doubles round-trip the driver exactly); lineage is truncated
+        # either way.
+        codebook = localize_bounded(codebook)
     return codebook

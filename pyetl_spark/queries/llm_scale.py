@@ -1782,8 +1782,12 @@ def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15 (guide §2.4): the exact (token, count) aggregate fed the
     # sketch build, the probe TakeOrdered, AND the probe re-join — three
     # corpus tokenize+groupBy passes. Pin the vocab-bounded aggregate
-    # once (same class as the dsir ratio pin); the 40-row probe set is
-    # pinned too so its TakeOrdered runs once, not per consumer.
+    # once (same class as the dsir ratio pin). The 40-row probe set is
+    # NOT pinned (r16, VERDICT r15 item 5): its pin job cost more than
+    # it saved — a TakeOrdered over the pinned vocab aggregate is a
+    # sub-100ms scan of ExistingRDD, so running it once per consumer
+    # (est input + final join) is cheaper than scheduling an extra
+    # eager-checkpoint job for 40 rows.
     exact = (
         tokens.groupBy("token")
         .agg(F.count("*").alias("exact_count"))
@@ -1793,11 +1797,7 @@ def text_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact, weight_col="exact_count", depth=4, width=4096,
         seeded_hash=phash60_seeded,
     )
-    probes = (
-        exact.orderBy(F.desc("exact_count"), "token")
-        .limit(40)
-        .localCheckpoint(eager=True)
-    )
+    probes = exact.orderBy(F.desc("exact_count"), "token").limit(40)
     est = cms_estimate(
         probes.select("token"), sketch, depth=4, width=4096,
         seeded_hash=phash60_seeded,
@@ -2165,7 +2165,12 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # the one corpus-scale pin of the funnel: the exact-survivor
         # frame with its payload, read by the MinHash assign's banding
-        # + both verify sides, the keeper join, and the tail aggregate
+        # + both verify sides, the keeper join, and the tail aggregate.
+        # INVARIANT (r15 ADVICE): doc_id is unique in documents (the
+        # fixture's primary key), so this inner join selects exactly
+        # the flagged survivor rows — under duplicate ids it would
+        # multiply rows and silently diverge from the head counts
+        # computed off `flags` above.
         exact = d.join(
             flags.filter(exact_keep).select("doc_id"), "doc_id"
         ).persist()

@@ -1397,7 +1397,13 @@ def test_minhash_exact_set_band_alone_guarantees_identity_merge(
         # keep ONLY the exact-set band (band_idx == bands); since the
         # r15 fold it is emitted by _banded itself, so "suppress the
         # minhash bands" means dropping band_idx < bands rather than
-        # emptying the whole frame
+        # emptying the whole frame. Fail loudly if a future caller in
+        # this path stops requesting the exact band — the filter would
+        # otherwise return an empty frame and the test would die with a
+        # confusing identity-merge assertion (r15 ADVICE item 3).
+        assert include_exact_set_band, (
+            "stub expects the exact-set band to be requested"
+        )
         return real_banded(
             docs,
             id_col,
