@@ -65,7 +65,11 @@ def localize_rows(spark, rows, schema) -> DataFrame:
     Supports the types index state uses (int/long, double, arrays of
     them, None); raises on anything else rather than silently coercing.
     ``rows`` items may be Rows, tuples, or anything that iterates its
-    column values in ``schema`` field order.
+    column values in ``schema`` field order. The SQL text is
+    O(rows × cells) — the same driver-bounded envelope as
+    ``_nearest_cell``'s literal/ndarray shipping, fine for the ≤10^4-row
+    centroid/codebook frames this serves; don't point it at anything
+    corpus-scale.
     """
 
     def lit(v) -> str:
