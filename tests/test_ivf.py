@@ -200,3 +200,72 @@ def test_empty_centroids_fail_loudly(spark, corpus):
     empty = spark.createDataFrame([], "cell int, centroid array<double>")
     with pytest.raises(ValueError, match="centroids DataFrame is empty"):
         ivf_assign(corpus, empty)
+
+
+def test_localize_rows_exact_roundtrip_and_no_jobs(spark):
+    """localize_rows (r16) rebuilds bounded index state as a VALUES
+    LocalRelation: values/types must round-trip EXACTLY (doubles via
+    repr + correctly-rounded literal parsing, incl. subnormal-ish and
+    scientific-notation magnitudes), and collecting the result must
+    schedule no Spark job (the whole point vs createDataFrame)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from pyetl_spark.operators.ivf import localize_rows
+
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    vals = [
+        (0, [0.1, -0.0, 1e-17, 123456.789]),
+        (1, [float.fromhex("0x1.fffffffffffffp+1"), -2.5e300, 0.0]),
+        (2, None),
+    ]
+    df = localize_rows(spark, vals, schema)
+    assert [str(f.dataType) for f in df.schema.fields] == [
+        str(f.dataType) for f in schema.fields
+    ]
+    st = spark.sparkContext.statusTracker()
+    before = len(st.getJobIdsForGroup() or [])
+    got = sorted(df.collect(), key=lambda r: r["cell"])
+    after = len(st.getJobIdsForGroup() or [])
+    assert after == before, "collect over a VALUES LocalRelation ran a job"
+    for (cell, cent), row in zip(vals, got):
+        assert row["cell"] == cell
+        if cent is None:
+            assert row["centroid"] is None
+        else:
+            # exact bit identity, not approx
+            assert [x.hex() for x in row["centroid"]] == [
+                x.hex() for x in cent
+            ]
+
+
+def test_localize_rows_empty_and_unsupported(spark):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import pytest as _pytest
+
+    from pyetl_spark.operators.ivf import localize_rows
+
+    schema = StructType([StructField("cell", IntegerType())])
+    assert localize_rows(spark, [], schema).count() == 0
+    with _pytest.raises(TypeError):
+        localize_rows(
+            spark,
+            [("s",)],
+            StructType([StructField("x", StringType())]),
+        )
